@@ -1,0 +1,285 @@
+"""Vectorized heterogeneous graph construction.
+
+Builds the patient/lab/diagnosis/medication graph from preprocessed tables.
+Functional parity with the reference builder (src/graph_build.py:104-289) but
+edge assembly is pure numpy/pandas vector ops emitting padded, dst-sorted
+COO/CSR arrays directly — the reference iterates ``DataFrame.iterrows()`` per
+edge (src/graph_build.py:499-586), which is its dominant build cost.
+
+Expected input columns (the preprocess stage contract, SURVEY.md section 2.3):
+  * labs:        SUBJECT_ID, ITEMID, VALUE, VALUE_NORMALIZED
+  * diagnoses:   SUBJECT_ID, ICD3_CODE
+  * medications: SUBJECT_ID, DRUG
+  * cohort:      SUBJECT_ID (+ demographics)
+  * labitems:    ITEMID, LABEL
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.graph.hetero import (
+    EdgeSet,
+    HeteroGraph,
+    compute_patient_lab_degree,
+    pad_edge_set,
+)
+from multi_modal_gnn_tpu.graph.indexer import NodeIndexer
+from multi_modal_gnn_tpu.graph.schema import (
+    DIAGNOSIS,
+    LAB,
+    MEDICATION,
+    PATIENT,
+    PATIENT_DIAGNOSIS,
+    PATIENT_LAB,
+    PATIENT_MEDICATION,
+    EdgeTypeKey,
+    reverse_edge_type,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class GraphMeta:
+    """Host-side metadata that travels with a graph artifact (not traced)."""
+
+    indexers: Dict[str, NodeIndexer] = field(default_factory=dict)
+    lab_names: Dict[int, str] = field(default_factory=dict)
+    # per-lab-index denormalization stats: {lab_idx: {"mean": m, "std": s}}
+    lab_stats: Dict[int, Dict[str, float]] = field(default_factory=dict)
+    config: Optional[dict] = None
+    config_hash: Optional[str] = None
+
+    def to_dict(self) -> dict:
+        return {
+            "indexers": {k: v.to_dict() for k, v in self.indexers.items()},
+            "lab_names": {str(k): v for k, v in self.lab_names.items()},
+            "lab_stats": {str(k): v for k, v in self.lab_stats.items()},
+            "config": self.config,
+            "config_hash": self.config_hash,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "GraphMeta":
+        return cls(
+            indexers={k: NodeIndexer.from_dict(v) for k, v in d.get("indexers", {}).items()},
+            lab_names={int(k): v for k, v in d.get("lab_names", {}).items()},
+            lab_stats={int(k): v for k, v in d.get("lab_stats", {}).items()},
+            config=d.get("config"),
+            config_hash=d.get("config_hash"),
+        )
+
+
+@dataclass
+class GraphBundle:
+    """A device graph plus its host metadata — the unit of serialization."""
+
+    graph: HeteroGraph
+    meta: GraphMeta
+
+    def replace_graph(self, graph: HeteroGraph) -> "GraphBundle":
+        return dataclasses.replace(self, graph=graph)
+
+
+def _map_edges(
+    df: pd.DataFrame,
+    src_col: str,
+    dst_col: str,
+    src_indexer: NodeIndexer,
+    dst_indexer: NodeIndexer,
+    val_col: Optional[str] = None,
+):
+    """Vectorized ID->index mapping; rows with unknown IDs are dropped."""
+    src_idx = src_indexer.lookup_many(df[src_col].to_numpy())
+    dst_idx = dst_indexer.lookup_many(df[dst_col].to_numpy())
+    keep = (src_idx >= 0) & (dst_idx >= 0)
+    vals = None
+    if val_col is not None:
+        vals = df[val_col].to_numpy(dtype=np.float32)[keep]
+    n_dropped = int((~keep).sum())
+    if n_dropped:
+        logger.warning("Dropped %d edges with unmapped endpoints", n_dropped)
+    return src_idx[keep], dst_idx[keep], vals
+
+
+def build_heterogeneous_graph(
+    labs: pd.DataFrame,
+    diagnoses: pd.DataFrame,
+    medications: pd.DataFrame,
+    cohort: pd.DataFrame,
+    labitems: Optional[pd.DataFrame],
+    config: Config,
+) -> GraphBundle:
+    """Assemble the 4-node-type / 6-relation graph from preprocessed tables."""
+    pad = config.graph.edge_pad_multiple
+
+    # ---- node index spaces (first-seen order, like the reference) --------
+    indexers = {
+        PATIENT: NodeIndexer(PATIENT),
+        LAB: NodeIndexer(LAB),
+        DIAGNOSIS: NodeIndexer(DIAGNOSIS),
+        MEDICATION: NodeIndexer(MEDICATION),
+    }
+    indexers[PATIENT].add_many(cohort["SUBJECT_ID"].to_numpy())
+    indexers[LAB].add_many(labs["ITEMID"].to_numpy())
+    if len(diagnoses):
+        indexers[DIAGNOSIS].add_many(diagnoses["ICD3_CODE"].to_numpy())
+    if len(medications):
+        indexers[MEDICATION].add_many(medications["DRUG"].to_numpy())
+
+    counts = {name: len(ix) for name, ix in indexers.items()}
+    logger.info("Node counts: %s", counts)
+
+    # ---- forward edges (vectorized) --------------------------------------
+    edge_arrays: Dict[EdgeTypeKey, tuple] = {}
+
+    lab_src, lab_dst, lab_val = _map_edges(
+        labs, "SUBJECT_ID", "ITEMID", indexers[PATIENT], indexers[LAB], "VALUE_NORMALIZED"
+    )
+    edge_arrays[PATIENT_LAB] = (lab_src, lab_dst, lab_val)
+
+    if len(diagnoses):
+        dx_src, dx_dst, _ = _map_edges(
+            diagnoses, "SUBJECT_ID", "ICD3_CODE", indexers[PATIENT], indexers[DIAGNOSIS]
+        )
+    else:
+        dx_src = dx_dst = np.zeros(0, dtype=np.int32)
+    edge_arrays[PATIENT_DIAGNOSIS] = (dx_src, dx_dst, None)
+
+    if len(medications):
+        rx_src, rx_dst, _ = _map_edges(
+            medications, "SUBJECT_ID", "DRUG", indexers[PATIENT], indexers[MEDICATION]
+        )
+    else:
+        rx_src = rx_dst = np.zeros(0, dtype=np.int32)
+    edge_arrays[PATIENT_MEDICATION] = (rx_src, rx_dst, None)
+
+    # ---- pad + sort + CSR, forward and reverse ---------------------------
+    graph = assemble_graph(edge_arrays, counts, pad_multiple=pad, config=config)
+
+    # ---- metadata --------------------------------------------------------
+    lab_names: Dict[int, str] = {}
+    if labitems is not None and len(labitems):
+        label_by_item = dict(
+            zip(labitems["ITEMID"].to_numpy(), labitems["LABEL"].astype(str).to_numpy())
+        )
+        for item_id, idx in indexers[LAB].id_to_index.items():
+            lab_names[idx] = str(label_by_item.get(item_id, f"Lab_{idx}"))
+    else:
+        lab_names = {i: f"Lab_{i}" for i in range(counts[LAB])}
+
+    # raw-value stats per lab index for inference-time denormalization
+    lab_stats: Dict[int, Dict[str, float]] = {}
+    if "VALUE" in labs.columns:
+        raw_idx = indexers[LAB].lookup_many(labs["ITEMID"].to_numpy())
+        raw_df = pd.DataFrame({"lab_idx": raw_idx, "value": labs["VALUE"].to_numpy()})
+        agg = raw_df.groupby("lab_idx")["value"].agg(["mean", "std"]).fillna(0.0)
+        lab_stats = {
+            int(i): {"mean": float(r["mean"]), "std": float(r["std"])}
+            for i, r in agg.iterrows()
+        }
+
+    meta = GraphMeta(
+        indexers=indexers,
+        lab_names=lab_names,
+        lab_stats=lab_stats,
+        config=config.to_dict(),
+        config_hash=config.content_hash(),
+    )
+    return GraphBundle(graph=graph, meta=meta)
+
+
+def assemble_graph(
+    edge_arrays: Dict[EdgeTypeKey, tuple],
+    node_counts: Dict[str, int],
+    pad_multiple: int = 1024,
+    config: Optional[Config] = None,
+) -> HeteroGraph:
+    """Pad/sort/CSR all relations and mirror each with its reverse."""
+    enabled_bidirectional = {
+        PATIENT_LAB: True,
+        PATIENT_DIAGNOSIS: True,
+        PATIENT_MEDICATION: True,
+    }
+    if config is not None:
+        from multi_modal_gnn_tpu.graph.schema import CONFIG_EDGE_NAMES
+
+        for name, et in CONFIG_EDGE_NAMES.items():
+            etc = config.graph.edge_types.get(name)
+            if etc is not None:
+                enabled_bidirectional[et] = etc.bidirectional
+
+    edges: Dict[EdgeTypeKey, EdgeSet] = {}
+    for et, (src, dst, val) in edge_arrays.items():
+        s_type, _, d_type = et
+        edges[et] = pad_edge_set(
+            src,
+            dst,
+            num_src=node_counts[s_type],
+            num_dst=node_counts[d_type],
+            val=val,
+            pad_multiple=pad_multiple,
+        )
+        if enabled_bidirectional.get(et, True):
+            rev = reverse_edge_type(et)
+            edges[rev] = pad_edge_set(
+                dst,
+                src,
+                num_src=node_counts[d_type],
+                num_dst=node_counts[s_type],
+                val=None,
+                pad_multiple=pad_multiple,
+            )
+
+    degree = compute_patient_lab_degree(edges[PATIENT_LAB], node_counts[PATIENT])
+    return HeteroGraph(
+        edges=edges,
+        patient_lab_degree=degree,
+        node_counts=tuple(sorted(node_counts.items())),
+    )
+
+
+def build_graph_from_preprocessed(
+    interim_dir: str | Path, config: Config, output_path: Optional[str | Path] = None
+) -> GraphBundle:
+    """Load the preprocess stage's parquet tables and build + save the graph
+    (reference: src/graph_build.py:727-776)."""
+    from multi_modal_gnn_tpu.utils.io import load_dataframe
+
+    interim = Path(interim_dir)
+    labs = load_dataframe(interim / "labs_normalized.parquet")
+    cohort = load_dataframe(interim / "cohort.parquet")
+
+    def _optional(name: str, columns) -> pd.DataFrame:
+        path = interim / name
+        if path.exists():
+            return load_dataframe(path)
+        return pd.DataFrame(columns=columns)
+
+    diagnoses = _optional("diagnoses.parquet", ["SUBJECT_ID", "ICD3_CODE"])
+    medications = _optional("medications.parquet", ["SUBJECT_ID", "DRUG"])
+    labitems_path = interim / "labitems.parquet"
+    labitems = load_dataframe(labitems_path) if labitems_path.exists() else None
+
+    bundle = build_heterogeneous_graph(labs, diagnoses, medications, cohort, labitems, config)
+
+    from multi_modal_gnn_tpu.graph.stats import compute_graph_statistics, validate_graph
+
+    validate_graph(bundle.graph)
+    stats = compute_graph_statistics(bundle.graph)
+    logger.info("Graph statistics: %s", stats)
+
+    if output_path is not None:
+        from multi_modal_gnn_tpu.graph.serialize import save_graph
+
+        save_graph(bundle, output_path)
+    return bundle

@@ -1,0 +1,174 @@
+"""Fixed-shape heterogeneous graph pytrees.
+
+This replaces the reference's pickled PyG ``HeteroData`` object
+(src/graph_build.py:104-261) with a TPU-native representation:
+
+  * every relation is an :class:`EdgeSet` of **padded** int32 COO arrays with
+    a validity mask, so shapes are static under ``jit`` and padding buckets
+    bound recompilation;
+  * edges are **sorted by destination**, and CSR row pointers plus per-node
+    in-degree counts are precomputed at build time — segment reductions then
+    run with ``indices_are_sorted=True`` (XLA) or tile cleanly over CSR rows
+    (Pallas), and the mean-aggregation denominator is a free lookup;
+  * padded entries point at a dummy destination segment (index ``num_dst``)
+    so reductions need no masking multiplies: ``segment_sum`` over
+    ``num_dst + 1`` segments and dropping the last row is exact.
+
+Node "features" are just static counts — all representations are learned
+ID-embeddings, as in the reference (src/graph_build.py:184-202).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey, PATIENT_LAB
+
+
+def _round_up(n: int, multiple: int) -> int:
+    if multiple <= 0:
+        return n
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+class EdgeSet(struct.PyTreeNode):
+    """One relation's edges as padded, destination-sorted COO + CSR arrays.
+
+    Attributes:
+        src: int32[E_pad] source node indices (0 for padding).
+        dst: int32[E_pad] destination node indices, ascending over valid
+            entries; padding entries hold ``num_dst`` (the dummy segment).
+        mask: float32[E_pad] 1.0 for valid edges, 0.0 for padding.
+        val: optional float32[E_pad] edge attribute (normalized lab value on
+            patient->lab edges; reference src/graph_build.py:216-224).
+        dst_count: float32[num_dst] valid in-degree per destination node —
+            the denominator for mean aggregation.
+        row_ptr: int32[num_dst + 1] CSR offsets into the sorted edge arrays.
+    """
+
+    src: jax.Array
+    dst: jax.Array
+    mask: jax.Array
+    val: Optional[jax.Array]
+    dst_count: jax.Array
+    row_ptr: jax.Array
+    num_valid: int = struct.field(pytree_node=False, default=0)
+    num_src: int = struct.field(pytree_node=False, default=0)
+    num_dst: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_padded(self) -> int:
+        return int(self.src.shape[0])
+
+
+def pad_edge_set(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_src: int,
+    num_dst: int,
+    val: Optional[np.ndarray] = None,
+    pad_multiple: int = 1024,
+    sort_by_dst: bool = True,
+) -> EdgeSet:
+    """Build an :class:`EdgeSet` from host COO arrays (vectorized, no loops)."""
+    src = np.asarray(src, dtype=np.int32).ravel()
+    dst = np.asarray(dst, dtype=np.int32).ravel()
+    if src.shape != dst.shape:
+        raise ValueError(f"src/dst shape mismatch: {src.shape} vs {dst.shape}")
+    if val is not None:
+        val = np.asarray(val, dtype=np.float32).ravel()
+        if val.shape != src.shape:
+            raise ValueError(f"val shape mismatch: {val.shape} vs {src.shape}")
+    e = int(src.shape[0])
+    if e and (src.min() < 0 or src.max() >= num_src):
+        raise ValueError(f"src indices out of range [0, {num_src})")
+    if e and (dst.min() < 0 or dst.max() >= num_dst):
+        raise ValueError(f"dst indices out of range [0, {num_dst})")
+
+    if sort_by_dst and e:
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        if val is not None:
+            val = val[order]
+
+    counts_int = (
+        np.bincount(dst, minlength=num_dst) if e else np.zeros(num_dst, dtype=np.int64)
+    )
+    counts = counts_int.astype(np.float32)
+    row_ptr = np.zeros(num_dst + 1, dtype=np.int32)
+    row_ptr[1:] = np.cumsum(counts_int).astype(np.int32)
+
+    e_pad = _round_up(e, pad_multiple) if pad_multiple else max(e, 1)
+    pad = e_pad - e
+    src_p = np.concatenate([src, np.zeros(pad, dtype=np.int32)])
+    dst_p = np.concatenate([dst, np.full(pad, num_dst, dtype=np.int32)])
+    mask_p = np.concatenate([np.ones(e, np.float32), np.zeros(pad, np.float32)])
+    val_p = (
+        np.concatenate([val, np.zeros(pad, dtype=np.float32)]) if val is not None else None
+    )
+
+    return EdgeSet(
+        src=jnp.asarray(src_p),
+        dst=jnp.asarray(dst_p),
+        mask=jnp.asarray(mask_p),
+        val=jnp.asarray(val_p) if val_p is not None else None,
+        dst_count=jnp.asarray(counts),
+        row_ptr=jnp.asarray(row_ptr),
+        num_valid=e,
+        num_src=int(num_src),
+        num_dst=int(num_dst),
+    )
+
+
+class HeteroGraph(struct.PyTreeNode):
+    """The whole heterogeneous graph as one frozen pytree.
+
+    ``node_counts`` and the edge-type keys are static (part of the jit cache
+    key); edge arrays are traced leaves.  ``patient_lab_degree`` is the
+    per-patient count of lab edges, precomputed once at build time — the
+    reference recomputes it with ``torch.bincount`` on every forward
+    (src/model.py:297-298).
+    """
+
+    edges: Dict[EdgeTypeKey, EdgeSet]
+    patient_lab_degree: jax.Array  # int32[num_patients]
+    node_counts: Tuple[Tuple[str, int], ...] = struct.field(
+        pytree_node=False, default=()
+    )
+
+    @property
+    def node_count_map(self) -> Dict[str, int]:
+        return dict(self.node_counts)
+
+    def num_nodes(self, node_type: str) -> int:
+        return self.node_count_map[node_type]
+
+    @property
+    def node_types(self) -> Tuple[str, ...]:
+        return tuple(name for name, _ in self.node_counts)
+
+    @property
+    def edge_types(self) -> Tuple[EdgeTypeKey, ...]:
+        return tuple(self.edges.keys())
+
+    @property
+    def metadata(self) -> Tuple[Tuple[str, ...], Tuple[EdgeTypeKey, ...]]:
+        """(node_types, edge_types) — the reference's HeteroData.metadata()."""
+        return (self.node_types, self.edge_types)
+
+    @property
+    def patient_lab(self) -> EdgeSet:
+        return self.edges[PATIENT_LAB]
+
+
+def compute_patient_lab_degree(edge_set: EdgeSet, num_patients: int) -> jax.Array:
+    """Lab-degree per patient from the valid forward patient->lab edges."""
+    src = np.asarray(edge_set.src)
+    mask = np.asarray(edge_set.mask) > 0
+    deg = np.bincount(src[mask], minlength=num_patients).astype(np.int32)
+    return jnp.asarray(deg)

@@ -1,0 +1,104 @@
+"""Entity-ID <-> contiguous node index mapping.
+
+Capability-parity with the reference ``NodeIndexer`` (src/graph_build.py:34-97)
+including ID canonicalization (so ``1``, ``1.0`` and ``"1"`` map to the same
+node), plus a vectorized bulk path built on pandas factorization instead of
+per-row dictionary inserts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, Iterable, List, Optional
+
+import numpy as np
+import pandas as pd
+
+
+def canonical_id(entity_id) -> Hashable:
+    """Normalize an entity identifier: float-integers -> int, strip strings."""
+    if isinstance(entity_id, (np.integer, int)):
+        return int(entity_id)
+    if isinstance(entity_id, (np.floating, float)):
+        f = float(entity_id)
+        return int(f) if f.is_integer() else f
+    if isinstance(entity_id, str):
+        s = entity_id.strip()
+        # "123" and "123.0" style numeric strings normalize to ints
+        try:
+            f = float(s)
+            return int(f) if f.is_integer() else f
+        except ValueError:
+            return s
+    return entity_id
+
+
+class NodeIndexer:
+    """Bidirectional entity-ID <-> dense-index map for one node type."""
+
+    def __init__(self, node_type: str = "node"):
+        self.node_type = node_type
+        self.id_to_index: Dict[Hashable, int] = {}
+        self.index_to_id: List[Hashable] = []
+
+    def __len__(self) -> int:
+        return len(self.index_to_id)
+
+    def __contains__(self, entity_id) -> bool:
+        return canonical_id(entity_id) in self.id_to_index
+
+    def add(self, entity_id) -> int:
+        """Add one entity (idempotent); returns its dense index."""
+        cid = canonical_id(entity_id)
+        idx = self.id_to_index.get(cid)
+        if idx is None:
+            idx = len(self.index_to_id)
+            self.id_to_index[cid] = idx
+            self.index_to_id.append(cid)
+        return idx
+
+    def add_many(self, entity_ids: Iterable) -> np.ndarray:
+        """Vectorized bulk add preserving first-seen order; returns indices."""
+        canon = [canonical_id(e) for e in entity_ids]
+        codes, uniques = pd.factorize(pd.Series(canon), sort=False)
+        base = len(self.index_to_id)
+        remap = np.empty(len(uniques), dtype=np.int64)
+        for u_pos, uid in enumerate(uniques):
+            existing = self.id_to_index.get(uid)
+            if existing is None:
+                existing = len(self.index_to_id)
+                self.id_to_index[uid] = existing
+                self.index_to_id.append(uid)
+            remap[u_pos] = existing
+        del base
+        return remap[codes].astype(np.int32)
+
+    def index_of(self, entity_id) -> int:
+        return self.id_to_index[canonical_id(entity_id)]
+
+    def get(self, entity_id, default: Optional[int] = None) -> Optional[int]:
+        return self.id_to_index.get(canonical_id(entity_id), default)
+
+    def lookup_many(self, entity_ids: Iterable) -> np.ndarray:
+        """Vectorized lookup; unknown IDs map to -1."""
+        return np.asarray(
+            [self.id_to_index.get(canonical_id(e), -1) for e in entity_ids],
+            dtype=np.int32,
+        )
+
+    def id_of(self, index: int):
+        return self.index_to_id[index]
+
+    # -- (de)serialization -------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return {
+            "node_type": self.node_type,
+            "ids": [str(i) if not isinstance(i, (int, float)) else i for i in self.index_to_id],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "NodeIndexer":
+        idx = cls(node_type=d.get("node_type", "node"))
+        for entity_id in d["ids"]:
+            idx.add(entity_id)
+        return idx

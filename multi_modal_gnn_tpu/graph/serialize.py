@@ -1,0 +1,99 @@
+"""Graph artifact (de)serialization: .npz arrays + .json metadata sidecar.
+
+Replaces the reference's pickled ``graph.pt`` (src/graph_build.py:769) with a
+transparent, torch-free format: one compressed npz holding every relation's
+padded arrays and one JSON file holding indexers/lab names/config.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_gnn_tpu.graph.build import GraphBundle, GraphMeta
+from multi_modal_gnn_tpu.graph.hetero import EdgeSet, HeteroGraph
+from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey
+from multi_modal_gnn_tpu.utils.io import load_json, save_json
+
+logger = logging.getLogger(__name__)
+
+_SEP = "||"
+
+
+def save_graph(bundle: GraphBundle, path: str | Path) -> Path:
+    """Save a GraphBundle as ``<path>.npz`` + ``<path>.meta.json``."""
+    path = Path(path)
+    if path.suffix == ".npz":
+        path = path.with_suffix("")
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    arrays: Dict[str, np.ndarray] = {}
+    graph = bundle.graph
+    edge_index = []
+    for et, es in graph.edges.items():
+        key = _SEP.join(et)
+        edge_index.append(
+            {
+                "edge_type": list(et),
+                "num_valid": es.num_valid,
+                "num_src": es.num_src,
+                "num_dst": es.num_dst,
+                "has_val": es.val is not None,
+            }
+        )
+        arrays[f"{key}{_SEP}src"] = np.asarray(es.src)
+        arrays[f"{key}{_SEP}dst"] = np.asarray(es.dst)
+        arrays[f"{key}{_SEP}mask"] = np.asarray(es.mask)
+        arrays[f"{key}{_SEP}dst_count"] = np.asarray(es.dst_count)
+        arrays[f"{key}{_SEP}row_ptr"] = np.asarray(es.row_ptr)
+        if es.val is not None:
+            arrays[f"{key}{_SEP}val"] = np.asarray(es.val)
+    arrays["patient_lab_degree"] = np.asarray(graph.patient_lab_degree)
+
+    np.savez_compressed(path.with_suffix(".npz"), **arrays)
+    sidecar = {
+        "format_version": 1,
+        "node_counts": {k: v for k, v in graph.node_counts},
+        "edges": edge_index,
+        "meta": bundle.meta.to_dict(),
+    }
+    save_json(sidecar, path.with_suffix(".meta.json"))
+    logger.info("Saved graph to %s(.npz/.meta.json)", path)
+    return path.with_suffix(".npz")
+
+
+def load_graph(path: str | Path) -> GraphBundle:
+    path = Path(path)
+    if path.suffix == ".npz":
+        path = path.with_suffix("")
+    sidecar = load_json(path.with_suffix(".meta.json"))
+    with np.load(path.with_suffix(".npz")) as data:
+        edges: Dict[EdgeTypeKey, EdgeSet] = {}
+        for entry in sidecar["edges"]:
+            et = tuple(entry["edge_type"])
+            key = _SEP.join(et)
+            edges[et] = EdgeSet(
+                src=jnp.asarray(data[f"{key}{_SEP}src"]),
+                dst=jnp.asarray(data[f"{key}{_SEP}dst"]),
+                mask=jnp.asarray(data[f"{key}{_SEP}mask"]),
+                val=jnp.asarray(data[f"{key}{_SEP}val"]) if entry["has_val"] else None,
+                dst_count=jnp.asarray(data[f"{key}{_SEP}dst_count"]),
+                row_ptr=jnp.asarray(data[f"{key}{_SEP}row_ptr"]),
+                num_valid=int(entry["num_valid"]),
+                num_src=int(entry["num_src"]),
+                num_dst=int(entry["num_dst"]),
+            )
+        degree = jnp.asarray(data["patient_lab_degree"])
+
+    graph = HeteroGraph(
+        edges=edges,
+        patient_lab_degree=degree,
+        node_counts=tuple(sorted(sidecar["node_counts"].items())),
+    )
+    meta = GraphMeta.from_dict(sidecar.get("meta", {}))
+    logger.info("Loaded graph from %s", path)
+    return GraphBundle(graph=graph, meta=meta)

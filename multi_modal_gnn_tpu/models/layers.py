@@ -1,0 +1,101 @@
+"""Shared building blocks: initializers, MLP head, activations."""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — the torch.nn.Linear default, used
+    so training dynamics track the reference closely."""
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, dtype=jnp.float32))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_linear_bias_init(fan_in: int) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, dtype=jnp.float32))
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def make_dense(features: int, in_features: int, use_bias: bool = True, dtype=None, name=None):
+    return nn.Dense(
+        features=features,
+        use_bias=use_bias,
+        kernel_init=torch_linear_kernel_init,
+        bias_init=torch_linear_bias_init(in_features),
+        dtype=dtype,
+        name=name,
+    )
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": nn.relu,
+    "elu": nn.elu,
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+}
+
+
+def get_activation(name: str) -> Callable:
+    try:
+        return ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(f"Unknown activation: {name}") from None
+
+
+class EdgeRegressionHead(nn.Module):
+    """MLP mapping concatenated [h_patient; h_lab] to a scalar lab value.
+
+    Mirrors the reference head (src/model.py:342-396): per hidden layer
+    Linear -> ReLU -> Dropout, then a final Linear to ``output_dim``.
+    """
+
+    input_dim: int
+    hidden_dims: Sequence[int] = (64, 32)
+    output_dim: int = 1
+    dropout: float = 0.2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        prev = self.input_dim
+        for i, h in enumerate(self.hidden_dims):
+            x = make_dense(h, prev, dtype=self.dtype, name=f"dense_{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+            prev = h
+        return make_dense(self.output_dim, prev, dtype=self.dtype, name="dense_out")(x)
+
+
+class PatientEncoder(nn.Module):
+    """3-layer MLP over patient ID-embeddings followed by L2 normalization
+    (reference: src/model.py:93-105, 229-232)."""
+
+    hidden_dim: int = 128
+    dropout: float = 0.2
+    use_batch_norm: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(2):
+            x = make_dense(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name=f"dense_{i}")(x)
+            if self.use_batch_norm:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"bn_{i}",
+                )(x)
+            x = nn.relu(x)
+            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        x = make_dense(self.hidden_dim, self.hidden_dim, dtype=self.dtype, name="dense_out")(x)
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x / jnp.maximum(norm, 1e-12)

@@ -1,0 +1,6 @@
+"""Training: edge splits/masking, jitted train loop, schedulers, checkpoints."""
+
+from multi_modal_gnn_tpu.training.masker import EdgeMasker, SplitBatch  # noqa: F401
+from multi_modal_gnn_tpu.training.schedulers import ReduceLROnPlateau, StepLR  # noqa: F401
+from multi_modal_gnn_tpu.training.trainer import Trainer, TrainState, train_pipeline  # noqa: F401
+from multi_modal_gnn_tpu.training.checkpoint import save_checkpoint, load_checkpoint  # noqa: F401

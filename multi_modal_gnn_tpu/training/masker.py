@@ -1,0 +1,130 @@
+"""Edge-level train/val/test splits and mask-and-recover supervision.
+
+Reproduces the reference ``EdgeMasker`` semantics (src/train.py:37-177):
+
+  * the patient->lab edge list is permuted once with a seeded RNG and cut
+    into train/val/test by fraction (70/15/15);
+  * message passing always sees the *full* graph — the split only selects
+    which edges receive supervision/evaluation (src/train.py:131-176: the
+    model's forward uses ``data.edge_index_dict`` unchanged);
+  * each training epoch supervises a fresh Bernoulli(mask_fraction) subset
+    of the train edges.
+
+Differences (deliberate, TPU-first):
+  * the per-epoch supervision mask is keyed by (seed, epoch) through
+    ``jax.random`` instead of the reference's wall-clock ``time.time()``
+    re-seed (src/train.py:156), making training bit-reproducible;
+  * split batches are padded to a static shape with a validity mask so the
+    jitted train step never recompiles;
+  * the reference's torch RNG permutation cannot be replayed bit-exactly in
+    JAX — split membership differs by RNG, statistical parity is the target
+    (SURVEY.md section 7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
+
+
+class SplitBatch(struct.PyTreeNode):
+    """A padded, static-shape batch of supervised patient-lab edges."""
+
+    patient_idx: jax.Array  # int32 [B_pad]
+    lab_idx: jax.Array  # int32 [B_pad]
+    values: jax.Array  # float32 [B_pad] normalized lab values (targets)
+    valid: jax.Array  # float32 [B_pad] 1.0 = real edge, 0.0 = padding
+    num_valid: int = struct.field(pytree_node=False, default=0)
+
+
+def _pad_batch(
+    p: np.ndarray, l: np.ndarray, v: np.ndarray, pad_multiple: int
+) -> SplitBatch:
+    n = len(p)
+    n_pad = max(pad_multiple, ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
+    pad = n_pad - n
+    return SplitBatch(
+        patient_idx=jnp.asarray(np.concatenate([p, np.zeros(pad, np.int32)])),
+        lab_idx=jnp.asarray(np.concatenate([l, np.zeros(pad, np.int32)])),
+        values=jnp.asarray(np.concatenate([v, np.zeros(pad, np.float32)])),
+        valid=jnp.asarray(np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])),
+        num_valid=n,
+    )
+
+
+class EdgeMasker:
+    """Seeded edge-level splits over the patient->lab relation."""
+
+    def __init__(
+        self,
+        graph: HeteroGraph,
+        train_split: float = 0.7,
+        val_split: float = 0.15,
+        test_split: float = 0.15,
+        mask_fraction: float = 0.2,
+        seed: int = 42,
+        pad_multiple: int = 256,
+    ):
+        total = train_split + val_split + test_split
+        if abs(total - 1.0) > 1e-6:
+            raise ValueError(f"Splits must sum to 1.0, got {total}")
+        self.mask_fraction = float(mask_fraction)
+        self.seed = int(seed)
+        self.pad_multiple = int(pad_multiple)
+
+        es = graph.patient_lab
+        if es.val is None:
+            raise ValueError("patient->lab edges carry no values to supervise")
+        mask = np.asarray(es.mask) > 0
+        self._p = np.asarray(es.src)[mask].astype(np.int32)
+        self._l = np.asarray(es.dst)[mask].astype(np.int32)
+        self._v = np.asarray(es.val)[mask].astype(np.float32)
+        self.num_edges = int(mask.sum())
+
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(self.num_edges)
+        n_train = int(train_split * self.num_edges)
+        n_val = int(val_split * self.num_edges)
+        self._split_indices: Dict[str, np.ndarray] = {
+            "train": np.sort(perm[:n_train]),
+            "val": np.sort(perm[n_train : n_train + n_val]),
+            "test": np.sort(perm[n_train + n_val :]),
+        }
+        self._batches: Dict[str, SplitBatch] = {}
+
+    def split_sizes(self) -> Dict[str, int]:
+        return {k: len(v) for k, v in self._split_indices.items()}
+
+    def split_indices(self, split: str) -> np.ndarray:
+        """Positions (into the valid patient-lab edge list) of this split."""
+        return self._split_indices[split]
+
+    def get_split(self, split: str) -> SplitBatch:
+        """Padded device batch for a split (cached)."""
+        if split not in self._batches:
+            idx = self._split_indices[split]
+            self._batches[split] = _pad_batch(
+                self._p[idx], self._l[idx], self._v[idx], self.pad_multiple
+            )
+        return self._batches[split]
+
+    def split_arrays(self, split: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host (patient_idx, lab_idx, values) without padding — for metrics."""
+        idx = self._split_indices[split]
+        return self._p[idx], self._l[idx], self._v[idx]
+
+    def supervision_mask(self, key: jax.Array, batch: Optional[SplitBatch] = None) -> jax.Array:
+        """Per-epoch Bernoulli supervision mask over the train batch (float)."""
+        batch = batch if batch is not None else self.get_split("train")
+        if self.mask_fraction <= 0:
+            return batch.valid
+        draw = jax.random.bernoulli(
+            key, p=self.mask_fraction, shape=batch.valid.shape
+        ).astype(jnp.float32)
+        return draw * batch.valid

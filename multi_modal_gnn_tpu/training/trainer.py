@@ -1,0 +1,390 @@
+"""Jitted full-batch training loop with early stopping and plateau LR.
+
+The reference's per-epoch work (src/train.py:332-431) — supervision-mask
+draw, full-graph forward (twice: initial + propagated embeddings), dual-head
+prediction, lab-weighted masked MAE, backward, Adam step — compiles here into
+ONE donated XLA computation per epoch (`Trainer._train_step`).  Validation is
+a second jitted computation.  Host Python only draws keys, applies scheduler/
+early-stopping logic, and logs — nothing data-dependent crosses back except
+the scalar losses.
+
+Optimizer: optax chain (add_decayed_weights -> adam/sgd) matching torch's
+coupled L2 weight-decay Adam (reference src/train.py:251-269), with the
+learning rate injected as a runtime scalar (optax.inject_hyperparams) so the
+host-side ReduceLROnPlateau never triggers a recompile.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.graph.build import GraphBundle
+from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
+from multi_modal_gnn_tpu.graph.schema import LAB
+from multi_modal_gnn_tpu.models.factory import build_model, count_parameters, init_model_variables
+from multi_modal_gnn_tpu.models.losses import (
+    compute_lab_weights,
+    masked_mean_loss,
+    weighted_regression_loss,
+)
+from multi_modal_gnn_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+from multi_modal_gnn_tpu.training.masker import EdgeMasker, SplitBatch
+from multi_modal_gnn_tpu.training.schedulers import build_scheduler
+from multi_modal_gnn_tpu.utils.io import save_json
+from multi_modal_gnn_tpu.utils.rng import RngSequence
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def build_optimizer(train_config) -> optax.GradientTransformation:
+    oc = train_config.optimizer
+
+    def make(learning_rate):
+        if oc.type.lower() == "adam":
+            return optax.chain(
+                optax.add_decayed_weights(oc.weight_decay),
+                optax.adam(learning_rate),
+            )
+        if oc.type.lower() == "sgd":
+            return optax.chain(
+                optax.add_decayed_weights(oc.weight_decay),
+                optax.sgd(learning_rate, momentum=oc.momentum),
+            )
+        raise ValueError(f"Unknown optimizer: {oc.type}")
+
+    return optax.inject_hyperparams(make)(learning_rate=oc.lr)
+
+
+class Trainer:
+    """Drives the jitted train/eval steps over a static graph."""
+
+    def __init__(
+        self,
+        model,
+        graph: HeteroGraph,
+        masker: EdgeMasker,
+        config: Config,
+        variables: Optional[dict] = None,
+        rngs: Optional[RngSequence] = None,
+    ):
+        self.model = model
+        self.graph = graph
+        self.masker = masker
+        self.config = config
+        self.rngs = rngs or RngSequence(config.train.seed)
+        tc = config.train
+
+        if variables is None:
+            variables = init_model_variables(model, graph, self.rngs.next("init"))
+        self.tx = build_optimizer(tc)
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        logger.info("Model parameters: %s", f"{count_parameters(self.state.params):,}")
+
+        # lab-wise inverse-variance loss weights from the train split
+        # (reference src/train.py:295-330)
+        _, train_lab_idx, train_values = masker.split_arrays("train")
+        self.lab_weights = jnp.asarray(
+            compute_lab_weights(train_values, train_lab_idx, graph.num_nodes(LAB))
+        )
+
+        self._loss_type = tc.loss
+        self._mask_fraction = tc.mask_fraction
+        donate = (0,) if tc.donate_state else ()
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+        # host-side loop state (captured in checkpoints for true resume)
+        self.scheduler = build_scheduler(tc)
+        self._lr = float(tc.optimizer.lr)
+        self.best_val_loss = float("inf")
+        self.patience_counter = 0
+        self.epoch = 0
+        self.history: Dict[str, list] = {"train_loss": [], "val_loss": [], "learning_rates": []}
+        self.best_state: Optional[TrainState] = None
+
+    # -- jitted computations ------------------------------------------------
+
+    def _apply_train(self, params, batch_stats, graph, batch: SplitBatch, dropout_key):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = self.model.apply(
+            variables,
+            graph,
+            batch.patient_idx,
+            batch.lab_idx,
+            train=True,
+            method=self.model.predict_lab_values,
+            rngs={"dropout": dropout_key},
+            mutable=mutable,
+        )
+        if mutable:
+            preds, new_vars = out
+            return preds, new_vars["batch_stats"]
+        return out, batch_stats
+
+    def _train_step_impl(
+        self,
+        state: TrainState,
+        graph: HeteroGraph,
+        batch: SplitBatch,
+        lab_weights: jax.Array,
+        sup_key: jax.Array,
+        dropout_key: jax.Array,
+    ) -> Tuple[TrainState, jax.Array]:
+        sup_draw = (
+            jax.random.bernoulli(sup_key, p=self._mask_fraction, shape=batch.valid.shape)
+            .astype(jnp.float32)
+            if self._mask_fraction > 0
+            else jnp.ones_like(batch.valid)
+        )
+        sup_mask = sup_draw * batch.valid
+
+        def loss_fn(params):
+            preds, new_bs = self._apply_train(params, state.batch_stats, graph, batch, dropout_key)
+            w = lab_weights[batch.lab_idx]
+            loss = weighted_regression_loss(
+                preds, batch.values, w, sup_mask, loss_type=self._loss_type
+            )
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss
+
+    def _eval_step_impl(
+        self, state: TrainState, graph: HeteroGraph, batch: SplitBatch
+    ) -> Tuple[jax.Array, jax.Array]:
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        preds = self.model.apply(
+            variables,
+            graph,
+            batch.patient_idx,
+            batch.lab_idx,
+            train=False,
+            method=self.model.predict_lab_values,
+        )
+        loss = masked_mean_loss(preds, batch.values, batch.valid, loss_type=self._loss_type)
+        return loss, preds
+
+    # -- public API ---------------------------------------------------------
+
+    def train_epoch(self) -> float:
+        batch = self.masker.get_split("train")
+        sup_key = self.rngs.key_for("supervision", self.epoch)
+        dropout_key = self.rngs.key_for("dropout", self.epoch)
+        self.state, loss = self._train_step(
+            self.state, self.graph, batch, self.lab_weights, sup_key, dropout_key
+        )
+        return float(loss)
+
+    def validate(self, split: str = "val", state: Optional[TrainState] = None) -> float:
+        loss, _ = self._eval_step(state or self.state, self.graph, self.masker.get_split(split))
+        return float(loss)
+
+    def predict(self, split: str, state: Optional[TrainState] = None) -> np.ndarray:
+        """Unpadded predictions for a split (best for metrics)."""
+        batch = self.masker.get_split(split)
+        _, preds = self._eval_step(state or self.state, self.graph, batch)
+        return np.asarray(preds)[: batch.num_valid]
+
+    def _set_lr(self, lr: float) -> None:
+        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    def current_lr(self) -> float:
+        return float(self.state.opt_state.hyperparams["learning_rate"])
+
+    def fit(
+        self,
+        output_dir: Optional[str | Path] = None,
+        resume_from: Optional[str | Path] = None,
+    ) -> Dict:
+        """Full training loop with early stopping (reference src/train.py:433-543)."""
+        tc = self.config.train
+        lc = self.config.logging
+        output_dir = Path(output_dir) if output_dir is not None else None
+        if output_dir is not None:
+            output_dir.mkdir(parents=True, exist_ok=True)
+
+        if resume_from is not None:
+            self.restore(resume_from)
+
+        logger.info("Starting training: %d epochs (from epoch %d)", tc.epochs, self.epoch)
+        t_start = time.perf_counter()
+        epoch_times = []
+
+        while self.epoch < tc.epochs:
+            t0 = time.perf_counter()
+            train_loss = self.train_epoch()
+            val_loss = self.validate("val")
+            epoch_times.append(time.perf_counter() - t0)
+            self.epoch += 1
+
+            new_lr = self.scheduler.step(val_loss)
+            if abs(new_lr - self._lr) > 1e-12:
+                logger.info("Epoch %d: reducing lr to %.2e", self.epoch, new_lr)
+                self._set_lr(new_lr)
+                self._lr = new_lr
+
+            self.history["train_loss"].append(train_loss)
+            self.history["val_loss"].append(val_loss)
+            self.history["learning_rates"].append(new_lr)
+
+            if self.epoch % max(lc.log_interval, 1) == 0:
+                logger.info(
+                    "Epoch %3d | train %.4f | val %.4f | lr %.2e | %.3fs",
+                    self.epoch, train_loss, val_loss, new_lr, epoch_times[-1],
+                )
+
+            if val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                self.patience_counter = 0
+                # deep copy: train-step donation would otherwise invalidate
+                # the retained best-state buffers on the next epoch
+                self.best_state = jax.tree_util.tree_map(lambda x: x.copy(), self.state)
+                if output_dir is not None:
+                    self._save(output_dir / "best_model.ckpt")
+            else:
+                self.patience_counter += 1
+                if self.patience_counter >= tc.early_stopping_patience:
+                    logger.info("Early stopping at epoch %d", self.epoch)
+                    break
+
+            if (
+                output_dir is not None
+                and lc.save_checkpoints
+                and self.epoch % max(lc.checkpoint_interval, 1) == 0
+            ):
+                self._save(output_dir / f"checkpoint_epoch_{self.epoch}.ckpt")
+
+        total_time = time.perf_counter() - t_start
+        n_train = self.masker.split_sizes()["train"]
+        self.history["total_time_s"] = total_time
+        self.history["mean_epoch_time_s"] = float(np.mean(epoch_times)) if epoch_times else 0.0
+        self.history["train_edges_per_sec"] = (
+            n_train * len(epoch_times) / total_time if total_time > 0 else 0.0
+        )
+        logger.info(
+            "Training done: %d epochs in %.1fs (%.0f train-edges/s)",
+            len(self.history["train_loss"]), total_time, self.history["train_edges_per_sec"],
+        )
+
+        if output_dir is not None:
+            save_json(
+                {k: self.history[k] for k in ("train_loss", "val_loss", "learning_rates")},
+                output_dir / "training_history.json",
+            )
+        return self.history
+
+    # -- checkpoint / resume -------------------------------------------------
+
+    def _checkpoint_payload(self) -> dict:
+        return {
+            "state": self.state,
+            "best_state": self.best_state if self.best_state is not None else self.state,
+        }
+
+    def _host_metadata(self) -> dict:
+        return {
+            "epoch": self.epoch,
+            "best_val_loss": self.best_val_loss,
+            "patience_counter": self.patience_counter,
+            "scheduler": dict(self.scheduler.__dict__),
+            "history": {k: v for k, v in self.history.items() if isinstance(v, list)},
+            "config_hash": self.config.content_hash(),
+            "config": self.config.to_dict(),
+        }
+
+    def _save(self, path: Path) -> None:
+        save_checkpoint(path, self._checkpoint_payload(), self._host_metadata())
+
+    def restore(self, path: str | Path) -> None:
+        """True mid-training resume (state + scheduler + counters)."""
+        restored, meta = load_checkpoint(path, self._checkpoint_payload())
+        self.state = restored["state"]
+        self.best_state = restored["best_state"]
+        self.epoch = int(meta.get("epoch", 0))
+        self.best_val_loss = float(meta.get("best_val_loss", float("inf")))
+        self.patience_counter = int(meta.get("patience_counter", 0))
+        for k, v in (meta.get("scheduler") or {}).items():
+            if hasattr(self.scheduler, k):
+                setattr(self.scheduler, k, v)
+        if hasattr(self.scheduler, "lr"):
+            self._lr = float(self.scheduler.lr)
+            self._set_lr(self._lr)
+        for k, v in (meta.get("history") or {}).items():
+            self.history[k] = list(v)
+        logger.info("Resumed training at epoch %d (best val %.4f)", self.epoch, self.best_val_loss)
+
+
+def train_pipeline(
+    config: Config,
+    bundle: GraphBundle,
+    output_dir: str | Path,
+    resume_from: Optional[str | Path] = None,
+) -> Tuple[Trainer, Dict]:
+    """End-to-end training stage (reference src/train.py:568-644): build the
+    model, train with early stopping, evaluate the best state on the test
+    split, and write training_history.json / test_results.json."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    graph = bundle.graph
+    tc = config.train
+
+    masker = EdgeMasker(
+        graph,
+        train_split=tc.train_split,
+        val_split=tc.val_split,
+        test_split=tc.test_split,
+        mask_fraction=tc.mask_fraction,
+        seed=tc.seed,
+    )
+    logger.info("Edge splits: %s", masker.split_sizes())
+
+    model = build_model(config, graph)
+    trainer = Trainer(model, graph, masker, config)
+    trainer.fit(output_dir=output_dir, resume_from=resume_from)
+
+    best = trainer.best_state if trainer.best_state is not None else trainer.state
+    test_loss = trainer.validate("test", state=best)
+    results = {
+        "test_loss": test_loss,
+        "best_val_loss": trainer.best_val_loss,
+        "num_epochs": len(trainer.history["train_loss"]),
+    }
+    save_json(results, output_dir / "test_results.json")
+    logger.info("Test loss (%s): %.4f", tc.loss, test_loss)
+    return trainer, results

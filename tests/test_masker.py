@@ -1,0 +1,60 @@
+"""EdgeMasker: split proportions, disjointness, determinism, supervision."""
+
+import jax
+import numpy as np
+import pytest
+
+from multi_modal_gnn_tpu.training.masker import EdgeMasker
+
+
+@pytest.fixture(scope="module")
+def masker(tiny_graph):
+    return EdgeMasker(tiny_graph, seed=42)
+
+
+def test_split_sizes(masker, tiny_graph):
+    sizes = masker.split_sizes()
+    n = tiny_graph.patient_lab.num_valid
+    assert sizes["train"] == int(0.7 * n)
+    assert sizes["val"] == int(0.15 * n)
+    assert sizes["train"] + sizes["val"] + sizes["test"] == n
+
+
+def test_splits_disjoint_and_exhaustive(masker, tiny_graph):
+    n = tiny_graph.patient_lab.num_valid
+    all_idx = np.concatenate([masker.split_indices(s) for s in ("train", "val", "test")])
+    assert len(all_idx) == n
+    assert len(np.unique(all_idx)) == n
+
+
+def test_deterministic_given_seed(tiny_graph):
+    a = EdgeMasker(tiny_graph, seed=42)
+    b = EdgeMasker(tiny_graph, seed=42)
+    c = EdgeMasker(tiny_graph, seed=7)
+    np.testing.assert_array_equal(a.split_indices("test"), b.split_indices("test"))
+    assert not np.array_equal(a.split_indices("test"), c.split_indices("test"))
+
+
+def test_batch_alignment(masker, tiny_graph):
+    """Padded batch must carry the same (p, l, v) triples as the host arrays."""
+    p, l, v = masker.split_arrays("val")
+    batch = masker.get_split("val")
+    k = batch.num_valid
+    assert k == len(p)
+    np.testing.assert_array_equal(np.asarray(batch.patient_idx)[:k], p)
+    np.testing.assert_array_equal(np.asarray(batch.lab_idx)[:k], l)
+    np.testing.assert_allclose(np.asarray(batch.values)[:k], v)
+    assert np.all(np.asarray(batch.valid)[k:] == 0)
+
+
+def test_supervision_mask_fraction(masker):
+    batch = masker.get_split("train")
+    key = jax.random.key(0)
+    m = np.asarray(masker.supervision_mask(key, batch))
+    frac = m.sum() / batch.num_valid
+    assert 0.1 < frac < 0.3  # ~20%
+    assert np.all(m[batch.num_valid :] == 0)  # never supervise padding
+    m2 = np.asarray(masker.supervision_mask(jax.random.key(1), batch))
+    assert not np.array_equal(m, m2)  # fresh mask per epoch
+    m3 = np.asarray(masker.supervision_mask(jax.random.key(0), batch))
+    np.testing.assert_array_equal(m, m3)  # but reproducible per key

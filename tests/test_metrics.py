@@ -1,0 +1,93 @@
+"""Evaluation metric tests vs sklearn and naive oracles."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import mean_absolute_error, mean_squared_error, r2_score
+
+from multi_modal_gnn_tpu.evaluation.baselines import (
+    GlobalMeanBaseline,
+    PerLabMeanBaseline,
+    evaluate_baselines,
+)
+from multi_modal_gnn_tpu.evaluation.metrics import (
+    compute_per_lab_metrics,
+    compute_regression_metrics,
+    stratify_by_lab_frequency,
+    stratify_by_patient_degree,
+    winsorize_residuals,
+)
+
+
+def test_metrics_match_sklearn(rng):
+    y = rng.standard_normal(500)
+    p = y + 0.3 * rng.standard_normal(500)
+    m = compute_regression_metrics(p, y)
+    assert m["mae"] == pytest.approx(mean_absolute_error(y, p), rel=1e-9)
+    assert m["rmse"] == pytest.approx(np.sqrt(mean_squared_error(y, p)), rel=1e-9)
+    assert m["r2"] == pytest.approx(r2_score(y, p), rel=1e-9)
+    nz = y != 0
+    mape = np.mean(np.abs((y[nz] - p[nz]) / y[nz])) * 100
+    assert m["mape"] == pytest.approx(mape, rel=1e-9)
+
+
+def test_winsorize_matches_naive(rng):
+    n = 300
+    labs = rng.integers(0, 5, n)
+    y = rng.standard_normal(n)
+    p = y + rng.standard_normal(n)
+    p[::37] += 25.0  # inject outliers
+    got, capped = winsorize_residuals(p, y, labs, sigma=3.0)
+    assert capped > 0
+    for lab in range(5):
+        m = labs == lab
+        r = (p - y)[m]
+        lo, hi = r.mean() - 3 * r.std(), r.mean() + 3 * r.std()
+        np.testing.assert_allclose(got[m], y[m] + np.clip(r, lo, hi), rtol=1e-9)
+    # winsorized metrics can only improve or tie MAE
+    assert compute_regression_metrics(got, y)["mae"] <= compute_regression_metrics(p, y)["mae"]
+
+
+def test_per_lab_metrics_table(rng):
+    labs = np.repeat(np.arange(4), 25)
+    y = rng.standard_normal(100)
+    p = y + 0.1
+    df = compute_per_lab_metrics(p, y, labs, lab_names={0: "glucose"}, min_samples=2)
+    assert len(df) == 4
+    assert set(df.columns) >= {"mae", "rmse", "r2", "mape", "lab_index", "lab_name", "num_samples"}
+    assert df.iloc[0]["mae"] <= df.iloc[-1]["mae"]  # sorted
+    assert "glucose" in set(df["lab_name"])
+    # single-sample lab excluded
+    df2 = compute_per_lab_metrics(
+        np.array([1.0, 1.0, 2.0]), np.array([1.0, 1.0, 2.0]), np.array([0, 0, 1])
+    )
+    assert set(df2["lab_index"]) == {0}
+
+
+def test_baselines(rng):
+    train_v = rng.standard_normal(1000) + 2.0
+    train_l = rng.integers(0, 10, 1000)
+    test_v = rng.standard_normal(200) + 2.0
+    test_l = rng.integers(0, 10, 200)
+    res = evaluate_baselines(train_v, train_l, test_v, test_l, num_labs=10)
+    assert res["global_mean"]["mae"] > 0
+    gm = GlobalMeanBaseline().fit(train_v)
+    np.testing.assert_allclose(gm.predict(3), train_v.mean())
+    plm = PerLabMeanBaseline(10).fit(train_v, train_l)
+    for lab in range(10):
+        np.testing.assert_allclose(plm.lab_means[lab], train_v[train_l == lab].mean())
+
+
+def test_stratifications(rng):
+    n = 200
+    p_idx = rng.integers(0, 50, n)
+    l_idx = rng.integers(0, 8, n)
+    deg = rng.integers(0, 30, 50)
+    lab_counts = rng.integers(1, 100, 8).astype(float)
+    y = rng.standard_normal(n)
+    pr = y + 0.2
+    by_deg = stratify_by_patient_degree(pr, y, p_idx, deg)
+    assert sum(v["num_samples"] for v in by_deg.values()) <= n
+    for v in by_deg.values():
+        assert v["mae"] == pytest.approx(0.2, abs=1e-9)
+    by_freq = stratify_by_lab_frequency(pr, y, l_idx, lab_counts)
+    assert sum(v["num_samples"] for v in by_freq.values()) == n

@@ -1,0 +1,133 @@
+"""Model tests: shapes, dual-head routing, train/eval mode behavior."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.models.factory import build_model, count_parameters, init_model_variables
+
+
+@pytest.fixture(scope="module")
+def model_and_vars(tiny_graph):
+    cfg = Config()
+    model = build_model(cfg, tiny_graph)
+    variables = init_model_variables(model, tiny_graph, jax.random.key(0))
+    return model, variables
+
+
+def test_parameter_count_structure(model_and_vars, tiny_graph):
+    model, variables = model_and_vars
+    params = variables["params"]
+    h = 128
+    counts = tiny_graph.node_count_map
+    # embedding tables exactly sized to the graph
+    for nt, n in counts.items():
+        assert params[f"embed_{nt}"]["embedding"].shape == (n, h)
+    # 6 relations x 2 layers of SAGE weights
+    for i in range(2):
+        conv = params[f"conv_{i}"]
+        neigh = [k for k in conv if k.startswith("neigh_")]
+        root = [k for k in conv if k.startswith("root_")]
+        assert len(neigh) == 6 and len(root) == 6
+        for k in neigh:
+            assert conv[k]["kernel"].shape == (h, h)
+            assert "bias" in conv[k]
+        for k in root:
+            assert "bias" not in conv[k]  # PyG SAGEConv root has no bias
+    assert count_parameters(params) > 0
+
+
+def test_eval_deterministic(model_and_vars, tiny_graph):
+    model, variables = model_and_vars
+    p = jnp.arange(16, dtype=jnp.int32) % tiny_graph.num_nodes("patient")
+    l = jnp.arange(16, dtype=jnp.int32) % tiny_graph.num_nodes("lab")
+    f = jax.jit(
+        lambda v, g, pi, li: model.apply(
+            v, g, pi, li, train=False, method=model.predict_lab_values
+        )
+    )
+    a = f(variables, tiny_graph, p, l)
+    b = f(variables, tiny_graph, p, l)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dual_head_routing(model_and_vars, tiny_graph):
+    """Pairs below the degree threshold must come from the tabular head:
+    zeroing the GNN head's output layer must NOT change their predictions,
+    and MUST change high-degree ones."""
+    model, variables = model_and_vars
+    deg = np.asarray(tiny_graph.patient_lab_degree)
+    low = np.where(deg < 6)[0]
+    high = np.where(deg >= 6)[0]
+    assert len(low) > 0 and len(high) > 0, "tiny graph should straddle the threshold"
+    p = jnp.asarray(np.concatenate([low[:4], high[:4]]).astype(np.int32))
+    l = jnp.zeros_like(p)
+
+    f = jax.jit(
+        lambda v, g, pi, li: model.apply(
+            v, g, pi, li, train=False, method=model.predict_lab_values
+        )
+    )
+    base = np.asarray(f(variables, tiny_graph, p, l))
+
+    zeroed = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+    import flax
+
+    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else dict(params)
+    params["edge_predictor"]["dense_out"]["kernel"] = jnp.zeros_like(
+        params["edge_predictor"]["dense_out"]["kernel"]
+    )
+    params["edge_predictor"]["dense_out"]["bias"] = jnp.full_like(
+        params["edge_predictor"]["dense_out"]["bias"], 123.0
+    )
+    zeroed = {**variables, "params": params}
+    mod = np.asarray(f(zeroed, tiny_graph, p, l))
+
+    n_low = len(low[:4])
+    np.testing.assert_allclose(mod[:n_low], base[:n_low], rtol=1e-6)
+    assert np.all(np.abs(mod[n_low:] - base[n_low:]) > 1.0)
+
+
+def test_dropout_active_in_train_mode(model_and_vars, tiny_graph):
+    model, variables = model_and_vars
+    p = jnp.zeros(8, jnp.int32)
+    l = jnp.zeros(8, jnp.int32)
+    f = jax.jit(
+        lambda v, g, pi, li, k: model.apply(
+            v, g, pi, li, train=True, method=model.predict_lab_values,
+            rngs={"dropout": k}, mutable=["batch_stats"],
+        )[0]
+    )
+    a = np.asarray(f(variables, tiny_graph, p, l, jax.random.key(1)))
+    b = np.asarray(f(variables, tiny_graph, p, l, jax.random.key(2)))
+    assert not np.allclose(a, b), "different dropout keys must give different outputs"
+
+
+def test_hgt_variant_runs(tiny_graph):
+    cfg = Config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, architecture="HGT"))
+    model = build_model(cfg, tiny_graph)
+    variables = init_model_variables(model, tiny_graph, jax.random.key(0))
+    p = jnp.zeros(4, jnp.int32)
+    l = jnp.zeros(4, jnp.int32)
+    out = jax.jit(
+        lambda v, g, pi, li: model.apply(
+            v, g, pi, li, train=False, method=model.predict_lab_values
+        )
+    )(variables, tiny_graph, p, l)
+    assert out.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_patient_encoder_l2_normalized(model_and_vars, tiny_graph):
+    model, variables = model_and_vars
+    x_dict = jax.jit(
+        lambda v, : model.apply(v, train=False, method=model.encode_nodes)
+    )(variables)
+    norms = np.linalg.norm(np.asarray(x_dict["patient"]), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
