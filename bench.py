@@ -1,0 +1,116 @@
+"""Training-throughput benchmark.
+
+Metric (BASELINE.md): patient-lab edges/sec per training epoch — the number
+of train-split patient-lab edges the full training step processes per second
+of wall-clock, sustained over timed epochs after compile warmup.
+
+Reference baseline: the PyTorch CPU run trains 100 full-batch epochs over
+~43k train edges in ~60s => ~7.17e4 edges/s (reference
+outputs/things_to_improve.txt:195-198; BASELINE.md "implied training-edge
+throughput").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Usage:
+    python bench.py            # eICU-demo-sized synthetic graph, real device
+    python bench.py --quick    # fewer timed epochs
+    python bench.py --scale    # 100k-patient / ~5M-edge scale config
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+REFERENCE_EDGES_PER_SEC = 71_700.0  # ~43k train edges x 100 epochs / ~60 s
+
+
+def run_bench(scale: bool = False, quick: bool = False, epochs: int | None = None) -> dict:
+    import jax
+
+    # persistent compile cache: repeat runs skip the (slow) remote compile
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from multi_modal_gnn_tpu.config import Config
+    from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
+    from multi_modal_gnn_tpu.models.factory import build_model, count_parameters
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+    from multi_modal_gnn_tpu.training.trainer import Trainer
+
+    cfg = Config()
+    spec = SyntheticSpec.scale_100k() if scale else SyntheticSpec.eicu_demo()
+
+    t0 = time.perf_counter()
+    bundle = make_synthetic_bundle(spec, cfg)
+    graph = bundle.graph
+    build_s = time.perf_counter() - t0
+
+    masker = EdgeMasker(
+        graph,
+        train_split=cfg.train.train_split,
+        val_split=cfg.train.val_split,
+        test_split=cfg.train.test_split,
+        mask_fraction=cfg.train.mask_fraction,
+        seed=cfg.train.seed,
+        host_edges=bundle.patient_lab_host(),
+    )
+    n_train = masker.split_sizes()["train"]
+
+    model = build_model(cfg, graph)
+    trainer = Trainer(model, graph, masker, cfg)
+
+    n_epochs = epochs or (10 if quick else (20 if scale else 100))
+    chunk = min(10, n_epochs)  # one compiled scan(chunk), reused
+    n_chunks = max(n_epochs // chunk, 1)
+    n_epochs = n_chunks * chunk
+
+    # warmup: compiles the scanned multi-epoch step (one dispatch per chunk)
+    t0 = time.perf_counter()
+    trainer.train_epochs_scanned(chunk)
+    jax.block_until_ready(trainer.state.params)
+    warmup_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    last_loss = 0.0
+    for _ in range(n_chunks):
+        losses, _ = trainer.train_epochs_scanned(chunk)
+        last_loss = losses[-1]
+    jax.block_until_ready(trainer.state.params)
+    elapsed = time.perf_counter() - t0
+
+    edges_per_sec = n_train * n_epochs / elapsed
+    return {
+        "metric": "train_patient_lab_edges_per_sec",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_sec / REFERENCE_EDGES_PER_SEC, 2),
+        "config": "scale_100k" if scale else "eicu_demo_synthetic",
+        "device": str(jax.devices()[0]),
+        "train_edges": n_train,
+        "timed_epochs": n_epochs,
+        "epoch_time_ms": round(1000 * elapsed / n_epochs, 3),
+        "warmup_s": round(warmup_s, 1),
+        "graph_build_s": round(build_s, 2),
+        "params": count_parameters(trainer.state.params),
+        "final_train_loss": round(float(last_loss), 4),
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--scale", action="store_true", help="100k-patient scale config")
+    parser.add_argument("--quick", action="store_true", help="fewer timed epochs")
+    parser.add_argument("--epochs", type=int, default=None)
+    args = parser.parse_args()
+
+    result = run_bench(scale=args.scale, quick=args.quick, epochs=args.epochs)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -136,6 +136,7 @@ def evaluation_pipeline(
         test_split=tc.test_split,
         mask_fraction=tc.mask_fraction,
         seed=tc.seed,
+        host_edges=bundle.patient_lab_host(),
     )
     model = build_model(config, bundle.graph)
     trainer = Trainer(model, bundle.graph, masker, config)

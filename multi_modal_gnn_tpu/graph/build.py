@@ -81,13 +81,29 @@ class GraphMeta:
 
 @dataclass
 class GraphBundle:
-    """A device graph plus its host metadata — the unit of serialization."""
+    """A device graph plus its host metadata — the unit of serialization.
+
+    ``host_edges`` keeps numpy copies of each relation's valid (src, dst,
+    val) so downstream host-side consumers (EdgeMasker split derivation,
+    metrics) never read back from device memory — device->host transfers
+    over a remote-TPU link are the single most expensive data movement in
+    the pipeline.
+    """
 
     graph: HeteroGraph
     meta: GraphMeta
+    host_edges: Optional[Dict] = None
 
     def replace_graph(self, graph: HeteroGraph) -> "GraphBundle":
         return dataclasses.replace(self, graph=graph)
+
+    def patient_lab_host(self):
+        """(src, dst, val) numpy arrays of the valid patient->lab edges."""
+        from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
+
+        if self.host_edges and PATIENT_LAB in self.host_edges:
+            return self.host_edges[PATIENT_LAB]
+        return None
 
 
 def _map_edges(
@@ -164,7 +180,10 @@ def build_heterogeneous_graph(
     edge_arrays[PATIENT_MEDICATION] = (rx_src, rx_dst, None)
 
     # ---- pad + sort + CSR, forward and reverse ---------------------------
-    graph = assemble_graph(edge_arrays, counts, pad_multiple=pad, config=config)
+    host_edges: Dict[EdgeTypeKey, tuple] = {}
+    graph = assemble_graph(
+        edge_arrays, counts, pad_multiple=pad, config=config, host_edges_out=host_edges
+    )
 
     # ---- metadata --------------------------------------------------------
     lab_names: Dict[int, str] = {}
@@ -195,7 +214,7 @@ def build_heterogeneous_graph(
         config=config.to_dict(),
         config_hash=config.content_hash(),
     )
-    return GraphBundle(graph=graph, meta=meta)
+    return GraphBundle(graph=graph, meta=meta, host_edges=host_edges)
 
 
 def assemble_graph(
@@ -203,8 +222,12 @@ def assemble_graph(
     node_counts: Dict[str, int],
     pad_multiple: int = 1024,
     config: Optional[Config] = None,
+    host_edges_out: Optional[Dict] = None,
 ) -> HeteroGraph:
-    """Pad/sort/CSR all relations and mirror each with its reverse."""
+    """Pad/sort/CSR all relations and mirror each with its reverse.
+
+    If ``host_edges_out`` is given, it is filled with the sorted valid
+    (src, dst, val) numpy arrays per forward relation."""
     enabled_bidirectional = {
         PATIENT_LAB: True,
         PATIENT_DIAGNOSIS: True,
@@ -221,14 +244,17 @@ def assemble_graph(
     edges: Dict[EdgeTypeKey, EdgeSet] = {}
     for et, (src, dst, val) in edge_arrays.items():
         s_type, _, d_type = et
-        edges[et] = pad_edge_set(
+        edges[et], host = pad_edge_set(
             src,
             dst,
             num_src=node_counts[s_type],
             num_dst=node_counts[d_type],
             val=val,
             pad_multiple=pad_multiple,
+            return_host=True,
         )
+        if host_edges_out is not None:
+            host_edges_out[et] = host
         if enabled_bidirectional.get(et, True):
             rev = reverse_edge_type(et)
             edges[rev] = pad_edge_set(
@@ -240,10 +266,14 @@ def assemble_graph(
                 pad_multiple=pad_multiple,
             )
 
-    degree = compute_patient_lab_degree(edges[PATIENT_LAB], node_counts[PATIENT])
+    # degree from the host arrays — avoids a device->host readback
+    pl_src = np.asarray(edge_arrays[PATIENT_LAB][0], dtype=np.int64)
+    degree = np.bincount(pl_src, minlength=node_counts[PATIENT]).astype(np.int32)
+    import jax.numpy as jnp
+
     return HeteroGraph(
         edges=edges,
-        patient_lab_degree=degree,
+        patient_lab_degree=jnp.asarray(degree),
         node_counts=tuple(sorted(node_counts.items())),
     )
 

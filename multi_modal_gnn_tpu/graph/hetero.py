@@ -74,8 +74,14 @@ def pad_edge_set(
     val: Optional[np.ndarray] = None,
     pad_multiple: int = 1024,
     sort_by_dst: bool = True,
-) -> EdgeSet:
-    """Build an :class:`EdgeSet` from host COO arrays (vectorized, no loops)."""
+    return_host: bool = False,
+):
+    """Build an :class:`EdgeSet` from host COO arrays (vectorized, no loops).
+
+    With ``return_host=True`` also returns the sorted *valid* (src, dst, val)
+    numpy arrays — the canonical host-side view (same order as the device
+    arrays), kept so consumers never read back over a remote-device link.
+    """
     src = np.asarray(src, dtype=np.int32).ravel()
     dst = np.asarray(dst, dtype=np.int32).ravel()
     if src.shape != dst.shape:
@@ -112,7 +118,7 @@ def pad_edge_set(
         np.concatenate([val, np.zeros(pad, dtype=np.float32)]) if val is not None else None
     )
 
-    return EdgeSet(
+    es = EdgeSet(
         src=jnp.asarray(src_p),
         dst=jnp.asarray(dst_p),
         mask=jnp.asarray(mask_p),
@@ -123,6 +129,9 @@ def pad_edge_set(
         num_src=int(num_src),
         num_dst=int(num_dst),
     )
+    if return_host:
+        return es, (src, dst, val)
+    return es
 
 
 class HeteroGraph(struct.PyTreeNode):

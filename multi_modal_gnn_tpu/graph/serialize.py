@@ -73,9 +73,16 @@ def load_graph(path: str | Path) -> GraphBundle:
     sidecar = load_json(path.with_suffix(".meta.json"))
     with np.load(path.with_suffix(".npz")) as data:
         edges: Dict[EdgeTypeKey, EdgeSet] = {}
+        host_edges: Dict[EdgeTypeKey, tuple] = {}
         for entry in sidecar["edges"]:
             et = tuple(entry["edge_type"])
             key = _SEP.join(et)
+            n_valid = int(entry["num_valid"])
+            host_edges[et] = (
+                data[f"{key}{_SEP}src"][:n_valid],
+                data[f"{key}{_SEP}dst"][:n_valid],
+                data[f"{key}{_SEP}val"][:n_valid] if entry["has_val"] else None,
+            )
             edges[et] = EdgeSet(
                 src=jnp.asarray(data[f"{key}{_SEP}src"]),
                 dst=jnp.asarray(data[f"{key}{_SEP}dst"]),
@@ -96,4 +103,4 @@ def load_graph(path: str | Path) -> GraphBundle:
     )
     meta = GraphMeta.from_dict(sidecar.get("meta", {}))
     logger.info("Loaded graph from %s", path)
-    return GraphBundle(graph=graph, meta=meta)
+    return GraphBundle(graph=graph, meta=meta, host_edges=host_edges)

@@ -18,8 +18,14 @@ logger = logging.getLogger(__name__)
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
-def build_model(config: Config, graph: HeteroGraph) -> Union[HeteroRGCN, HeteroGT]:
-    """Instantiate the configured architecture, statically sized to the graph."""
+def build_model(
+    config: Config, graph: HeteroGraph, axis_name: str | None = None
+) -> Union[HeteroRGCN, HeteroGT]:
+    """Instantiate the configured architecture, statically sized to the graph.
+
+    ``axis_name`` marks the mesh axis edge arrays are sharded over when the
+    model runs inside shard_map data parallelism (parallel/dp.py).
+    """
     mc = config.model
     dtype = _DTYPES.get(mc.compute_dtype, jnp.float32)
     impl = "pallas" if mc.use_pallas else "xla"
@@ -40,8 +46,11 @@ def build_model(config: Config, graph: HeteroGraph) -> Union[HeteroRGCN, HeteroG
             aggregation=mc.aggregation,
             degree_threshold=mc.degree_threshold,
             impl=impl,
+            axis_name=axis_name,
         )
     elif mc.architecture == "HGT":
+        if axis_name is not None:
+            raise NotImplementedError("sharded HGT is not implemented yet")
         model = HeteroGT(**common, num_heads=mc.num_heads)
     else:
         raise ValueError(f"Unknown architecture: {mc.architecture}")

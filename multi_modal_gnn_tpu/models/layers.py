@@ -69,7 +69,14 @@ class EdgeRegressionHead(nn.Module):
         for i, h in enumerate(self.hidden_dims):
             x = make_dense(h, prev, dtype=self.dtype, name=f"dense_{i}")(x)
             x = nn.relu(x)
-            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+            # Separate rng stream: head dropout acts on *edge-batch* rows,
+            # which are sharded under data parallelism — the caller folds the
+            # mesh position into this stream so shards draw independent masks
+            # (node-level dropout stays on the shared 'dropout' stream since
+            # node arrays are replicated).
+            x = nn.Dropout(
+                rate=self.dropout, deterministic=not train, rng_collection="edge_dropout"
+            )(x)
             prev = h
         return make_dense(self.output_dim, prev, dtype=self.dtype, name="dense_out")(x)
 

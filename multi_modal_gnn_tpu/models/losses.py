@@ -34,18 +34,24 @@ def weighted_regression_loss(
     sample_weights: jax.Array,
     supervision_mask: jax.Array,
     loss_type: str = "mae",
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Masked weighted mean: sum(loss * w * m) / sum(m).
 
     ``supervision_mask`` is a float mask combining the per-epoch Bernoulli
     supervision draw with the padding validity mask; the denominator counts
     supervised edges only, matching the reference's ``.mean()`` over the
-    supervised subset.
+    supervised subset.  Under shard_map data parallelism (``axis_name`` set,
+    edges sharded) numerator and denominator psum over the mesh, so the loss
+    — and therefore the gradients — are identical to the single-device run.
     """
     losses = per_sample_loss(predictions, targets, loss_type)
-    weighted = losses * sample_weights * supervision_mask
-    denom = jnp.maximum(supervision_mask.sum(), 1.0)
-    return weighted.sum() / denom
+    num = (losses * sample_weights * supervision_mask).sum()
+    den = supervision_mask.sum()
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 def masked_mean_loss(
@@ -53,11 +59,16 @@ def masked_mean_loss(
     targets: jax.Array,
     valid_mask: jax.Array,
     loss_type: str = "mae",
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Unweighted masked mean (validation/test loss, src/train.py:394-431)."""
     losses = per_sample_loss(predictions, targets, loss_type)
-    denom = jnp.maximum(valid_mask.sum(), 1.0)
-    return (losses * valid_mask).sum() / denom
+    num = (losses * valid_mask).sum()
+    den = valid_mask.sum()
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 def compute_lab_weights(

@@ -56,6 +56,7 @@ class HeteroSAGELayer(nn.Module):
     hidden_dim: int
     aggregation: str = "mean"
     impl: str = "xla"
+    axis_name: str | None = None  # mesh axis edges are sharded over (SPMD)
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -80,7 +81,11 @@ class HeteroSAGELayer(nn.Module):
             src_t, _, dst_t = et
             key = _et_key(et)
             msg = aggregate_neighbors(
-                x_dict[src_t], graph.edges[et], self.aggregation, impl=self.impl
+                x_dict[src_t],
+                graph.edges[et],
+                self.aggregation,
+                impl=self.impl,
+                axis_name=self.axis_name,
             )
             contrib = self.lin_neigh[key](msg) + self.lin_root[key](x_dict[dst_t])
             out[dst_t] = contrib if dst_t not in out else out[dst_t] + contrib
@@ -99,6 +104,7 @@ class HeteroRGCN(nn.Module):
     head_hidden_dims: Tuple[int, ...] = (64, 32)
     degree_threshold: int = 6
     impl: str = "xla"
+    axis_name: str | None = None  # set under shard_map data parallelism
     dtype: jnp.dtype | None = None
 
     @property
@@ -130,6 +136,7 @@ class HeteroRGCN(nn.Module):
                 hidden_dim=self.hidden_dim,
                 aggregation=self.aggregation,
                 impl=self.impl,
+                axis_name=self.axis_name,
                 dtype=self.dtype,
                 name=f"conv_{i}",
             )

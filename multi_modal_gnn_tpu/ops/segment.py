@@ -18,7 +18,7 @@ Design notes (why this maps well onto TPU):
 
 from __future__ import annotations
 
-from typing import Literal
+from typing import Literal, Optional
 
 import jax
 import jax.numpy as jnp
@@ -74,29 +74,39 @@ def aggregate_neighbors(
     edges: EdgeSet,
     aggregation: Literal["mean", "sum", "max"] = "mean",
     impl: Literal["xla", "pallas"] = "xla",
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Aggregate source features over each destination's in-neighbors.
 
     Args:
-        x_src: [num_src, D] source-node features.
+        x_src: [num_src, D] source-node features (replicated under SPMD).
         edges: dst-sorted padded EdgeSet (dst == num_dst marks padding).
+            Under ``shard_map`` data parallelism the edge arrays are the
+            device-local shard (a contiguous chunk of the sorted edges — so
+            sortedness is preserved per shard), while ``dst_count`` stays
+            global/replicated.
         aggregation: "mean" | "sum" | "max" per destination.
         impl: backend; "pallas" uses the fused CSR kernel where available.
+        axis_name: if set, the mesh axis edges are sharded over — partial
+            per-destination reductions are combined with one psum/pmax
+            (riding ICI on a real TPU mesh).
 
     Returns:
         [num_dst, D] aggregated features (0 for isolated destinations).
     """
-    if impl == "pallas":
+    if impl == "pallas" and axis_name is None:
         from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate
 
         return gather_segment_aggregate(x_src, edges, aggregation)
 
-    gathered = jnp.take(x_src, edges.src, axis=0)  # [E_pad, D]
+    gathered = jnp.take(x_src, edges.src, axis=0)  # [E_local, D]
     num_segments = edges.num_dst + 1  # final segment collects padding rows
     if aggregation in ("mean", "sum"):
         total = jax.ops.segment_sum(
             gathered, edges.dst, num_segments=num_segments, indices_are_sorted=True
         )[: edges.num_dst]
+        if axis_name is not None:
+            total = jax.lax.psum(total, axis_name)
         if aggregation == "sum":
             return total
         denom = jnp.maximum(edges.dst_count, 1.0).astype(total.dtype)
@@ -107,5 +117,7 @@ def aggregate_neighbors(
         seg = jax.ops.segment_max(
             gathered, edges.dst, num_segments=num_segments, indices_are_sorted=True
         )[: edges.num_dst]
+        if axis_name is not None:
+            seg = jax.lax.pmax(seg, axis_name)
         return jnp.where(jnp.isfinite(seg), seg, 0.0)
     raise ValueError(f"Unknown aggregation: {aggregation}")

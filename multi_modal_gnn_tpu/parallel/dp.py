@@ -1,0 +1,105 @@
+"""Data-parallel trainer: the jitted train step wrapped in shard_map.
+
+Numerics are identical to the single-device Trainer: the supervision mask is
+drawn over the global batch before sharding, node-level compute is replicated
+(same dropout key on every device), and per-destination partial segment sums
+plus the loss reduce with psum — so gradients, optimizer updates, and losses
+match the single-device run to float tolerance (verified by
+tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
+from multi_modal_gnn_tpu.models.factory import build_model, init_model_variables
+from multi_modal_gnn_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from multi_modal_gnn_tpu.parallel.sharding import (
+    batch_pspec,
+    check_graph_divisible,
+    graph_pspecs,
+    shard_graph,
+)
+from multi_modal_gnn_tpu.training.masker import EdgeMasker
+from multi_modal_gnn_tpu.training.trainer import Trainer
+from multi_modal_gnn_tpu.utils.rng import RngSequence
+
+logger = logging.getLogger(__name__)
+
+
+class DataParallelTrainer(Trainer):
+    """Trainer whose step functions run under shard_map over a 1-D mesh."""
+
+    def __init__(
+        self,
+        graph: HeteroGraph,
+        masker: EdgeMasker,
+        config: Config,
+        mesh=None,
+        rngs: Optional[RngSequence] = None,
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh(config.train.num_devices)
+        check_graph_divisible(graph, self.mesh.devices.size)
+
+        # parameters are initialized with an unsharded twin (identical param
+        # structure; axis_name only changes collectives inside the forward)
+        rngs = rngs or RngSequence(config.train.seed)
+        init_model = build_model(config, graph, axis_name=None)
+        variables = init_model_variables(init_model, graph, rngs.next("init"))
+
+        model = build_model(config, graph, axis_name=DATA_AXIS)
+        graph = shard_graph(graph, self.mesh)
+        super().__init__(model, graph, masker, config, variables=variables, rngs=rngs)
+        self._axis_name = DATA_AXIS
+        logger.info("Data-parallel trainer over %d devices", self.mesh.devices.size)
+
+    def _build_steps(self) -> None:
+        self._axis_name = DATA_AXIS  # set before tracing (super().__init__ order)
+        mesh = self.mesh
+        gspec = graph_pspecs(self.graph)
+        train_bspec = batch_pspec(self.masker.get_split("train"))
+
+        sharded_train = jax.shard_map(
+            self._train_step_impl,
+            mesh=mesh,
+            in_specs=(P(), gspec, train_bspec, P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P()),
+        )
+        donate = (0,) if self.config.train.donate_state else ()
+        self._train_step = jax.jit(sharded_train, donate_argnums=donate)
+
+        def make_eval(bspec):
+            sharded_eval = jax.shard_map(
+                self._eval_step_impl,
+                mesh=mesh,
+                in_specs=(P(), gspec, bspec),
+                out_specs=(P(), P(DATA_AXIS)),
+            )
+            return jax.jit(sharded_eval)
+
+        self._eval_steps = {}
+        self._make_eval = make_eval
+
+        mf = self._mask_fraction
+
+        @jax.jit
+        def draw_mask(key, valid):
+            if mf <= 0:
+                return valid
+            draw = jax.random.bernoulli(key, p=mf, shape=valid.shape).astype(valid.dtype)
+            return draw * valid
+
+        self._draw_sup_mask = draw_mask
+
+    # eval batches differ in padded size per split -> per-shape sharded jit
+    def _eval_step(self, state, graph, batch):
+        key = batch.valid.shape[0]
+        if key not in self._eval_steps:
+            self._eval_steps[key] = self._make_eval(batch_pspec(batch))
+        return self._eval_steps[key](state, graph, batch)

@@ -1,0 +1,39 @@
+"""Device mesh construction."""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+logger = logging.getLogger(__name__)
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    num_devices: int = 0,
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """A 1-D (default) mesh over available devices.
+
+    Args:
+        num_devices: how many devices to use (0 = all available).
+        axis_names: mesh axis names; 1-D ``("data",)`` by default.
+        devices: explicit device list (defaults to jax.devices()).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices and num_devices > 0:
+        if num_devices > len(devices):
+            raise ValueError(f"Requested {num_devices} devices, have {len(devices)}")
+        devices = devices[:num_devices]
+    arr = np.array(devices)
+    if len(axis_names) > 1:
+        raise NotImplementedError("only 1-D meshes are built here for now")
+    mesh = Mesh(arr, axis_names=tuple(axis_names))
+    logger.info("Mesh: %d devices over axes %s", arr.size, axis_names)
+    return mesh

@@ -1,0 +1,91 @@
+"""PartitionSpec trees and placement helpers for graph/batch pytrees.
+
+Sharding layout (1-D ``data`` mesh):
+  * EdgeSet.src/dst/mask/val — sharded along the edge axis.  Edge arrays are
+    padded to a multiple of 1024 (graph config), so every shard divides
+    evenly and each shard is a contiguous chunk of the dst-sorted order
+    (local ``segment_sum(indices_are_sorted=True)`` stays valid).
+  * EdgeSet.dst_count / row_ptr, node embeddings, parameters, optimizer
+    state — replicated.
+  * SplitBatch arrays — sharded along the batch axis (padded to 256).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multi_modal_gnn_tpu.graph.hetero import EdgeSet, HeteroGraph
+from multi_modal_gnn_tpu.parallel.mesh import DATA_AXIS
+from multi_modal_gnn_tpu.training.masker import SplitBatch
+
+
+def _edge_set_pspec(es: EdgeSet, axis: str) -> EdgeSet:
+    return EdgeSet(
+        src=P(axis),
+        dst=P(axis),
+        mask=P(axis),
+        val=P(axis) if es.val is not None else None,
+        dst_count=P(),
+        row_ptr=P(),
+        num_valid=es.num_valid,
+        num_src=es.num_src,
+        num_dst=es.num_dst,
+    )
+
+
+def graph_pspecs(graph: HeteroGraph, axis: str = DATA_AXIS) -> HeteroGraph:
+    """A HeteroGraph-shaped tree of PartitionSpecs (edge axis sharded)."""
+    return HeteroGraph(
+        edges={et: _edge_set_pspec(es, axis) for et, es in graph.edges.items()},
+        patient_lab_degree=P(),
+        node_counts=graph.node_counts,
+    )
+
+
+def batch_pspec(batch: SplitBatch, axis: str = DATA_AXIS) -> SplitBatch:
+    return SplitBatch(
+        patient_idx=P(axis),
+        lab_idx=P(axis),
+        values=P(axis),
+        valid=P(axis),
+        num_valid=batch.num_valid,
+    )
+
+
+def check_graph_divisible(graph: HeteroGraph, n: int) -> None:
+    for et, es in graph.edges.items():
+        if es.num_padded % n:
+            raise ValueError(
+                f"Edge padding of {et} ({es.num_padded}) not divisible by mesh size {n}; "
+                f"raise graph.edge_pad_multiple"
+            )
+
+
+def shard_graph(graph: HeteroGraph, mesh: Mesh, axis: str = DATA_AXIS) -> HeteroGraph:
+    """Place the graph on the mesh with the DP layout (edges sharded)."""
+    check_graph_divisible(graph, mesh.devices.size)
+    specs = graph_pspecs(graph, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), graph, specs
+    )
+
+
+def shard_batch(batch: SplitBatch, mesh: Mesh, axis: str = DATA_AXIS) -> SplitBatch:
+    n = mesh.devices.size
+    if batch.valid.shape[0] % n:
+        raise ValueError(
+            f"Batch padding {batch.valid.shape[0]} not divisible by mesh size {n}"
+        )
+    specs = batch_pspec(batch, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), batch, specs
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

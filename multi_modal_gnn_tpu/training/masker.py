@@ -70,7 +70,11 @@ class EdgeMasker:
         mask_fraction: float = 0.2,
         seed: int = 42,
         pad_multiple: int = 256,
+        host_edges: Optional[tuple] = None,
     ):
+        """``host_edges``: optional (src, dst, val) numpy arrays of the valid
+        patient->lab edges in device order (GraphBundle.patient_lab_host()) —
+        avoids a device->host readback, which is expensive on remote TPUs."""
         total = train_split + val_split + test_split
         if abs(total - 1.0) > 1e-6:
             raise ValueError(f"Splits must sum to 1.0, got {total}")
@@ -78,14 +82,22 @@ class EdgeMasker:
         self.seed = int(seed)
         self.pad_multiple = int(pad_multiple)
 
-        es = graph.patient_lab
-        if es.val is None:
-            raise ValueError("patient->lab edges carry no values to supervise")
-        mask = np.asarray(es.mask) > 0
-        self._p = np.asarray(es.src)[mask].astype(np.int32)
-        self._l = np.asarray(es.dst)[mask].astype(np.int32)
-        self._v = np.asarray(es.val)[mask].astype(np.float32)
-        self.num_edges = int(mask.sum())
+        if host_edges is not None:
+            src, dst, val = host_edges
+            if val is None:
+                raise ValueError("patient->lab edges carry no values to supervise")
+            self._p = np.asarray(src, dtype=np.int32)
+            self._l = np.asarray(dst, dtype=np.int32)
+            self._v = np.asarray(val, dtype=np.float32)
+        else:
+            es = graph.patient_lab
+            if es.val is None:
+                raise ValueError("patient->lab edges carry no values to supervise")
+            mask = np.asarray(es.mask) > 0
+            self._p = np.asarray(es.src)[mask].astype(np.int32)
+            self._l = np.asarray(es.dst)[mask].astype(np.int32)
+            self._v = np.asarray(es.val)[mask].astype(np.float32)
+        self.num_edges = int(len(self._p))
 
         rng = np.random.default_rng(self.seed)
         perm = rng.permutation(self.num_edges)

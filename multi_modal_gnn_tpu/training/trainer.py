@@ -111,9 +111,8 @@ class Trainer:
 
         self._loss_type = tc.loss
         self._mask_fraction = tc.mask_fraction
-        donate = (0,) if tc.donate_state else ()
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
-        self._eval_step = jax.jit(self._eval_step_impl)
+        self._axis_name: Optional[str] = None
+        self._build_steps()
 
         # host-side loop state (captured in checkpoints for true resume)
         self.scheduler = build_scheduler(tc)
@@ -126,12 +125,34 @@ class Trainer:
 
     # -- jitted computations ------------------------------------------------
 
+    def _build_steps(self) -> None:
+        """Compile train/eval steps (overridden by the data-parallel trainer)."""
+        donate = (0,) if self.config.train.donate_state else ()
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
+        self._eval_step = jax.jit(self._eval_step_impl)
+        mf = self._mask_fraction
+
+        @jax.jit
+        def draw_mask(key, valid):
+            if mf <= 0:
+                return valid
+            draw = jax.random.bernoulli(key, p=mf, shape=valid.shape).astype(jnp.float32)
+            return draw * valid
+
+        self._draw_sup_mask = draw_mask
+
     def _apply_train(self, params, batch_stats, graph, batch: SplitBatch, dropout_key):
         variables = {"params": params}
         mutable = []
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
+        # node-level dropout uses the shared key (node arrays are replicated
+        # under SPMD); edge-head dropout gets a per-shard key so sharded batch
+        # rows draw independent masks
+        edge_key = jax.random.fold_in(dropout_key, 1)
+        if self._axis_name is not None:
+            edge_key = jax.random.fold_in(edge_key, jax.lax.axis_index(self._axis_name))
         out = self.model.apply(
             variables,
             graph,
@@ -139,7 +160,7 @@ class Trainer:
             batch.lab_idx,
             train=True,
             method=self.model.predict_lab_values,
-            rngs={"dropout": dropout_key},
+            rngs={"dropout": dropout_key, "edge_dropout": edge_key},
             mutable=mutable,
         )
         if mutable:
@@ -153,22 +174,15 @@ class Trainer:
         graph: HeteroGraph,
         batch: SplitBatch,
         lab_weights: jax.Array,
-        sup_key: jax.Array,
+        sup_mask: jax.Array,
         dropout_key: jax.Array,
     ) -> Tuple[TrainState, jax.Array]:
-        sup_draw = (
-            jax.random.bernoulli(sup_key, p=self._mask_fraction, shape=batch.valid.shape)
-            .astype(jnp.float32)
-            if self._mask_fraction > 0
-            else jnp.ones_like(batch.valid)
-        )
-        sup_mask = sup_draw * batch.valid
-
         def loss_fn(params):
             preds, new_bs = self._apply_train(params, state.batch_stats, graph, batch, dropout_key)
             w = lab_weights[batch.lab_idx]
             loss = weighted_regression_loss(
-                preds, batch.values, w, sup_mask, loss_type=self._loss_type
+                preds, batch.values, w, sup_mask,
+                loss_type=self._loss_type, axis_name=self._axis_name,
             )
             return loss, new_bs
 
@@ -197,7 +211,10 @@ class Trainer:
             train=False,
             method=self.model.predict_lab_values,
         )
-        loss = masked_mean_loss(preds, batch.values, batch.valid, loss_type=self._loss_type)
+        loss = masked_mean_loss(
+            preds, batch.values, batch.valid,
+            loss_type=self._loss_type, axis_name=self._axis_name,
+        )
         return loss, preds
 
     # -- public API ---------------------------------------------------------
@@ -206,10 +223,81 @@ class Trainer:
         batch = self.masker.get_split("train")
         sup_key = self.rngs.key_for("supervision", self.epoch)
         dropout_key = self.rngs.key_for("dropout", self.epoch)
+        sup_mask = self._prepare_sup_mask(sup_key, batch)
         self.state, loss = self._train_step(
-            self.state, self.graph, batch, self.lab_weights, sup_key, dropout_key
+            self.state, self.graph, batch, self.lab_weights, sup_mask, dropout_key
         )
         return float(loss)
+
+    def _prepare_sup_mask(self, key: jax.Array, batch: SplitBatch) -> jax.Array:
+        """Draw the epoch's supervision mask over the *global* batch — shared
+        by single-device and sharded trainers so their masks match exactly."""
+        return self._draw_sup_mask(key, batch.valid)
+
+    # -- fused multi-epoch stepping (lax.scan) -------------------------------
+
+    def train_epochs_scanned(self, k: int, with_val: bool = False):
+        """Run ``k`` epochs as ONE device dispatch via lax.scan.
+
+        Per-epoch supervision/dropout keys are derived on-device from the
+        same (seed, epoch) streams as ``train_epoch`` — losses match the
+        epoch-at-a-time loop exactly.  Host-side LR/early-stopping control is
+        *not* applied inside the scan, so use this for fixed-LR stretches
+        (benchmarking, or fit() chunks between scheduler decisions).
+
+        Returns (train_losses[k], val_losses[k] or None).
+        """
+        if self._axis_name is not None:
+            raise NotImplementedError("scanned epochs not wired for the DP trainer yet")
+        key = (int(k), bool(with_val))
+        if not hasattr(self, "_scan_fns"):
+            self._scan_fns = {}
+        if key not in self._scan_fns:
+            self._scan_fns[key] = self._make_scan_fn(k, with_val)
+        batch = self.masker.get_split("train")
+        vbatch = self.masker.get_split("val") if with_val else batch
+        state, (tl, vl) = self._scan_fns[key](
+            self.state,
+            self.graph,
+            batch,
+            vbatch,
+            self.lab_weights,
+            self.rngs.stream("supervision"),
+            self.rngs.stream("dropout"),
+            jnp.asarray(self.epoch, jnp.int32),
+        )
+        self.state = state
+        self.epoch += k
+        tl = np.asarray(tl)
+        return tl, (np.asarray(vl) if with_val else None)
+
+    def _make_scan_fn(self, k: int, with_val: bool):
+        mf = self._mask_fraction
+
+        def scan_fn(state, graph, batch, vbatch, lab_weights, sup_stream, drop_stream, epoch0):
+            def body(state, i):
+                epoch = epoch0 + i
+                sup_key = jax.random.fold_in(sup_stream, epoch)
+                drop_key = jax.random.fold_in(drop_stream, epoch)
+                if mf > 0:
+                    draw = jax.random.bernoulli(sup_key, p=mf, shape=batch.valid.shape)
+                    sup_mask = draw.astype(jnp.float32) * batch.valid
+                else:
+                    sup_mask = batch.valid
+                state, loss = self._train_step_impl(
+                    state, graph, batch, lab_weights, sup_mask, drop_key
+                )
+                vloss = (
+                    self._eval_step_impl(state, graph, vbatch)[0]
+                    if with_val
+                    else jnp.zeros(())
+                )
+                return state, (loss, vloss)
+
+            return jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
+
+        donate = (0,) if self.config.train.donate_state else ()
+        return jax.jit(scan_fn, donate_argnums=donate)
 
     def validate(self, split: str = "val", state: Optional[TrainState] = None) -> float:
         loss, _ = self._eval_step(state or self.state, self.graph, self.masker.get_split(split))
@@ -371,6 +459,7 @@ def train_pipeline(
         test_split=tc.test_split,
         mask_fraction=tc.mask_fraction,
         seed=tc.seed,
+        host_edges=bundle.patient_lab_host(),
     )
     logger.info("Edge splits: %s", masker.split_sizes())
 

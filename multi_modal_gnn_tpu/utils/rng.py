@@ -42,6 +42,11 @@ class RngSequence:
         # Stable per-name stream: fold the hash of the name into the root key.
         return jax.random.fold_in(self._root, _stable_hash(name))
 
+    def stream(self, name: str) -> jax.Array:
+        """The stream's base key; ``fold_in(stream(n), i) == key_for(n, i)``.
+        Lets jitted scans derive per-epoch keys on device."""
+        return self._stream(name)
+
     def next(self, name: str) -> jax.Array:
         """Next key in the named stream (stateful counter)."""
         count = self._counters.get(name, 0)

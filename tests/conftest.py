@@ -14,14 +14,9 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:  # backends may already be initialized by the site hook — reset them
-    from jax._src import xla_bridge
+from multi_modal_gnn_tpu.utils.platform import force_cpu_devices  # noqa: E402
 
-    if jax.default_backend() != "cpu" or jax.device_count() < 8:
-        xla_bridge._clear_backends()
-except Exception:
-    pass
+force_cpu_devices(8)
 
 assert jax.default_backend() == "cpu", f"tests require CPU backend, got {jax.default_backend()}"
 

@@ -100,7 +100,8 @@ def test_dropout_active_in_train_mode(model_and_vars, tiny_graph):
     f = jax.jit(
         lambda v, g, pi, li, k: model.apply(
             v, g, pi, li, train=True, method=model.predict_lab_values,
-            rngs={"dropout": k}, mutable=["batch_stats"],
+            rngs={"dropout": k, "edge_dropout": jax.random.fold_in(k, 1)},
+            mutable=["batch_stats"],
         )[0]
     )
     a = np.asarray(f(variables, tiny_graph, p, l, jax.random.key(1)))
