@@ -1,0 +1,210 @@
+"""Per-patient inference reports.
+
+Capability-parity with the reference inference stage (src/inference.py):
+for each selected patient, classify every lab as measured (train/val split),
+masked (test split — prediction vs actual), or truly missing (no edge), and
+report denormalized predictions; sample a coverage-diverse set of patients;
+write ``inference_examples.json``.
+
+TPU-first difference: the reference runs a full-graph GNN forward per patient
+per lab-group (src/inference.py:92-159); here all report patients' pairs are
+batched into ONE jitted prediction call over (num_patients x num_labs) pairs.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.graph.build import GraphBundle
+from multi_modal_gnn_tpu.graph.schema import LAB, PATIENT
+from multi_modal_gnn_tpu.utils.io import save_json
+
+logger = logging.getLogger(__name__)
+
+
+def _denorm(meta, lab_idx: int, value: float) -> float:
+    stats = meta.lab_stats.get(int(lab_idx))
+    if not stats:
+        return float(value)
+    return float(value * stats.get("std", 1.0) + stats.get("mean", 0.0))
+
+
+def classify_patient_labs(masker, patient_idx: int) -> Dict[str, Dict[int, float]]:
+    """Split a patient's observed labs by masker membership.
+
+    Returns {"measured": {lab_idx: value}, "masked": {lab_idx: value}} where
+    "masked" means the edge landed in the held-out test split.
+    """
+    p, l, v = masker._p, masker._l, masker._v
+    positions = np.where(p == patient_idx)[0]
+    test_positions = set(masker.split_indices("test").tolist())
+    measured, masked = {}, {}
+    for pos in positions:
+        target = masked if pos in test_positions else measured
+        target[int(l[pos])] = float(v[pos])
+    return {"measured": measured, "masked": masked}
+
+
+def select_example_patients(
+    masker, num_patients: int, num_examples: int, rng: np.random.Generator
+) -> List[int]:
+    """Coverage-diverse patient sampling: lowest / median / highest lab-count
+    tiers plus random fill (reference src/inference.py:334-362)."""
+    degree = np.bincount(masker._p, minlength=num_patients)
+    observed = np.where(degree > 0)[0]
+    if len(observed) == 0:
+        return []
+    order = observed[np.argsort(degree[observed])]
+    picks: List[int] = []
+    for idx in (0, len(order) // 2, len(order) - 1):
+        pid = int(order[idx])
+        if pid not in picks:
+            picks.append(pid)
+    remaining = [int(x) for x in observed if x not in picks]
+    rng.shuffle(remaining)
+    picks.extend(remaining[: max(num_examples - len(picks), 0)])
+    return picks[:num_examples]
+
+
+def predict_for_patients(
+    trainer, bundle: GraphBundle, patient_indices: List[int]
+) -> Dict[int, Dict]:
+    """Batched prediction of EVERY lab for each patient (single jitted call),
+    then classification into measured / masked / truly-missing groups."""
+    graph = bundle.graph
+    meta = bundle.meta
+    num_labs = graph.num_nodes(LAB)
+    masker = trainer.masker
+
+    pairs_p = np.repeat(np.asarray(patient_indices, dtype=np.int32), num_labs)
+    pairs_l = np.tile(np.arange(num_labs, dtype=np.int32), len(patient_indices))
+    preds = trainer.predict_pairs(pairs_p, pairs_l)
+
+    out: Dict[int, Dict] = {}
+    for i, pid in enumerate(patient_indices):
+        patient_preds = preds[i * num_labs : (i + 1) * num_labs]
+        groups = classify_patient_labs(masker, pid)
+        measured, masked, missing = {}, {}, {}
+        for lab_idx in range(num_labs):
+            name = meta.lab_names.get(lab_idx, f"Lab_{lab_idx}")
+            pred_n = float(patient_preds[lab_idx])
+            if lab_idx in groups["masked"]:
+                actual_n = groups["masked"][lab_idx]
+                masked[name] = {
+                    "predicted": _denorm(meta, lab_idx, pred_n),
+                    "actual": _denorm(meta, lab_idx, actual_n),
+                    "error": abs(
+                        _denorm(meta, lab_idx, pred_n) - _denorm(meta, lab_idx, actual_n)
+                    ),
+                    "normalized_predicted": pred_n,
+                    "normalized_actual": actual_n,
+                }
+            elif lab_idx in groups["measured"]:
+                actual_n = groups["measured"][lab_idx]
+                measured[name] = {
+                    "value": _denorm(meta, lab_idx, actual_n),
+                    "normalized": actual_n,
+                }
+            else:
+                missing[name] = {
+                    "predicted": _denorm(meta, lab_idx, pred_n),
+                    "normalized_predicted": pred_n,
+                    "note": "Lab was never measured for this patient",
+                }
+        patient_entity = (
+            meta.indexers[PATIENT].id_of(pid) if PATIENT in meta.indexers else pid
+        )
+        out[pid] = {
+            "patient_id": patient_entity,
+            "num_measured": len(measured),
+            "measured_labs": measured,
+            "masked_labs": masked,
+            "truly_missing_labs": missing,
+        }
+    return out
+
+
+def print_patient_report(report: Dict, detailed: bool = False) -> str:
+    """Human-readable per-patient report (src/inference.py:181-257)."""
+    lines = [
+        "=" * 66,
+        f"Patient {report['patient_id']} — {report['num_measured']} labs measured",
+        "=" * 66,
+    ]
+    if report["masked_labs"]:
+        lines.append("\nHeld-out (test) labs — prediction vs actual:")
+        for name, info in sorted(report["masked_labs"].items()):
+            lines.append(
+                f"  {name:<30} pred {info['predicted']:>10.2f}  "
+                f"actual {info['actual']:>10.2f}  err {info['error']:.2f}"
+            )
+    if detailed and report["measured_labs"]:
+        lines.append("\nMeasured labs:")
+        for name, info in sorted(report["measured_labs"].items()):
+            lines.append(f"  {name:<30} {info['value']:>10.2f}")
+    if report["truly_missing_labs"]:
+        lines.append(f"\nImputed (never measured): {len(report['truly_missing_labs'])} labs")
+        if detailed:
+            for name, info in sorted(report["truly_missing_labs"].items()):
+                lines.append(f"  {name:<30} pred {info['predicted']:>10.2f}")
+    text = "\n".join(lines)
+    print(text)
+    return text
+
+
+def run_inference(
+    config: Config,
+    bundle: GraphBundle,
+    trainer,
+    output_dir: str | Path,
+    patient_id: Optional[int] = None,
+    num_examples: int = 5,
+    detailed: bool = False,
+) -> Dict:
+    """Generate inference examples and aggregate error statistics
+    (src/inference.py:260-415)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    meta = bundle.meta
+    num_patients = bundle.graph.num_nodes(PATIENT)
+    rng = np.random.default_rng(config.train.seed)
+
+    if patient_id is not None:
+        idx = meta.indexers[PATIENT].get(patient_id) if PATIENT in meta.indexers else None
+        if idx is None:
+            raise ValueError(f"Unknown patient id: {patient_id}")
+        patient_indices = [idx]
+    else:
+        patient_indices = select_example_patients(
+            trainer.masker, num_patients, num_examples, rng
+        )
+
+    reports = predict_for_patients(trainer, bundle, patient_indices)
+    for report in reports.values():
+        print_patient_report(report, detailed=detailed)
+
+    errors = [
+        info["error"]
+        for r in reports.values()
+        for info in r["masked_labs"].values()
+    ]
+    norm_errors = [
+        abs(info["normalized_predicted"] - info["normalized_actual"])
+        for r in reports.values()
+        for info in r["masked_labs"].values()
+    ]
+    summary = {
+        "num_patients": len(reports),
+        "num_masked_predictions": len(errors),
+        "mean_abs_error_original_units": float(np.mean(errors)) if errors else None,
+        "mean_abs_error_normalized": float(np.mean(norm_errors)) if norm_errors else None,
+    }
+    result = {"examples": list(reports.values()), "summary": summary}
+    save_json(result, output_dir / "inference_examples.json")
+    logger.info("Inference summary: %s", summary)
+    return result

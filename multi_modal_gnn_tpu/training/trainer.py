@@ -309,6 +309,32 @@ class Trainer:
         _, preds = self._eval_step(state or self.state, self.graph, batch)
         return np.asarray(preds)[: batch.num_valid]
 
+    def predict_pairs(
+        self,
+        patient_idx: np.ndarray,
+        lab_idx: np.ndarray,
+        state: Optional[TrainState] = None,
+        pad_multiple: int = 256,
+    ) -> np.ndarray:
+        """Predictions for arbitrary (patient, lab) pairs in one jitted call
+        (padded to a bucket so repeat calls reuse the compilation)."""
+        patient_idx = np.asarray(patient_idx, dtype=np.int32)
+        lab_idx = np.asarray(lab_idx, dtype=np.int32)
+        n = len(patient_idx)
+        n_pad = max(pad_multiple, ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
+        pad = n_pad - n
+        batch = SplitBatch(
+            patient_idx=jnp.asarray(np.concatenate([patient_idx, np.zeros(pad, np.int32)])),
+            lab_idx=jnp.asarray(np.concatenate([lab_idx, np.zeros(pad, np.int32)])),
+            values=jnp.zeros(n_pad, jnp.float32),
+            valid=jnp.asarray(
+                np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+            ),
+            num_valid=n,
+        )
+        _, preds = self._eval_step(state or self.state, self.graph, batch)
+        return np.asarray(preds)[:n]
+
     def _set_lr(self, lr: float) -> None:
         self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
