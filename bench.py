@@ -28,12 +28,22 @@ import time
 REFERENCE_EDGES_PER_SEC = 71_700.0  # ~43k train edges x 100 epochs / ~60 s
 
 
-def run_bench(scale: bool = False, quick: bool = False, epochs: int | None = None) -> dict:
+def run_bench(
+    scale: bool = False,
+    quick: bool = False,
+    epochs: int | None = None,
+    use_pallas: bool | None = None,
+) -> dict:
+    import dataclasses
+
     import jax
 
     # persistent compile cache: repeat runs skip the (slow) remote compile
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    if use_pallas is None:  # the fused MXU segment kernel needs real TPU
+        use_pallas = jax.default_backend() == "tpu"
 
     from multi_modal_gnn_tpu.config import Config
     from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
@@ -42,6 +52,7 @@ def run_bench(scale: bool = False, quick: bool = False, epochs: int | None = Non
     from multi_modal_gnn_tpu.training.trainer import Trainer
 
     cfg = Config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, use_pallas=use_pallas))
     spec = SyntheticSpec.scale_100k() if scale else SyntheticSpec.eicu_demo()
 
     t0 = time.perf_counter()
@@ -89,6 +100,7 @@ def run_bench(scale: bool = False, quick: bool = False, epochs: int | None = Non
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / REFERENCE_EDGES_PER_SEC, 2),
         "config": "scale_100k" if scale else "eicu_demo_synthetic",
+        "aggregation_impl": "pallas" if use_pallas else "xla",
         "device": str(jax.devices()[0]),
         "train_edges": n_train,
         "timed_epochs": n_epochs,
@@ -105,9 +117,15 @@ def main() -> int:
     parser.add_argument("--scale", action="store_true", help="100k-patient scale config")
     parser.add_argument("--quick", action="store_true", help="fewer timed epochs")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--pallas", dest="pallas", action="store_true", default=None,
+                        help="force the fused Pallas aggregation kernel")
+    parser.add_argument("--no-pallas", dest="pallas", action="store_false",
+                        help="force the XLA segment-sum path")
     args = parser.parse_args()
 
-    result = run_bench(scale=args.scale, quick=args.quick, epochs=args.epochs)
+    result = run_bench(
+        scale=args.scale, quick=args.quick, epochs=args.epochs, use_pallas=args.pallas
+    )
     print(json.dumps(result))
     return 0
 

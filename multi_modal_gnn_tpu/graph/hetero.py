@@ -57,9 +57,16 @@ class EdgeSet(struct.PyTreeNode):
     val: Optional[jax.Array]
     dst_count: jax.Array
     row_ptr: jax.Array
+    # Windowed layout for the Pallas MXU segment kernel (ops/pallas_segment):
+    # edges regrouped so every fixed 512-edge tile's destinations fall inside
+    # one 128-row output window; padding edges carry win_local == WINDOW.
+    win_src: Optional[jax.Array] = None  # int32 [E_win] source node per slot
+    win_local: Optional[jax.Array] = None  # int32 [E_win] dst offset in window
+    win_tile_map: Optional[jax.Array] = None  # int32 [E_win/TILE_E] window of each tile
     num_valid: int = struct.field(pytree_node=False, default=0)
     num_src: int = struct.field(pytree_node=False, default=0)
     num_dst: int = struct.field(pytree_node=False, default=0)
+    num_windows: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_padded(self) -> int:
@@ -118,6 +125,9 @@ def pad_edge_set(
         np.concatenate([val, np.zeros(pad, dtype=np.float32)]) if val is not None else None
     )
 
+    win_src, win_local, win_tile_map, num_windows = build_window_plan(
+        src, dst, num_dst
+    )
     es = EdgeSet(
         src=jnp.asarray(src_p),
         dst=jnp.asarray(dst_p),
@@ -125,13 +135,61 @@ def pad_edge_set(
         val=jnp.asarray(val_p) if val_p is not None else None,
         dst_count=jnp.asarray(counts),
         row_ptr=jnp.asarray(row_ptr),
+        win_src=jnp.asarray(win_src),
+        win_local=jnp.asarray(win_local),
+        win_tile_map=jnp.asarray(win_tile_map),
         num_valid=e,
         num_src=int(num_src),
         num_dst=int(num_dst),
+        num_windows=num_windows,
     )
     if return_host:
         return es, (src, dst, val)
     return es
+
+
+# Pallas segment-kernel layout constants (see ops/pallas_segment.py):
+WINDOW = 128  # output rows accumulated per VMEM-resident block
+# edges per grid step (one MXU matmul of WINDOW x TILE_E); 1024 matches the
+# XLA layout tiling of 1-D s32 operands (Mosaic requires block == layout tile)
+TILE_E = 1024
+
+
+def build_window_plan(
+    src: np.ndarray, dst: np.ndarray, num_dst: int, window: int = WINDOW, tile_e: int = TILE_E
+):
+    """Regroup dst-sorted edges so each ``tile_e``-edge tile maps to exactly
+    one ``window``-row output block.
+
+    Every window's edge run is padded up to a multiple of ``tile_e`` (at
+    least one tile, so every output block gets initialized).  Padding slots
+    carry ``win_local == window`` — the kernel's indicator matrix compares
+    against ``iota(window)``, so they contribute nothing.
+
+    Returns (win_src, win_local, win_tile_map, num_windows).
+    """
+    num_windows = max((num_dst + window - 1) // window, 1)
+    # edges are dst-sorted; find each window's run with searchsorted
+    boundaries = np.searchsorted(dst, np.arange(num_windows + 1) * window)
+    src_parts, local_parts, tile_map = [], [], []
+    for w in range(num_windows):
+        lo, hi = int(boundaries[w]), int(boundaries[w + 1])
+        n = hi - lo
+        n_pad = max(tile_e, ((n + tile_e - 1) // tile_e) * tile_e)
+        pad = n_pad - n
+        src_parts.append(np.concatenate([src[lo:hi], np.zeros(pad, np.int32)]))
+        local_parts.append(
+            np.concatenate(
+                [dst[lo:hi] - w * window, np.full(pad, window, np.int32)]
+            ).astype(np.int32)
+        )
+        tile_map.extend([w] * (n_pad // tile_e))
+    return (
+        np.concatenate(src_parts).astype(np.int32),
+        np.concatenate(local_parts).astype(np.int32),
+        np.asarray(tile_map, dtype=np.int32),
+        num_windows,
+    )
 
 
 class HeteroGraph(struct.PyTreeNode):

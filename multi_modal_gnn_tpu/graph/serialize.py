@@ -78,10 +78,17 @@ def load_graph(path: str | Path) -> GraphBundle:
             et = tuple(entry["edge_type"])
             key = _SEP.join(et)
             n_valid = int(entry["num_valid"])
+            src_host = data[f"{key}{_SEP}src"][:n_valid]
+            dst_host = data[f"{key}{_SEP}dst"][:n_valid]
             host_edges[et] = (
-                data[f"{key}{_SEP}src"][:n_valid],
-                data[f"{key}{_SEP}dst"][:n_valid],
+                src_host,
+                dst_host,
                 data[f"{key}{_SEP}val"][:n_valid] if entry["has_val"] else None,
+            )
+            from multi_modal_gnn_tpu.graph.hetero import build_window_plan
+
+            win_src, win_local, win_tile_map, num_windows = build_window_plan(
+                src_host.astype(np.int32), dst_host.astype(np.int32), int(entry["num_dst"])
             )
             edges[et] = EdgeSet(
                 src=jnp.asarray(data[f"{key}{_SEP}src"]),
@@ -90,9 +97,13 @@ def load_graph(path: str | Path) -> GraphBundle:
                 val=jnp.asarray(data[f"{key}{_SEP}val"]) if entry["has_val"] else None,
                 dst_count=jnp.asarray(data[f"{key}{_SEP}dst_count"]),
                 row_ptr=jnp.asarray(data[f"{key}{_SEP}row_ptr"]),
+                win_src=jnp.asarray(win_src),
+                win_local=jnp.asarray(win_local),
+                win_tile_map=jnp.asarray(win_tile_map),
                 num_valid=int(entry["num_valid"]),
                 num_src=int(entry["num_src"]),
                 num_dst=int(entry["num_dst"]),
+                num_windows=num_windows,
             )
         degree = jnp.asarray(data["patient_lab_degree"])
 

@@ -1,0 +1,148 @@
+"""Fused segment reduction as MXU matmuls (Pallas TPU kernel).
+
+The neighbor-aggregation scatter-add — the one place the reference leans on
+compiled CUDA (torch-scatter, via PyG's SAGEConv; reference
+requirements.txt:13-22) — reformulated for the TPU systolic array:
+
+  * edges are dst-sorted and regrouped at graph-build time into a *windowed*
+    layout (graph/hetero.py:build_window_plan): every fixed 512-edge tile's
+    destinations fall inside one 128-row output window, and each window owns
+    a whole number of tiles;
+  * per grid step the kernel builds a segment-indicator matrix
+    ``S[w, e] = (win_local[e] == w)`` (128 x 512, VPU compare against a
+    broadcasted iota) and accumulates ``S @ G_tile`` (128x512 @ 512x128)
+    straight on the MXU into the window's VMEM-resident output block;
+  * consecutive tiles of the same window revisit the same output block
+    (index map reads the tile->window table via scalar prefetch), so
+    accumulation happens in VMEM and each output row is written to HBM once;
+  * padding slots carry ``win_local == 128`` — the indicator compare kills
+    them, no masking multiplies needed.
+
+The gather ``G = x_src[win_src]`` stays an XLA gather (TPU lowers it to
+efficient dynamic-slice DMA streams), and the backward pass is just the
+transpose gather ``dG[e] = g_out[dst[e]]`` — wired up via custom_vjp.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multi_modal_gnn_tpu.graph.hetero import TILE_E, WINDOW, EdgeSet
+
+
+def _segment_kernel(tile_map_ref, local_ref, g_ref, out_ref):
+    """One grid step: out[window] += indicator(local) @ g_tile."""
+    t = pl.program_id(0)
+
+    # first tile of a window initializes its output block
+    is_first = t == 0
+    prev_same = jnp.where(t > 0, tile_map_ref[jnp.maximum(t - 1, 0)], -1)
+    new_window = jnp.logical_or(is_first, prev_same != tile_map_ref[t])
+
+    @pl.when(new_window)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # indicator: S[w, e] = 1.0 where this tile's edge e lands on window row w
+    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
+    locals_2d = local_ref[:].reshape(1, TILE_E)
+    s = (locals_2d == rows).astype(g_ref.dtype)
+    out_ref[:] += jnp.dot(s, g_ref[:], preferred_element_type=out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_windows", "interpret"))
+def _windowed_segment_sum_fwd(
+    gathered: jax.Array,  # [E_win, D] f32 — x_src rows in windowed edge order
+    win_local: jax.Array,  # [E_win] int32 — dst offset within window (128 = pad)
+    win_tile_map: jax.Array,  # [E_win / TILE_E] int32 — window of each tile
+    num_windows: int,
+    interpret: bool = False,
+) -> jax.Array:
+    e_win, d = gathered.shape
+    num_tiles = e_win // TILE_E
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # win_tile_map drives the output index map
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_E,), lambda t, tm: (t,)),
+            pl.BlockSpec((TILE_E, d), lambda t, tm: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((WINDOW, d), lambda t, tm: (tm[t], 0)),
+    )
+    return pl.pallas_call(
+        _segment_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_windows * WINDOW, d), gathered.dtype),
+        interpret=interpret,
+    )(win_tile_map, win_local, gathered)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def windowed_segment_sum(gathered, win_local, win_tile_map, num_windows, interpret=False):
+    """sum of ``gathered`` rows per destination; output [num_windows*128, D]."""
+    return _windowed_segment_sum_fwd(
+        gathered, win_local, win_tile_map, num_windows, interpret
+    )
+
+
+def _wss_fwd(gathered, win_local, win_tile_map, num_windows, interpret):
+    out = _windowed_segment_sum_fwd(
+        gathered, win_local, win_tile_map, num_windows, interpret
+    )
+    return out, (win_local, win_tile_map)
+
+
+def _wss_bwd(num_windows, interpret, res, g_out):
+    # dG[e] = g_out[global_dst[e]]; padding rows hit a zero contribution
+    win_local, win_tile_map = res
+    tiles = win_local.shape[0] // TILE_E
+    window_of_edge = jnp.repeat(win_tile_map[:tiles], TILE_E)
+    global_dst = window_of_edge * WINDOW + jnp.minimum(win_local, WINDOW - 1)
+    is_pad = win_local >= WINDOW
+    grad = jnp.take(g_out, global_dst, axis=0)
+    grad = jnp.where(is_pad[:, None], 0.0, grad)
+    # int32 inputs have float0 tangents
+    zero_local = np.zeros(win_local.shape, dtype=jax.dtypes.float0)
+    zero_map = np.zeros(win_tile_map.shape, dtype=jax.dtypes.float0)
+    return (grad, zero_local, zero_map)
+
+
+windowed_segment_sum.defvjp(_wss_fwd, _wss_bwd)
+
+
+def gather_segment_aggregate(
+    x_src: jax.Array,
+    edges: EdgeSet,
+    aggregation: Literal["mean", "sum"] = "mean",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Pallas-backed neighbor aggregation: gather + windowed MXU segment sum.
+
+    Drop-in for the XLA path in ops/segment.py (same [num_dst, D] output).
+    ``max`` aggregation is not MXU-expressible this way and falls back.
+    """
+    if edges.win_src is None:
+        raise ValueError("EdgeSet has no windowed layout; rebuild the graph")
+    if aggregation not in ("mean", "sum"):
+        from multi_modal_gnn_tpu.ops.segment import aggregate_neighbors
+
+        return aggregate_neighbors(x_src, edges, aggregation, impl="xla")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    gathered = jnp.take(x_src, edges.win_src, axis=0)
+    out = windowed_segment_sum(
+        gathered, edges.win_local, edges.win_tile_map, edges.num_windows, interpret
+    )[: edges.num_dst]
+    if aggregation == "sum":
+        return out
+    denom = jnp.maximum(edges.dst_count, 1.0).astype(out.dtype)
+    return out / denom[:, None]

@@ -30,9 +30,15 @@ def _edge_set_pspec(es: EdgeSet, axis: str) -> EdgeSet:
         val=P(axis) if es.val is not None else None,
         dst_count=P(),
         row_ptr=P(),
+        # windowed-kernel arrays are only consumed by the single-chip Pallas
+        # path; replicate (their padded length need not divide the mesh)
+        win_src=P() if es.win_src is not None else None,
+        win_local=P() if es.win_local is not None else None,
+        win_tile_map=P() if es.win_tile_map is not None else None,
         num_valid=es.num_valid,
         num_src=es.num_src,
         num_dst=es.num_dst,
+        num_windows=es.num_windows,
     )
 
 

@@ -1,0 +1,98 @@
+"""Pallas windowed segment kernel vs the XLA path (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_modal_gnn_tpu.graph.hetero import TILE_E, WINDOW, build_window_plan, pad_edge_set
+from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate
+from multi_modal_gnn_tpu.ops.segment import aggregate_neighbors
+
+
+def _random_edges(rng, num_src, num_dst, e):
+    src = rng.integers(0, num_src, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, num_dst, e)).astype(np.int32)
+    return src, dst
+
+
+class TestWindowPlan:
+    def test_plan_invariants(self, rng):
+        num_src, num_dst, e = 50, 300, 2000
+        src, dst = _random_edges(rng, num_src, num_dst, e)
+        win_src, win_local, tile_map, num_windows = build_window_plan(src, dst, num_dst)
+        assert num_windows == (num_dst + WINDOW - 1) // WINDOW
+        assert len(win_src) % TILE_E == 0
+        assert len(tile_map) == len(win_src) // TILE_E
+        # every window owns at least one tile and tiles are window-contiguous
+        assert set(tile_map.tolist()) == set(range(num_windows))
+        assert np.all(np.diff(tile_map) >= 0)
+        # every real edge appears exactly once with correct local offset
+        valid = win_local < WINDOW
+        assert valid.sum() == e
+        window_of_edge = np.repeat(tile_map, TILE_E)
+        recon_dst = window_of_edge[valid] * WINDOW + win_local[valid]
+        np.testing.assert_array_equal(np.sort(recon_dst), np.sort(dst))
+
+    def test_empty_window_gets_tile(self):
+        # all edges land in window 0; window 1 must still own a tile
+        src = np.zeros(4, np.int32)
+        dst = np.array([0, 1, 2, 3], np.int32)
+        _, _, tile_map, num_windows = build_window_plan(src, dst, num_dst=256)
+        assert num_windows == 2
+        assert 1 in set(tile_map.tolist())
+
+
+@pytest.mark.parametrize("aggregation", ["mean", "sum"])
+@pytest.mark.parametrize("shape", [(40, 90, 700, 128), (10, 10, 50, 128), (64, 500, 3000, 64)])
+def test_pallas_matches_xla(rng, aggregation, shape):
+    num_src, num_dst, e, d = shape
+    src, dst = _random_edges(rng, num_src, num_dst, e)
+    es = pad_edge_set(src, dst, num_src=num_src, num_dst=num_dst, pad_multiple=512)
+    x = jnp.asarray(rng.standard_normal((num_src, d)).astype(np.float32))
+
+    want = np.asarray(aggregate_neighbors(x, es, aggregation, impl="xla"))
+    got = np.asarray(gather_segment_aggregate(x, es, aggregation, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_gradient_matches_xla(rng):
+    num_src, num_dst, e, d = 30, 70, 400, 32
+    src, dst = _random_edges(rng, num_src, num_dst, e)
+    es = pad_edge_set(src, dst, num_src=num_src, num_dst=num_dst, pad_multiple=512)
+    x = jnp.asarray(rng.standard_normal((num_src, d)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((num_dst, d)).astype(np.float32))
+
+    def loss_pallas(x):
+        return (gather_segment_aggregate(x, es, "mean", interpret=True) * w).sum()
+
+    def loss_xla(x):
+        return (aggregate_neighbors(x, es, "mean", impl="xla") * w).sum()
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(x))
+    g_xla = np.asarray(jax.grad(loss_xla)(x))
+    np.testing.assert_allclose(g_pallas, g_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_model_with_pallas_impl(tiny_graph):
+    """Full model forward with impl='pallas' (interpret) == impl='xla'."""
+    from multi_modal_gnn_tpu.config import Config
+    from multi_modal_gnn_tpu.models.factory import build_model, init_model_variables
+
+    cfg = Config()
+    cfg_p = cfg.replace(model=dataclasses.replace(cfg.model, hidden_dim=32, use_pallas=True))
+    cfg_x = cfg.replace(model=dataclasses.replace(cfg.model, hidden_dim=32, use_pallas=False))
+
+    model_x = build_model(cfg_x, tiny_graph)
+    variables = init_model_variables(model_x, tiny_graph, jax.random.key(0))
+    model_p = build_model(cfg_p, tiny_graph)
+
+    p = jnp.arange(16, dtype=jnp.int32) % tiny_graph.num_nodes("patient")
+    l = jnp.arange(16, dtype=jnp.int32) % tiny_graph.num_nodes("lab")
+    out_x = model_x.apply(variables, tiny_graph, p, l, train=False,
+                          method=model_x.predict_lab_values)
+    out_p = model_p.apply(variables, tiny_graph, p, l, train=False,
+                          method=model_p.predict_lab_values)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-5)
