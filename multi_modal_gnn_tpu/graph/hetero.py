@@ -103,18 +103,23 @@ def pad_edge_set(
     if e and (dst.min() < 0 or dst.max() >= num_dst):
         raise ValueError(f"dst indices out of range [0, {num_dst})")
 
+    # sort + counts + CSR in one pass — native counting sort when built
+    # (native/graphcore.cpp), stable numpy argsort otherwise
+    from multi_modal_gnn_tpu import native
+
     if sort_by_dst and e:
-        order = np.argsort(dst, kind="stable")
+        order, counts_i32, row_ptr = native.sort_edges_by_dst(dst, num_dst)
         src, dst = src[order], dst[order]
         if val is not None:
             val = val[order]
-
-    counts_int = (
-        np.bincount(dst, minlength=num_dst) if e else np.zeros(num_dst, dtype=np.int64)
-    )
-    counts = counts_int.astype(np.float32)
-    row_ptr = np.zeros(num_dst + 1, dtype=np.int32)
-    row_ptr[1:] = np.cumsum(counts_int).astype(np.int32)
+        counts = counts_i32.astype(np.float32)
+    else:
+        counts_int = (
+            np.bincount(dst, minlength=num_dst) if e else np.zeros(num_dst, dtype=np.int64)
+        )
+        counts = counts_int.astype(np.float32)
+        row_ptr = np.zeros(num_dst + 1, dtype=np.int32)
+        row_ptr[1:] = np.cumsum(counts_int).astype(np.int32)
 
     e_pad = _round_up(e, pad_multiple) if pad_multiple else max(e, 1)
     pad = e_pad - e
@@ -126,7 +131,7 @@ def pad_edge_set(
     )
 
     win_src, win_local, win_tile_map, num_windows = build_window_plan(
-        src, dst, num_dst
+        src, dst, num_dst, row_ptr=row_ptr
     )
     es = EdgeSet(
         src=jnp.asarray(src_p),
@@ -156,7 +161,12 @@ TILE_E = 1024
 
 
 def build_window_plan(
-    src: np.ndarray, dst: np.ndarray, num_dst: int, window: int = WINDOW, tile_e: int = TILE_E
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_dst: int,
+    window: int = WINDOW,
+    tile_e: int = TILE_E,
+    row_ptr: Optional[np.ndarray] = None,
 ):
     """Regroup dst-sorted edges so each ``tile_e``-edge tile maps to exactly
     one ``window``-row output block.
@@ -168,6 +178,16 @@ def build_window_plan(
 
     Returns (win_src, win_local, win_tile_map, num_windows).
     """
+    from multi_modal_gnn_tpu import native
+
+    if native.available():
+        if row_ptr is None:
+            row_ptr = np.zeros(num_dst + 1, dtype=np.int32)
+            row_ptr[1:] = np.cumsum(np.bincount(dst, minlength=num_dst)).astype(np.int32)
+        result = native.window_plan(src, dst, row_ptr, num_dst, window, tile_e)
+        if result is not None:
+            return result
+
     num_windows = max((num_dst + window - 1) // window, 1)
     # edges are dst-sorted; find each window's run with searchsorted
     boundaries = np.searchsorted(dst, np.arange(num_windows + 1) * window)

@@ -58,8 +58,16 @@ class NodeIndexer:
 
     def add_many(self, entity_ids: Iterable) -> np.ndarray:
         """Vectorized bulk add preserving first-seen order; returns indices."""
-        canon = [canonical_id(e) for e in entity_ids]
-        codes, uniques = pd.factorize(pd.Series(canon), sort=False)
+        arr = np.asarray(entity_ids) if not isinstance(entity_ids, np.ndarray) else entity_ids
+        if np.issubdtype(arr.dtype, np.integer):
+            # integer IDs are already canonical — native O(n) factorizer
+            from multi_modal_gnn_tpu import native
+
+            codes, uniques = native.factorize(arr)
+            uniques = [int(u) for u in uniques]
+        else:
+            canon = [canonical_id(e) for e in arr]
+            codes, uniques = pd.factorize(pd.Series(canon), sort=False)
         base = len(self.index_to_id)
         remap = np.empty(len(uniques), dtype=np.int64)
         for u_pos, uid in enumerate(uniques):

@@ -1,0 +1,118 @@
+"""Native graphcore (C++) vs numpy fallback parity, and speed sanity."""
+
+import subprocess
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from multi_modal_gnn_tpu import native
+from multi_modal_gnn_tpu.graph.hetero import WINDOW, TILE_E, build_window_plan
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    """Build the shared library if the toolchain is available."""
+    if not (NATIVE_DIR / "libgraphcore.so").exists():
+        try:
+            subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            pytest.skip("native toolchain unavailable")
+    # force a (re)load attempt now that the lib exists
+    native._load_attempted = False
+    native._lib = None
+    if not native.available():
+        pytest.skip("libgraphcore.so failed to load")
+    yield
+
+
+def test_sort_matches_numpy(rng):
+    e, num_dst = 100_000, 777
+    dst = rng.integers(0, num_dst, e).astype(np.int32)
+    src = rng.integers(0, 5000, e).astype(np.int32)
+    perm, counts, row_ptr = native.sort_edges_by_dst(dst, num_dst)
+    # sorted and stable
+    sorted_dst = dst[perm]
+    assert np.all(np.diff(sorted_dst) >= 0)
+    want_perm = np.argsort(dst, kind="stable")
+    np.testing.assert_array_equal(perm, want_perm)
+    np.testing.assert_array_equal(counts, np.bincount(dst, minlength=num_dst))
+    np.testing.assert_array_equal(row_ptr[1:], np.cumsum(counts))
+    assert row_ptr[0] == 0
+    _ = src
+
+
+def test_factorize_matches_pandas(rng):
+    import pandas as pd
+
+    ids = rng.integers(0, 500, 20_000).astype(np.int64) * 13 + 7
+    codes, uniques = native.factorize(ids)
+    want_codes, want_uniques = pd.factorize(ids, sort=False)
+    np.testing.assert_array_equal(codes, want_codes)
+    np.testing.assert_array_equal(uniques, want_uniques)
+
+
+def test_factorize_string_fallback():
+    codes, uniques = native.factorize(np.array(["b", "a", "b", "c"]))
+    np.testing.assert_array_equal(codes, [0, 1, 0, 2])
+    assert list(uniques) == ["b", "a", "c"]
+
+
+def test_window_plan_matches_numpy(rng):
+    e, num_dst = 20_000, 300
+    dst = np.sort(rng.integers(0, num_dst, e)).astype(np.int32)
+    src = rng.integers(0, 1000, e).astype(np.int32)
+    row_ptr = np.zeros(num_dst + 1, dtype=np.int32)
+    row_ptr[1:] = np.cumsum(np.bincount(dst, minlength=num_dst))
+
+    got = native.window_plan(src, dst, row_ptr, num_dst, WINDOW, TILE_E)
+    assert got is not None
+    g_src, g_local, g_map, g_windows = got
+
+    w_src, w_local, w_map, w_windows = _numpy_plan(src, dst, num_dst)
+
+    np.testing.assert_array_equal(g_src, w_src)
+    np.testing.assert_array_equal(g_local, w_local)
+    np.testing.assert_array_equal(g_map, w_map)
+    assert g_windows == w_windows
+
+
+def _numpy_plan(src, dst, num_dst):
+    """Inline copy of the pure-numpy window plan for comparison."""
+    num_windows = max((num_dst + WINDOW - 1) // WINDOW, 1)
+    boundaries = np.searchsorted(dst, np.arange(num_windows + 1) * WINDOW)
+    src_parts, local_parts, tile_map = [], [], []
+    for w in range(num_windows):
+        lo, hi = int(boundaries[w]), int(boundaries[w + 1])
+        n = hi - lo
+        n_pad = max(TILE_E, ((n + TILE_E - 1) // TILE_E) * TILE_E)
+        pad = n_pad - n
+        src_parts.append(np.concatenate([src[lo:hi], np.zeros(pad, np.int32)]))
+        local_parts.append(
+            np.concatenate([dst[lo:hi] - w * WINDOW, np.full(pad, WINDOW, np.int32)]).astype(
+                np.int32
+            )
+        )
+        tile_map.extend([w] * (n_pad // TILE_E))
+    return (
+        np.concatenate(src_parts).astype(np.int32),
+        np.concatenate(local_parts).astype(np.int32),
+        np.asarray(tile_map, np.int32),
+        num_windows,
+    )
+
+
+def test_native_sort_faster_at_scale(rng):
+    e = 3_000_000
+    dst = rng.integers(0, 100_000, e).astype(np.int32)
+    t0 = time.perf_counter()
+    perm, _, _ = native.sort_edges_by_dst(dst, 100_000)
+    native_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.argsort(dst, kind="stable")
+    numpy_t = time.perf_counter() - t0
+    # counting sort should comfortably beat comparison sort at this size
+    assert native_t < numpy_t, (native_t, numpy_t)
