@@ -153,6 +153,7 @@ class Trainer:
         edge_key = jax.random.fold_in(dropout_key, 1)
         if self._axis_name is not None:
             edge_key = jax.random.fold_in(edge_key, jax.lax.axis_index(self._axis_name))
+        kwargs = {"mutable": mutable} if mutable else {}
         out = self.model.apply(
             variables,
             graph,
@@ -161,7 +162,7 @@ class Trainer:
             train=True,
             method=self.model.predict_lab_values,
             rngs={"dropout": dropout_key, "edge_dropout": edge_key},
-            mutable=mutable,
+            **kwargs,
         )
         if mutable:
             preds, new_vars = out
@@ -356,6 +357,12 @@ class Trainer:
         if resume_from is not None:
             self.restore(resume_from)
 
+        metrics_writer = None
+        if output_dir is not None:
+            from multi_modal_gnn_tpu.utils.profiling import MetricsWriter
+
+            metrics_writer = MetricsWriter(output_dir / "metrics.jsonl")
+
         logger.info("Starting training: %d epochs (from epoch %d)", tc.epochs, self.epoch)
         t_start = time.perf_counter()
         epoch_times = []
@@ -381,6 +388,14 @@ class Trainer:
                 logger.info(
                     "Epoch %3d | train %.4f | val %.4f | lr %.2e | %.3fs",
                     self.epoch, train_loss, val_loss, new_lr, epoch_times[-1],
+                )
+            if metrics_writer is not None:
+                metrics_writer.write(
+                    self.epoch,
+                    train_loss=train_loss,
+                    val_loss=val_loss,
+                    lr=new_lr,
+                    epoch_time_s=epoch_times[-1],
                 )
 
             if val_loss < self.best_val_loss:
@@ -416,6 +431,8 @@ class Trainer:
             len(self.history["train_loss"]), total_time, self.history["train_edges_per_sec"],
         )
 
+        if metrics_writer is not None:
+            metrics_writer.close()
         if output_dir is not None:
             save_json(
                 {k: self.history[k] for k in ("train_loss", "val_loss", "learning_rates")},
@@ -473,8 +490,12 @@ def train_pipeline(
     """End-to-end training stage (reference src/train.py:568-644): build the
     model, train with early stopping, evaluate the best state on the test
     split, and write training_history.json / test_results.json."""
+    from multi_modal_gnn_tpu.utils.profiling import apply_debug_flags, maybe_init_wandb
+
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    apply_debug_flags(config)
+    wandb_run = maybe_init_wandb(config)
     graph = bundle.graph
     tc = config.train
 
@@ -502,4 +523,7 @@ def train_pipeline(
     }
     save_json(results, output_dir / "test_results.json")
     logger.info("Test loss (%s): %.4f", tc.loss, test_loss)
+    if wandb_run is not None:
+        wandb_run.log(results)
+        wandb_run.finish()
     return trainer, results
