@@ -270,7 +270,7 @@ class TrainConfig:
 class EvaluationConfig:
     regression_metrics: Tuple[str, ...] = ("mae", "rmse", "r2", "mape")
     per_lab_metrics: bool = True
-    baselines: Tuple[str, ...] = ("global_mean", "per_lab_mean")
+    baselines: Tuple[str, ...] = ("global_mean", "per_lab_mean", "nearest_neighbor")
     stratify_by: Tuple[str, ...] = ("num_labs", "lab_frequency")
     winsorize_sigma: float = 3.0  # post-hoc residual cap (reference: evaluate.py:429)
     extras: Dict[str, Any] = field(default_factory=dict)

@@ -45,12 +45,57 @@ class PerLabMeanBaseline:
         return self.lab_means[np.asarray(lab_indices)]
 
 
+class NearestNeighborBaseline:
+    """Predict from the most-similar patient who has the target lab observed.
+
+    Similarity = cosine over the patients' observed-lab value vectors
+    (missing entries zero).  The reference lists this baseline in its config
+    (conf/config.yaml:286) but never implements it; here it is real.
+    Vectorized: one (P x P) similarity matmul, then per-query argmax over
+    patients observing the lab.
+    """
+
+    def __init__(self, num_patients: int, num_labs: int):
+        self.num_patients = num_patients
+        self.num_labs = num_labs
+        self.matrix = np.zeros((num_patients, num_labs), dtype=np.float64)
+        self.observed = np.zeros((num_patients, num_labs), dtype=bool)
+
+    def fit(
+        self,
+        values: np.ndarray,
+        patient_indices: np.ndarray,
+        lab_indices: np.ndarray,
+    ) -> "NearestNeighborBaseline":
+        self.matrix[patient_indices, lab_indices] = values
+        self.observed[patient_indices, lab_indices] = True
+        norms = np.linalg.norm(self.matrix, axis=1, keepdims=True)
+        self._unit = self.matrix / np.maximum(norms, 1e-12)
+        return self
+
+    def predict(self, patient_indices: np.ndarray, lab_indices: np.ndarray) -> np.ndarray:
+        sims = self._unit[patient_indices] @ self._unit.T  # [Q, P]
+        q = np.arange(len(patient_indices))
+        sims[q, patient_indices] = -np.inf  # never yourself
+        # mask to donors who observed the target lab
+        donor_ok = self.observed[:, lab_indices].T  # [Q, P]
+        sims = np.where(donor_ok, sims, -np.inf)
+        best = np.argmax(sims, axis=1)
+        preds = self.matrix[best, lab_indices]
+        # no donor at all -> fall back to 0 (the global normalized mean)
+        has_donor = np.isfinite(sims[q, best])
+        return np.where(has_donor, preds, 0.0)
+
+
 def evaluate_baselines(
     train_values: np.ndarray,
     train_lab_indices: np.ndarray,
     test_values: np.ndarray,
     test_lab_indices: np.ndarray,
     num_labs: int,
+    train_patient_indices: np.ndarray | None = None,
+    test_patient_indices: np.ndarray | None = None,
+    num_patients: int | None = None,
 ) -> Dict[str, Dict[str, float]]:
     results = {}
     gm = GlobalMeanBaseline().fit(train_values)
@@ -61,4 +106,11 @@ def evaluate_baselines(
     results["per_lab_mean"] = compute_regression_metrics(
         plm.predict(test_lab_indices), test_values
     )
+    if train_patient_indices is not None and num_patients is not None:
+        nn = NearestNeighborBaseline(num_patients, num_labs).fit(
+            train_values, train_patient_indices, train_lab_indices
+        )
+        results["nearest_neighbor"] = compute_regression_metrics(
+            nn.predict(test_patient_indices, test_lab_indices), test_values
+        )
     return results

@@ -80,9 +80,15 @@ def evaluate_model(
 
     # baselines fitted on the real train split
     if config.evaluation.baselines:
+        from multi_modal_gnn_tpu.graph.schema import PATIENT
+
         tr_p, tr_l, tr_v = trainer.masker.split_arrays("train")
+        want_nn = "nearest_neighbor" in config.evaluation.baselines
         results["baselines"] = evaluate_baselines(
-            tr_v, tr_l, targets, lab_idx, graph.num_nodes(LAB)
+            tr_v, tr_l, targets, lab_idx, graph.num_nodes(LAB),
+            train_patient_indices=tr_p if want_nn else None,
+            test_patient_indices=patient_idx if want_nn else None,
+            num_patients=graph.num_nodes(PATIENT) if want_nn else None,
         )
         for name, m in results["baselines"].items():
             if m["mae"] > 0:

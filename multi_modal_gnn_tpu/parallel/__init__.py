@@ -22,3 +22,4 @@ from multi_modal_gnn_tpu.parallel.sharding import (  # noqa: F401
     shard_graph,
 )
 from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer  # noqa: F401
+from multi_modal_gnn_tpu.parallel.gspmd import GSPMDTrainer, make_2d_mesh  # noqa: F401

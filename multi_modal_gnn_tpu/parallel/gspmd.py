@@ -1,0 +1,125 @@
+"""GSPMD trainer: 2-D (data x model) mesh with sharding annotations.
+
+Complementary to the explicit shard_map DP trainer (parallel/dp.py): here we
+only *place* arrays —
+
+  * the patient ID-embedding table (the one table that grows with the
+    cohort: 100k patients x 128 = 51 MB + 2x adam moments) sharded row-wise
+    over the ``model`` axis,
+  * edge arrays and the supervised batch sharded over ``data``,
+  * everything else replicated —
+
+and let XLA's SPMD partitioner insert the all-gathers / reduce-scatters.
+The optimizer state inherits the parameter shardings automatically because
+``tx.init`` runs under jit on the sharded parameters.  This is the
+"pick a mesh, annotate, let XLA insert collectives" recipe; the shard_map
+trainer is the explicit-collectives counterpart with hand-placed psums.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
+from multi_modal_gnn_tpu.graph.schema import PATIENT
+from multi_modal_gnn_tpu.models.factory import build_model, init_model_variables
+from multi_modal_gnn_tpu.parallel.sharding import batch_pspec, graph_pspecs
+from multi_modal_gnn_tpu.training.masker import EdgeMasker
+from multi_modal_gnn_tpu.training.trainer import Trainer
+from multi_modal_gnn_tpu.utils.rng import RngSequence
+
+logger = logging.getLogger(__name__)
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_2d_mesh(
+    num_devices: int = 0, model_parallel: int = 2, devices=None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+def _param_pspec(path_parts, leaf) -> P:
+    """Patient embedding rows over the model axis; everything else replicated."""
+    path = "/".join(str(getattr(p, "key", p)) for p in path_parts)
+    if f"embed_{PATIENT}" in path and leaf.ndim >= 1:
+        return P(MODEL_AXIS)
+    return P()
+
+
+class GSPMDTrainer(Trainer):
+    """Trainer whose arrays are mesh-placed; XLA partitions the jitted step."""
+
+    def __init__(
+        self,
+        graph: HeteroGraph,
+        masker: EdgeMasker,
+        config: Config,
+        mesh: Optional[Mesh] = None,
+        rngs: Optional[RngSequence] = None,
+    ):
+        self.mesh = mesh if mesh is not None else make_2d_mesh()
+        num_patients = graph.num_nodes(PATIENT)
+        model_size = self.mesh.shape[MODEL_AXIS]
+        if num_patients % model_size:
+            raise ValueError(
+                f"patient count {num_patients} not divisible by model axis {model_size}"
+            )
+
+        rngs = rngs or RngSequence(config.train.seed)
+        model = build_model(config, graph)  # no axis_name: GSPMD inserts comms
+        variables = init_model_variables(model, graph, rngs.next("init"))
+        variables = dict(variables)
+        variables["params"] = jax.tree_util.tree_map_with_path(
+            lambda path, x: jax.device_put(
+                x, NamedSharding(self.mesh, _param_pspec(path, x))
+            ),
+            variables["params"],
+        )
+
+        graph = self._shard_graph(graph)
+        super().__init__(model, graph, masker, config, variables=variables, rngs=rngs)
+        logger.info(
+            "GSPMD trainer: mesh %s, patient table sharded %d-way",
+            dict(self.mesh.shape), model_size,
+        )
+
+    def _shard_graph(self, graph: HeteroGraph) -> HeteroGraph:
+        specs = graph_pspecs(graph, DATA_AXIS)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), graph, specs
+        )
+
+    def _build_steps(self) -> None:
+        super()._build_steps()
+        # shard split batches over the data axis once they're materialized
+        original_get_split = self.masker.get_split
+
+        def sharded_get_split(split):
+            batch = original_get_split(split)
+            spec = batch_pspec(batch, DATA_AXIS)
+            return jax.tree_util.tree_map(
+                lambda x, s: (
+                    jax.device_put(x, NamedSharding(self.mesh, s))
+                    if hasattr(x, "shape")
+                    else x
+                ),
+                batch,
+                spec,
+            )
+
+        self.masker.get_split = sharded_get_split

@@ -134,3 +134,7 @@ def apply_debug_flags(config) -> None:
     if rc.debug_nans:
         jax.config.update("jax_debug_nans", True)
         logger.info("jax_debug_nans enabled")
+    if rc.deterministic:
+        from multi_modal_gnn_tpu.utils.rng import set_deterministic
+
+        set_deterministic(True)

@@ -23,6 +23,27 @@ def set_global_seeds(seed: int = 42) -> None:
     np.random.seed(seed)
 
 
+def set_deterministic(enabled: bool = True) -> None:
+    """Determinism switch (reference: src/utils.py:107-126, torch's
+    use_deterministic_algorithms).  XLA:TPU is deterministic by default for
+    a fixed program; this additionally pins reduction determinism on GPU
+    backends and is otherwise a documented no-op."""
+    import os
+
+    if enabled:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_gpu_deterministic_ops" not in flags:
+            os.environ["XLA_FLAGS"] = flags + " --xla_gpu_deterministic_ops=true"
+
+
+def compute_class_weights(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    """Inverse-frequency class weights normalized to mean 1 (reference:
+    src/utils.py compute_class_weights)."""
+    counts = np.bincount(np.asarray(labels, dtype=np.int64), minlength=num_classes)
+    weights = 1.0 / np.maximum(counts, 1)
+    return (weights * num_classes / weights.sum()).astype(np.float32)
+
+
 class RngSequence:
     """Named, counted PRNG key streams derived from one root seed.
 

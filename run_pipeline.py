@@ -178,6 +178,13 @@ def main() -> int:
     parser.add_argument("--step", default=None, help="step number N or range A-B (1-based)")
     parser.add_argument("--no-confirm", action="store_true", help="run without prompts")
     parser.add_argument("--list", action="store_true", help="list steps and exit")
+    # inference-step options (reference src/inference.py:418-430)
+    parser.add_argument("--patient-id", type=int, default=None,
+                        help="inference: report a specific patient entity id")
+    parser.add_argument("--num-examples", type=int, default=5,
+                        help="inference: number of example patients")
+    parser.add_argument("--detailed", action="store_true",
+                        help="inference: include measured/imputed lab listings")
     args = parser.parse_args()
 
     if args.list:
@@ -201,6 +208,22 @@ def main() -> int:
         config.logging.level,
         config.logging.log_file if config.logging.save_to_file else None,
     )
+
+    # bind inference CLI options into its step function
+    import functools
+
+    for i, (name, desc, fn) in enumerate(STEPS):
+        if name == "inference":
+            STEPS[i] = (
+                name,
+                desc,
+                functools.partial(
+                    step_inference,
+                    patient_id=args.patient_id,
+                    num_examples=args.num_examples,
+                    detailed=args.detailed,
+                ),
+            )
 
     indices = (
         parse_step_range(args.step, len(STEPS)) if args.step else range(len(STEPS))

@@ -91,3 +91,33 @@ def test_stratifications(rng):
         assert v["mae"] == pytest.approx(0.2, abs=1e-9)
     by_freq = stratify_by_lab_frequency(pr, y, l_idx, lab_counts)
     assert sum(v["num_samples"] for v in by_freq.values()) == n
+
+
+def test_nearest_neighbor_baseline(rng):
+    from multi_modal_gnn_tpu.evaluation.baselines import NearestNeighborBaseline
+
+    # two exact twin patients: the NN prediction for a held-out lab must be
+    # the twin's value
+    num_patients, num_labs = 4, 5
+    nn = NearestNeighborBaseline(num_patients, num_labs)
+    p = np.array([0, 0, 0, 1, 1, 1, 2, 3])
+    l = np.array([0, 1, 2, 0, 1, 2, 0, 4])
+    v = np.array([1.0, 2.0, 3.0, 1.0, 2.0, 2.9, -5.0, 7.0])
+    nn.fit(v, p, l)
+    # patient 0's lab 2 held out -> nearest donor should be twin patient 1
+    pred = nn.predict(np.array([0]), np.array([2]))
+    assert pred[0] == pytest.approx(2.9)
+    # lab nobody observed -> fallback 0
+    pred2 = nn.predict(np.array([0]), np.array([3]))
+    assert pred2[0] == 0.0
+    # never predicts from yourself even if you observed the lab
+    pred3 = nn.predict(np.array([3]), np.array([4]))
+    assert pred3[0] == 0.0  # no other donor has lab 4
+
+
+def test_class_weights():
+    from multi_modal_gnn_tpu.utils.rng import compute_class_weights
+
+    w = compute_class_weights(np.array([0, 0, 0, 1]), num_classes=2)
+    assert w[1] > w[0]
+    assert w.mean() == pytest.approx(1.0, rel=1e-6)

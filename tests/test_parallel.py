@@ -100,3 +100,43 @@ def test_dp_trains_with_dropout(setup):
         dp.epoch += 1
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 1.5  # sane, not exploding
+
+
+class TestGSPMD:
+    def test_2d_mesh_matches_single_device(self, setup):
+        """(4 data x 2 model) GSPMD step with the patient table sharded
+        row-wise must reproduce single-device numerics (dropout off)."""
+        from multi_modal_gnn_tpu.parallel.gspmd import GSPMDTrainer, make_2d_mesh
+
+        cfg, bundle = setup
+        graph = bundle.graph
+
+        single = Trainer(build_model(cfg, graph), graph, EdgeMasker(graph, seed=42), cfg)
+        mesh = make_2d_mesh(8, model_parallel=2)
+        gsp = GSPMDTrainer(graph, EdgeMasker(graph, seed=42), cfg, mesh=mesh)
+
+        # patient embedding lives sharded over the model axis
+        emb = gsp.state.params["embed_patient"]["embedding"]
+        assert not emb.sharding.is_fully_replicated
+
+        losses_s, losses_g = [], []
+        for _ in range(4):
+            losses_s.append(single.train_epoch())
+            single.epoch += 1
+            losses_g.append(gsp.train_epoch())
+            gsp.epoch += 1
+        np.testing.assert_allclose(losses_s, losses_g, rtol=2e-4)
+        np.testing.assert_allclose(single.validate("val"), gsp.validate("val"), rtol=2e-4)
+
+    def test_indivisible_patient_count_rejected(self, setup):
+        from multi_modal_gnn_tpu.parallel.gspmd import GSPMDTrainer, make_2d_mesh
+
+        cfg, bundle = setup
+        mesh = make_2d_mesh(8, model_parallel=2)
+        spec_bad = SyntheticSpec(
+            num_patients=121, num_labs=10, num_diagnoses=5, num_medications=5,
+            mean_labs_per_patient=5.0, latent_dim=2, seed=0,
+        )
+        bad = make_synthetic_bundle(spec_bad, cfg)
+        with pytest.raises(ValueError, match="not divisible"):
+            GSPMDTrainer(bad.graph, EdgeMasker(bad.graph, seed=0), cfg, mesh=mesh)
