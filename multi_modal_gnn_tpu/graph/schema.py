@@ -41,6 +41,14 @@ def is_reverse(edge_type: EdgeTypeKey) -> bool:
     return edge_type[1].startswith(REV_PREFIX)
 
 
+def mirror_edge_type(edge_type: EdgeTypeKey) -> EdgeTypeKey:
+    """The relation with src/dst swapped: forward <-> reverse (involution)."""
+    src, rel, dst = edge_type
+    if rel.startswith(REV_PREFIX):
+        return (dst, rel[len(REV_PREFIX):], src)
+    return (dst, REV_PREFIX + rel, src)
+
+
 # Config section name ("patient_lab") -> canonical edge type key.
 CONFIG_EDGE_NAMES = {
     "patient_lab": PATIENT_LAB,

@@ -76,6 +76,8 @@ class HeteroSAGELayer(nn.Module):
         self.lin_root = lin_root
 
     def __call__(self, x_dict: Dict[str, jax.Array], graph: HeteroGraph) -> Dict[str, jax.Array]:
+        from multi_modal_gnn_tpu.graph.schema import mirror_edge_type
+
         out: Dict[str, jax.Array] = {}
         for et in self.edge_types:
             src_t, _, dst_t = et
@@ -86,6 +88,9 @@ class HeteroSAGELayer(nn.Module):
                 self.aggregation,
                 impl=self.impl,
                 axis_name=self.axis_name,
+                # the mirrored relation's windowed plan drives the backward
+                # scatter on the MXU too (ops/pallas_segment.py)
+                edges_rev=graph.edges.get(mirror_edge_type(et)),
             )
             contrib = self.lin_neigh[key](msg) + self.lin_root[key](x_dict[dst_t])
             out[dst_t] = contrib if dst_t not in out else out[dst_t] + contrib

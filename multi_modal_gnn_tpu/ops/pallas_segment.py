@@ -118,6 +118,65 @@ def _wss_bwd(num_windows, interpret, res, g_out):
 windowed_segment_sum.defvjp(_wss_fwd, _wss_bwd)
 
 
+def _aggregate_fwd_impl(x_src, edges: EdgeSet, aggregation: str, interpret: bool):
+    gathered = jnp.take(x_src, edges.win_src, axis=0)
+    out = windowed_segment_sum(
+        gathered, edges.win_local, edges.win_tile_map, edges.num_windows, interpret
+    )[: edges.num_dst]
+    if aggregation == "sum":
+        return out
+    denom = jnp.maximum(edges.dst_count, 1.0).astype(out.dtype)
+    return out / denom[:, None]
+
+
+def gather_segment_aggregate_paired(
+    x_src: jax.Array,
+    edges: EdgeSet,
+    edges_rev: EdgeSet,
+    aggregation: Literal["mean", "sum"] = "mean",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Neighbor aggregation whose BACKWARD also runs the MXU kernel.
+
+    The VJP of the forward gather is a scatter-add into ``x_src`` — exactly a
+    segment sum grouped by source, i.e. the *reverse* relation's windowed
+    plan.  Since the graph mirrors every relation (graph/build.py), the
+    reverse EdgeSet's layout is already built; XLA's serialized scatter never
+    appears on the hot path.
+
+        d x_src[s] = sum_{e: src[e]=s} g_out[dst[e]] (/ deg[dst[e]] for mean)
+                   = windowed_segment_sum over edges_rev of g_scaled[rev.src]
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if edges.win_src is None or edges_rev.win_src is None:
+        return gather_segment_aggregate(x_src, edges, aggregation, interpret)
+
+    @jax.custom_vjp
+    def agg(x):
+        return _aggregate_fwd_impl(x, edges, aggregation, interpret)
+
+    def fwd(x):
+        return agg(x), None
+
+    def bwd(_res, g):
+        if aggregation == "mean":
+            denom = jnp.maximum(edges.dst_count, 1.0).astype(g.dtype)
+            g = g / denom[:, None]
+        g_gathered = jnp.take(g, edges_rev.win_src, axis=0)
+        dx = windowed_segment_sum(
+            g_gathered,
+            edges_rev.win_local,
+            edges_rev.win_tile_map,
+            edges_rev.num_windows,
+            interpret,
+        )[: edges_rev.num_dst]
+        return (dx,)
+
+    agg.defvjp(fwd, bwd)
+    return agg(x_src)
+
+
 def gather_segment_aggregate(
     x_src: jax.Array,
     edges: EdgeSet,
@@ -137,12 +196,4 @@ def gather_segment_aggregate(
         return aggregate_neighbors(x_src, edges, aggregation, impl="xla")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
-    gathered = jnp.take(x_src, edges.win_src, axis=0)
-    out = windowed_segment_sum(
-        gathered, edges.win_local, edges.win_tile_map, edges.num_windows, interpret
-    )[: edges.num_dst]
-    if aggregation == "sum":
-        return out
-    denom = jnp.maximum(edges.dst_count, 1.0).astype(out.dtype)
-    return out / denom[:, None]
+    return _aggregate_fwd_impl(x_src, edges, aggregation, interpret)

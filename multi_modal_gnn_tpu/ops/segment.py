@@ -75,6 +75,7 @@ def aggregate_neighbors(
     aggregation: Literal["mean", "sum", "max"] = "mean",
     impl: Literal["xla", "pallas"] = "xla",
     axis_name: Optional[str] = None,
+    edges_rev: Optional[EdgeSet] = None,
 ) -> jax.Array:
     """Aggregate source features over each destination's in-neighbors.
 
@@ -95,6 +96,10 @@ def aggregate_neighbors(
         [num_dst, D] aggregated features (0 for isolated destinations).
     """
     if impl == "pallas" and axis_name is None:
+        if edges_rev is not None and aggregation in ("mean", "sum"):
+            from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate_paired
+
+            return gather_segment_aggregate_paired(x_src, edges, edges_rev, aggregation)
         from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate
 
         return gather_segment_aggregate(x_src, edges, aggregation)
