@@ -212,6 +212,38 @@ def build_window_plan(
     )
 
 
+class GatherPlan(struct.PyTreeNode):
+    """Windowed layout for the BACKWARD of an arbitrary row gather.
+
+    For ``y = x[idx]`` the cotangent is a scatter-add ``dx[r] = sum_{p:
+    idx[p]==r} g[p]`` — a segment sum, so it can run on the MXU segment
+    kernel given a windowed plan over (position -> idx) pairs.  Built once
+    per static index array (e.g. a split batch's patient/lab columns).
+    """
+
+    win_src: jax.Array  # int32 [E_win] positions into the gathered batch
+    win_local: jax.Array  # int32 [E_win] target row offset within window
+    win_tile_map: jax.Array  # int32 [E_win / TILE_E]
+    num_windows: int = struct.field(pytree_node=False, default=0)
+    num_rows: int = struct.field(pytree_node=False, default=0)
+
+
+def build_gather_plan(idx: np.ndarray, num_rows: int) -> "GatherPlan":
+    """Plan the scatter-free backward for ``x[idx]`` (host-side, once)."""
+    idx = np.asarray(idx, dtype=np.int32)
+    order = np.argsort(idx, kind="stable").astype(np.int32)
+    win_src, win_local, win_tile_map, num_windows = build_window_plan(
+        order, idx[order], num_rows
+    )
+    return GatherPlan(
+        win_src=jnp.asarray(win_src),
+        win_local=jnp.asarray(win_local),
+        win_tile_map=jnp.asarray(win_tile_map),
+        num_windows=num_windows,
+        num_rows=int(num_rows),
+    )
+
+
 class HeteroGraph(struct.PyTreeNode):
     """The whole heterogeneous graph as one frozen pytree.
 

@@ -146,6 +146,8 @@ class HeteroGT(nn.Module):
         patient_indices: jax.Array,
         lab_indices: jax.Array,
         train: bool = False,
+        patient_plan=None,  # accepted for Trainer interface parity; unused
+        lab_plan=None,
     ) -> jax.Array:
         x_dict = self(graph, train=train)
         pair = jnp.concatenate(

@@ -82,8 +82,12 @@ class HeteroSAGELayer(nn.Module):
         for et in self.edge_types:
             src_t, _, dst_t = et
             key = _et_key(et)
+            x_in = x_dict[src_t]
+            if self.dtype is not None:
+                x_in = x_in.astype(self.dtype)  # bf16 halves gather traffic,
+                # and the Pallas kernel's indicator matmul runs 4x faster
             msg = aggregate_neighbors(
-                x_dict[src_t],
+                x_in,
                 graph.edges[et],
                 self.aggregation,
                 impl=self.impl,
@@ -215,22 +219,33 @@ class HeteroRGCN(nn.Module):
         patient_indices: jax.Array,
         lab_indices: jax.Array,
         train: bool = False,
+        patient_plan=None,
+        lab_plan=None,
     ) -> jax.Array:
         """Degree-gated dual-head prediction for (patient, lab) pairs.
 
         Both heads run on every pair and a ``jnp.where`` on the patient
         lab-degree picks the branch (reference routing: src/model.py:273-335,
         hard threshold src/model.py:178) — no dynamic shapes under jit.
+
+        ``patient_plan`` / ``lab_plan`` (GatherPlan, optional): with the
+        Pallas backend they move the batch-gather backward (a scatter-add
+        into the node matrices) onto the MXU segment kernel.
         """
         initial = self.encode_nodes(train=train)
         final = self.propagate(initial, graph, train=train)
 
-        pre = jnp.concatenate(
-            [initial[PATIENT][patient_indices], initial[LAB][lab_indices]], axis=-1
-        )
-        post = jnp.concatenate(
-            [final[PATIENT][patient_indices], final[LAB][lab_indices]], axis=-1
-        )
+        if self.impl == "pallas" and patient_plan is not None and self.axis_name is None:
+            from multi_modal_gnn_tpu.ops.pallas_segment import take_with_plan
+
+            take_p = lambda x: take_with_plan(x, patient_indices, patient_plan)  # noqa: E731
+            take_l = lambda x: take_with_plan(x, lab_indices, lab_plan)  # noqa: E731
+        else:
+            take_p = lambda x: x[patient_indices]  # noqa: E731
+            take_l = lambda x: x[lab_indices]  # noqa: E731
+
+        pre = jnp.concatenate([take_p(initial[PATIENT]), take_l(initial[LAB])], axis=-1)
+        post = jnp.concatenate([take_p(final[PATIENT]), take_l(final[LAB])], axis=-1)
         tab_pred = self.tabular_mlp(pre, train=train)[..., 0]
         gnn_pred = self.edge_predictor(post, train=train)[..., 0]
 

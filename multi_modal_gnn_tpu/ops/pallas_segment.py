@@ -38,7 +38,12 @@ from multi_modal_gnn_tpu.graph.hetero import TILE_E, WINDOW, EdgeSet
 
 
 def _segment_kernel(tile_map_ref, local_ref, g_ref, out_ref):
-    """One grid step: out[window] += indicator(local) @ g_tile."""
+    """One grid step: out[window] += indicator(local) @ g_tile.
+
+    The matmul runs at the input dtype (bf16 inputs hit the MXU at 4x the
+    f32 rate) and ALWAYS accumulates in f32 — strictly better numerics than
+    XLA's segment_sum on bf16 data, which accumulates in bf16.
+    """
     t = pl.program_id(0)
 
     # first tile of a window initializes its output block
@@ -54,7 +59,7 @@ def _segment_kernel(tile_map_ref, local_ref, g_ref, out_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
     locals_2d = local_ref[:].reshape(1, TILE_E)
     s = (locals_2d == rows).astype(g_ref.dtype)
-    out_ref[:] += jnp.dot(s, g_ref[:], preferred_element_type=out_ref.dtype)
+    out_ref[:] += jnp.dot(s, g_ref[:], preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_windows", "interpret"))
@@ -80,7 +85,7 @@ def _windowed_segment_sum_fwd(
     return pl.pallas_call(
         _segment_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_windows * WINDOW, d), gathered.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_windows * WINDOW, d), jnp.float32),
         interpret=interpret,
     )(win_tile_map, win_local, gathered)
 
@@ -97,18 +102,20 @@ def _wss_fwd(gathered, win_local, win_tile_map, num_windows, interpret):
     out = _windowed_segment_sum_fwd(
         gathered, win_local, win_tile_map, num_windows, interpret
     )
-    return out, (win_local, win_tile_map)
+    # dtype token: residuals must be jax types, so carry an empty array
+    return out, (win_local, win_tile_map, jnp.zeros((0,), gathered.dtype))
 
 
 def _wss_bwd(num_windows, interpret, res, g_out):
     # dG[e] = g_out[global_dst[e]]; padding rows hit a zero contribution
-    win_local, win_tile_map = res
+    win_local, win_tile_map, dtype_token = res
+    in_dtype = dtype_token.dtype
     tiles = win_local.shape[0] // TILE_E
     window_of_edge = jnp.repeat(win_tile_map[:tiles], TILE_E)
     global_dst = window_of_edge * WINDOW + jnp.minimum(win_local, WINDOW - 1)
     is_pad = win_local >= WINDOW
-    grad = jnp.take(g_out, global_dst, axis=0)
-    grad = jnp.where(is_pad[:, None], 0.0, grad)
+    grad = jnp.take(g_out, global_dst, axis=0).astype(in_dtype)
+    grad = jnp.where(is_pad[:, None], jnp.zeros((), in_dtype), grad)
     # int32 inputs have float0 tangents
     zero_local = np.zeros(win_local.shape, dtype=jax.dtypes.float0)
     zero_map = np.zeros(win_tile_map.shape, dtype=jax.dtypes.float0)
@@ -120,13 +127,12 @@ windowed_segment_sum.defvjp(_wss_fwd, _wss_bwd)
 
 def _aggregate_fwd_impl(x_src, edges: EdgeSet, aggregation: str, interpret: bool):
     gathered = jnp.take(x_src, edges.win_src, axis=0)
-    out = windowed_segment_sum(
+    out = windowed_segment_sum(  # f32 accumulation regardless of input dtype
         gathered, edges.win_local, edges.win_tile_map, edges.num_windows, interpret
     )[: edges.num_dst]
-    if aggregation == "sum":
-        return out
-    denom = jnp.maximum(edges.dst_count, 1.0).astype(out.dtype)
-    return out / denom[:, None]
+    if aggregation == "mean":
+        out = out / jnp.maximum(edges.dst_count, 1.0)[:, None]
+    return out.astype(x_src.dtype)
 
 
 def gather_segment_aggregate_paired(
@@ -161,8 +167,9 @@ def gather_segment_aggregate_paired(
 
     def bwd(_res, g):
         if aggregation == "mean":
-            denom = jnp.maximum(edges.dst_count, 1.0).astype(g.dtype)
-            g = g / denom[:, None]
+            g = (g.astype(jnp.float32) / jnp.maximum(edges.dst_count, 1.0)[:, None]).astype(
+                g.dtype
+            )
         g_gathered = jnp.take(g, edges_rev.win_src, axis=0)
         dx = windowed_segment_sum(
             g_gathered,
@@ -171,10 +178,46 @@ def gather_segment_aggregate_paired(
             edges_rev.num_windows,
             interpret,
         )[: edges_rev.num_dst]
-        return (dx,)
+        return (dx.astype(g.dtype),)
 
     agg.defvjp(fwd, bwd)
     return agg(x_src)
+
+
+def take_with_plan(
+    x: jax.Array,
+    idx: jax.Array,
+    plan,  # GatherPlan (graph/hetero.py)
+    interpret: bool | None = None,
+) -> jax.Array:
+    """``x[idx]`` whose backward runs the MXU segment kernel.
+
+    The VJP of a row gather is a scatter-add grouped by target row; with a
+    precomputed :class:`GatherPlan` it becomes one windowed segment sum —
+    XLA's serialized scatter (the dominant backward cost for large
+    supervised batches) never appears.
+    """
+    if plan is None:
+        return jnp.take(x, idx, axis=0)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    @jax.custom_vjp
+    def gathered(x):
+        return jnp.take(x, idx, axis=0)
+
+    def fwd(x):
+        return jnp.take(x, idx, axis=0), None
+
+    def bwd(_res, g):
+        g_win = jnp.take(g, plan.win_src, axis=0)
+        dx = windowed_segment_sum(
+            g_win, plan.win_local, plan.win_tile_map, plan.num_windows, interpret
+        )[: plan.num_rows]
+        return (dx.astype(g.dtype),)
+
+    gathered.defvjp(fwd, bwd)
+    return gathered(x)
 
 
 def gather_segment_aggregate(

@@ -52,11 +52,20 @@ def graph_pspecs(graph: HeteroGraph, axis: str = DATA_AXIS) -> HeteroGraph:
 
 
 def batch_pspec(batch: SplitBatch, axis: str = DATA_AXIS) -> SplitBatch:
+    def _plan_spec(plan):
+        if plan is None:
+            return None
+        # gather plans are only consumed by the single-chip Pallas path;
+        # replicate them (lengths need not divide the mesh)
+        return jax.tree_util.tree_map(lambda _: P(), plan)
+
     return SplitBatch(
         patient_idx=P(axis),
         lab_idx=P(axis),
         values=P(axis),
         valid=P(axis),
+        patient_plan=_plan_spec(batch.patient_plan),
+        lab_plan=_plan_spec(batch.lab_plan),
         num_valid=batch.num_valid,
     )
 

@@ -34,26 +34,51 @@ from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
 
 
 class SplitBatch(struct.PyTreeNode):
-    """A padded, static-shape batch of supervised patient-lab edges."""
+    """A padded, static-shape batch of supervised patient-lab edges.
+
+    ``patient_plan`` / ``lab_plan`` (optional) are windowed layouts that let
+    the backward of the batch's embedding gathers run on the MXU segment
+    kernel instead of an XLA scatter (ops/pallas_segment.take_with_plan) —
+    at the 5M-edge scale those scatters dominate the gradient wall time.
+    """
 
     patient_idx: jax.Array  # int32 [B_pad]
     lab_idx: jax.Array  # int32 [B_pad]
     values: jax.Array  # float32 [B_pad] normalized lab values (targets)
     valid: jax.Array  # float32 [B_pad] 1.0 = real edge, 0.0 = padding
+    patient_plan: Optional[object] = None  # GatherPlan
+    lab_plan: Optional[object] = None  # GatherPlan
     num_valid: int = struct.field(pytree_node=False, default=0)
 
 
 def _pad_batch(
-    p: np.ndarray, l: np.ndarray, v: np.ndarray, pad_multiple: int
+    p: np.ndarray,
+    l: np.ndarray,
+    v: np.ndarray,
+    pad_multiple: int,
+    num_patients: Optional[int] = None,
+    num_labs: Optional[int] = None,
 ) -> SplitBatch:
     n = len(p)
     n_pad = max(pad_multiple, ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
     pad = n_pad - n
+    p_pad = np.concatenate([p, np.zeros(pad, np.int32)])
+    l_pad = np.concatenate([l, np.zeros(pad, np.int32)])
+    patient_plan = lab_plan = None
+    if num_patients is not None and num_labs is not None:
+        from multi_modal_gnn_tpu.graph.hetero import build_gather_plan
+
+        # padding rows point at row 0; their cotangents are exactly zero
+        # (masked loss), so including them in the plan is harmless
+        patient_plan = build_gather_plan(p_pad, num_patients)
+        lab_plan = build_gather_plan(l_pad, num_labs)
     return SplitBatch(
-        patient_idx=jnp.asarray(np.concatenate([p, np.zeros(pad, np.int32)])),
-        lab_idx=jnp.asarray(np.concatenate([l, np.zeros(pad, np.int32)])),
+        patient_idx=jnp.asarray(p_pad),
+        lab_idx=jnp.asarray(l_pad),
         values=jnp.asarray(np.concatenate([v, np.zeros(pad, np.float32)])),
         valid=jnp.asarray(np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])),
+        patient_plan=patient_plan,
+        lab_plan=lab_plan,
         num_valid=n,
     )
 
@@ -81,6 +106,9 @@ class EdgeMasker:
         self.mask_fraction = float(mask_fraction)
         self.seed = int(seed)
         self.pad_multiple = int(pad_multiple)
+        counts = graph.node_count_map if graph is not None else {}
+        self._num_patients = counts.get("patient")
+        self._num_labs = counts.get("lab")
 
         if host_edges is not None:
             src, dst, val = host_edges
@@ -122,7 +150,8 @@ class EdgeMasker:
         if split not in self._batches:
             idx = self._split_indices[split]
             self._batches[split] = _pad_batch(
-                self._p[idx], self._l[idx], self._v[idx], self.pad_multiple
+                self._p[idx], self._l[idx], self._v[idx], self.pad_multiple,
+                num_patients=self._num_patients, num_labs=self._num_labs,
             )
         return self._batches[split]
 

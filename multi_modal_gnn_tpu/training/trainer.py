@@ -162,6 +162,8 @@ class Trainer:
             train=True,
             method=self.model.predict_lab_values,
             rngs={"dropout": dropout_key, "edge_dropout": edge_key},
+            patient_plan=batch.patient_plan,
+            lab_plan=batch.lab_plan,
             **kwargs,
         )
         if mutable:
@@ -211,6 +213,8 @@ class Trainer:
             batch.lab_idx,
             train=False,
             method=self.model.predict_lab_values,
+            patient_plan=batch.patient_plan,
+            lab_plan=batch.lab_plan,
         )
         loss = masked_mean_loss(
             preds, batch.values, batch.valid,
