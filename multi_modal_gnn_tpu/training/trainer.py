@@ -350,8 +350,18 @@ class Trainer:
         self,
         output_dir: Optional[str | Path] = None,
         resume_from: Optional[str | Path] = None,
+        scan_chunk: int = 1,
     ) -> Dict:
-        """Full training loop with early stopping (reference src/train.py:433-543)."""
+        """Full training loop with early stopping (reference src/train.py:433-543).
+
+        ``scan_chunk > 1`` runs that many epochs per device dispatch via
+        lax.scan (with per-epoch validation computed inside the scan).  The
+        plateau scheduler and early stopping then act at chunk granularity —
+        LR changes and the stop decision take effect on chunk boundaries,
+        and the best-state snapshot is the end-of-chunk state rather than
+        the exact best epoch's.  Use 1 (default) for reference-exact
+        semantics; larger chunks amortize dispatch latency on remote TPUs.
+        """
         tc = self.config.train
         lc = self.config.logging
         output_dir = Path(output_dir) if output_dir is not None else None
@@ -371,54 +381,69 @@ class Trainer:
         t_start = time.perf_counter()
         epoch_times = []
 
-        while self.epoch < tc.epochs:
+        stop = False
+        while self.epoch < tc.epochs and not stop:
             t0 = time.perf_counter()
-            train_loss = self.train_epoch()
-            val_loss = self.validate("val")
-            epoch_times.append(time.perf_counter() - t0)
-            self.epoch += 1
+            if scan_chunk > 1:
+                k = min(scan_chunk, tc.epochs - self.epoch)
+                train_losses, val_losses = self.train_epochs_scanned(k, with_val=True)
+                chunk = list(zip(train_losses.tolist(), val_losses.tolist()))
+            else:
+                train_loss = self.train_epoch()
+                val_loss = self.validate("val")
+                self.epoch += 1
+                chunk = [(train_loss, val_loss)]
+            chunk_time = time.perf_counter() - t0
+            epoch_times.extend([chunk_time / len(chunk)] * len(chunk))
 
-            new_lr = self.scheduler.step(val_loss)
+            for train_loss, val_loss in chunk:
+                new_lr = self.scheduler.step(val_loss)
+                self.history["train_loss"].append(train_loss)
+                self.history["val_loss"].append(val_loss)
+                self.history["learning_rates"].append(new_lr)
             if abs(new_lr - self._lr) > 1e-12:
                 logger.info("Epoch %d: reducing lr to %.2e", self.epoch, new_lr)
                 self._set_lr(new_lr)
                 self._lr = new_lr
 
-            self.history["train_loss"].append(train_loss)
-            self.history["val_loss"].append(val_loss)
-            self.history["learning_rates"].append(new_lr)
-
-            if self.epoch % max(lc.log_interval, 1) == 0:
+            if self.epoch % max(lc.log_interval, 1) == 0 or len(chunk) > 1:
                 logger.info(
                     "Epoch %3d | train %.4f | val %.4f | lr %.2e | %.3fs",
                     self.epoch, train_loss, val_loss, new_lr, epoch_times[-1],
                 )
             if metrics_writer is not None:
-                metrics_writer.write(
-                    self.epoch,
-                    train_loss=train_loss,
-                    val_loss=val_loss,
-                    lr=new_lr,
-                    epoch_time_s=epoch_times[-1],
-                )
+                base_epoch = self.epoch - len(chunk)
+                for i, (tl, vl) in enumerate(chunk):
+                    metrics_writer.write(
+                        base_epoch + i + 1,
+                        train_loss=tl, val_loss=vl, lr=new_lr,
+                        epoch_time_s=epoch_times[-1],
+                    )
 
-            if val_loss < self.best_val_loss:
-                self.best_val_loss = val_loss
-                self.patience_counter = 0
+            improved = False
+            for train_loss, val_loss in chunk:
+                if val_loss < self.best_val_loss:
+                    self.best_val_loss = val_loss
+                    self.patience_counter = 0
+                    improved = True
+                else:
+                    self.patience_counter += 1
+                    if self.patience_counter >= tc.early_stopping_patience:
+                        logger.info("Early stopping at epoch %d", self.epoch)
+                        stop = True
+                        break
+            if improved:
                 # deep copy: train-step donation would otherwise invalidate
-                # the retained best-state buffers on the next epoch
+                # the retained best-state buffers on the next epoch; with
+                # scan_chunk > 1 this snapshot is the end-of-chunk state
                 self.best_state = jax.tree_util.tree_map(lambda x: x.copy(), self.state)
                 if output_dir is not None:
                     self._save(output_dir / "best_model.ckpt")
-            else:
-                self.patience_counter += 1
-                if self.patience_counter >= tc.early_stopping_patience:
-                    logger.info("Early stopping at epoch %d", self.epoch)
-                    break
 
             if (
                 output_dir is not None
                 and lc.save_checkpoints
+                and not stop
                 and self.epoch % max(lc.checkpoint_interval, 1) == 0
             ):
                 self._save(output_dir / f"checkpoint_epoch_{self.epoch}.ckpt")

@@ -137,3 +137,34 @@ class TestSchedulers:
         s = StepLR(1.0, step_size=2, gamma=0.1)
         lrs = [s.step() for _ in range(4)]
         assert lrs == pytest.approx([1.0, 0.1, 0.1, 0.01])
+
+
+def test_fit_scan_chunked_matches_per_epoch(trained):
+    """fit(scan_chunk=5) with scheduler off reproduces per-epoch fit losses."""
+    cfg, bundle, *_ = trained
+    cfg_fast = _small_cfg(
+        epochs=10,
+        lr_scheduler=dataclasses.replace(Config().train.lr_scheduler, enabled=False),
+    )
+
+    def run(chunk):
+        masker = EdgeMasker(bundle.graph, seed=1)
+        model = build_model(cfg_fast, bundle.graph)
+        trainer = Trainer(model, bundle.graph, masker, cfg_fast)
+        trainer.fit(scan_chunk=chunk)
+        return trainer.history
+
+    h1 = run(1)
+    h5 = run(5)
+    assert len(h5["train_loss"]) == 10
+    np.testing.assert_allclose(h5["train_loss"], h1["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(h5["val_loss"], h1["val_loss"], rtol=1e-5)
+
+
+def test_fit_scan_chunked_early_stops(trained):
+    cfg, bundle, *_ = trained
+    cfg_es = _small_cfg(epochs=100, early_stopping_patience=3)
+    masker = EdgeMasker(bundle.graph, seed=1)
+    trainer = Trainer(build_model(cfg_es, bundle.graph), bundle.graph, masker, cfg_es)
+    trainer.fit(scan_chunk=4)
+    assert len(trainer.history["train_loss"]) < 100
