@@ -123,9 +123,28 @@ def main() -> int:
                         help="force the XLA segment-sum path")
     args = parser.parse_args()
 
-    result = run_bench(
-        scale=args.scale, quick=args.quick, epochs=args.epochs, use_pallas=args.pallas
-    )
+    try:
+        result = run_bench(
+            scale=args.scale, quick=args.quick, epochs=args.epochs, use_pallas=args.pallas
+        )
+    except Exception as exc:  # noqa: BLE001 — always emit a JSON line for the driver
+        import traceback
+
+        traceback.print_exc()
+        try:  # fall back to a short CPU run so a TPU outage still yields a number
+            from multi_modal_gnn_tpu.utils.platform import force_cpu_devices
+
+            force_cpu_devices(1)
+            result = run_bench(scale=False, quick=True, epochs=5, use_pallas=False)
+            result["note"] = f"accelerator run failed ({type(exc).__name__}); CPU fallback"
+        except Exception as exc2:  # noqa: BLE001
+            result = {
+                "metric": "train_patient_lab_edges_per_sec",
+                "value": 0.0,
+                "unit": "edges/s",
+                "vs_baseline": 0.0,
+                "error": f"{type(exc).__name__}: {exc}; fallback: {exc2}",
+            }
     print(json.dumps(result))
     return 0
 

@@ -24,7 +24,6 @@ import logging
 from pathlib import Path
 from typing import Dict, Optional, Union
 
-import numpy as np
 import pandas as pd
 
 logger = logging.getLogger(__name__)
@@ -106,9 +105,8 @@ class EICULoader:
         # hierarchy levels from "category|subcategory|specific"
         parts = dx["diagnosisstring"].astype("string").str.split("|")
         out["DIAGNOSIS_CATEGORY"] = parts.str[0].str.strip().fillna("Unknown")
-        out["DIAGNOSIS_SUBCATEGORY"] = (
-            parts.str[1].str.strip().fillna("Unknown") if parts.str.len().max() else "Unknown"
-        )
+        # rows with fewer than two levels yield <NA> -> "Unknown"
+        out["DIAGNOSIS_SUBCATEGORY"] = parts.str[1].str.strip().fillna("Unknown")
         if "diagnosispriority" in dx.columns:
             out["DIAGNOSIS_PRIORITY"] = dx["diagnosispriority"].fillna("Other")
         out = out.merge(self._stay_to_hospital_stay(), on="patientunitstayid", how="left")

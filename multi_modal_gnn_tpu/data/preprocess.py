@@ -15,7 +15,6 @@ import logging
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
-import numpy as np
 import pandas as pd
 
 from multi_modal_gnn_tpu.config import Config

@@ -29,7 +29,6 @@ from multi_modal_gnn_tpu.config import Config
 from multi_modal_gnn_tpu.graph.hetero import (
     EdgeSet,
     HeteroGraph,
-    compute_patient_lab_degree,
     pad_edge_set,
 )
 from multi_modal_gnn_tpu.graph.indexer import NodeIndexer

@@ -12,8 +12,6 @@ Sharding layout (1-D ``data`` mesh):
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -69,10 +69,12 @@ class LabNormalizer:
         """Vectorized transform of a frame column; unknown groups pass through."""
         if self.method == "none":
             return df[value_col].copy()
-        center = df[group_col].map(lambda g: self._center(g)).astype(float)
-        scale = df[group_col].map(lambda g: self._scale(g)).astype(float)
+        centers = {g: s["center"] for g, s in self.stats.items() if s}
+        scales = {g: s["scale"] for g, s in self.stats.items() if s}
+        center = df[group_col].map(centers).astype(float)
+        scale = df[group_col].map(scales).astype(float)
         values = df[value_col].astype(float)
-        known = df[group_col].map(lambda g: g in self.stats and self.stats[g] is not None)
+        known = center.notna()
         out = values.copy()
         shifted = values - center
         if self.method == "minmax":
