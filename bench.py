@@ -75,7 +75,9 @@ def run_bench(
     trainer = Trainer(model, graph, masker, cfg)
 
     n_epochs = epochs or (10 if quick else (20 if scale else 100))
-    chunk = min(10, n_epochs)  # one compiled scan(chunk), reused
+    # one compiled scan(chunk), reused; large chunks amortize the dispatch
+    # round-trip (which dominates small graphs on a remote-attached chip)
+    chunk = min(10 if (quick or scale) else 50, n_epochs)
     n_chunks = max(n_epochs // chunk, 1)
     n_epochs = n_chunks * chunk
 
