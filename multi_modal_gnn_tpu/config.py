@@ -247,6 +247,9 @@ class TrainConfig:
     # TPU-specific: how many devices to data-parallel over (0 = all available).
     num_devices: int = 0
     donate_state: bool = True
+    # TPU-specific: epochs per device dispatch in fit() (1 = reference-exact
+    # per-epoch control; >1 scans and applies LR changes at chunk boundaries).
+    scan_chunk: int = 1
     extras: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):

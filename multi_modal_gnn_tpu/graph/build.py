@@ -277,6 +277,28 @@ def assemble_graph(
     )
 
 
+def build_onehot_features(
+    pairs: pd.DataFrame,
+    subject_col: str,
+    item_col: str,
+    patient_indexer: NodeIndexer,
+    item_indexer: NodeIndexer,
+) -> np.ndarray:
+    """Patient x item one-hot membership matrix.
+
+    Parity with the reference's legacy diagnosis/medication one-hot feature
+    builders (src/graph_build.py:358-469) — unused by the production model
+    (which learns pure ID embeddings) but consumed by external analyses.
+    Vectorized: one fancy-index store instead of the reference's row loop.
+    """
+    mat = np.zeros((len(patient_indexer), len(item_indexer)), dtype=np.float32)
+    p = patient_indexer.lookup_many(pairs[subject_col].to_numpy())
+    i = item_indexer.lookup_many(pairs[item_col].to_numpy())
+    keep = (p >= 0) & (i >= 0)
+    mat[p[keep], i[keep]] = 1.0
+    return mat
+
+
 def build_graph_from_preprocessed(
     interim_dir: str | Path, config: Config, output_path: Optional[str | Path] = None
 ) -> GraphBundle:

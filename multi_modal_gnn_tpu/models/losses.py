@@ -71,6 +71,14 @@ def masked_mean_loss(
     return num / jnp.maximum(den, 1.0)
 
 
+def compute_regression_loss(
+    predictions: jax.Array, targets: jax.Array, loss_type: str = "mae"
+) -> jax.Array:
+    """Scalar mean regression loss — API parity with the reference helper
+    (src/model.py:579-612)."""
+    return per_sample_loss(predictions, targets, loss_type).mean()
+
+
 def compute_lab_weights(
     train_values: np.ndarray, train_lab_indices: np.ndarray, num_labs: int
 ) -> np.ndarray:

@@ -541,7 +541,11 @@ def train_pipeline(
 
     model = build_model(config, graph)
     trainer = Trainer(model, graph, masker, config)
-    trainer.fit(output_dir=output_dir, resume_from=resume_from)
+    trainer.fit(
+        output_dir=output_dir,
+        resume_from=resume_from,
+        scan_chunk=max(tc.scan_chunk, 1),
+    )
 
     best = trainer.best_state if trainer.best_state is not None else trainer.state
     test_loss = trainer.validate("test", state=best)

@@ -14,6 +14,27 @@ import os
 logger = logging.getLogger(__name__)
 
 
+def get_device(preference: str = "auto"):
+    """Device selection (reference: src/utils.py:133-163 get_device).
+
+    The reference auto-detects cuda/mps/cpu; the TPU-native equivalent picks
+    the first device of the requested platform ("auto" = jax's default
+    backend, normally the TPU).  Returns a jax.Device.
+    """
+    import jax
+
+    if preference in ("auto", None, ""):
+        return jax.devices()[0]
+    if preference == "cpu" and jax.default_backend() != "cpu":
+        force_cpu_devices(1)
+        return jax.devices("cpu")[0]
+    try:
+        return jax.devices(preference)[0]
+    except RuntimeError:
+        logger.warning("No %r devices available; using %s", preference, jax.devices()[0])
+        return jax.devices()[0]
+
+
 def force_cpu_devices(n_devices: int = 8) -> None:
     """Re-point JAX at the host CPU platform with ``n_devices`` virtual
     devices.  Safe to call even after another backend was initialized (clears

@@ -157,3 +157,14 @@ def test_synthetic_shapes(tiny_graph):
     counts = tiny_graph.node_count_map
     assert counts == {"patient": 120, "lab": 12, "diagnosis": 10, "medication": 8}
     assert len(tiny_graph.edges) == 6
+
+
+def test_onehot_features(config):
+    from multi_modal_gnn_tpu.graph.build import build_onehot_features
+    from multi_modal_gnn_tpu.graph.indexer import NodeIndexer
+
+    pats = NodeIndexer("patient"); pats.add_many([1, 2, 3])
+    items = NodeIndexer("diagnosis"); items.add_many(["428", "584"])
+    pairs = pd.DataFrame({"SUBJECT_ID": [1, 1, 3, 9], "ICD3_CODE": ["428", "584", "428", "428"]})
+    mat = build_onehot_features(pairs, "SUBJECT_ID", "ICD3_CODE", pats, items)
+    np.testing.assert_array_equal(mat, [[1, 1], [0, 0], [1, 0]])  # row 9 dropped

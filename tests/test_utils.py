@@ -131,3 +131,22 @@ def test_format_time():
     assert format_time(42.0) == "42.0s"
     assert format_time(195) == "3m 15s"
     assert format_time(3720) == "1h 02m"
+
+
+def test_get_device_cpu():
+    from multi_modal_gnn_tpu.utils.platform import get_device
+
+    d = get_device("auto")
+    assert d is not None
+    d2 = get_device("cpu")
+    assert d2.platform == "cpu"
+
+
+def test_compute_regression_loss_api():
+    import jax.numpy as jnp
+
+    from multi_modal_gnn_tpu.models.losses import compute_regression_loss
+
+    p = jnp.array([1.0, 2.0]); t = jnp.array([0.0, 4.0])
+    assert float(compute_regression_loss(p, t, "mae")) == pytest.approx(1.5)
+    assert float(compute_regression_loss(p, t, "mse")) == pytest.approx(2.5)
