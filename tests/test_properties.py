@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the structural invariants the whole
+compute path rests on: padding/CSR construction, window plans, splits."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from multi_modal_gnn_tpu.graph.hetero import (
+    TILE_E,
+    WINDOW,
+    build_gather_plan,
+    build_window_plan,
+    pad_edge_set,
+)
+from multi_modal_gnn_tpu.graph.indexer import NodeIndexer
+
+
+edge_case = st.tuples(
+    st.integers(min_value=1, max_value=40),   # num_src
+    st.integers(min_value=1, max_value=300),  # num_dst
+    st.integers(min_value=0, max_value=500),  # num edges
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(edge_case)
+def test_pad_edge_set_invariants(case):
+    num_src, num_dst, e, seed = case
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_src, e).astype(np.int32)
+    dst = rng.integers(0, num_dst, e).astype(np.int32)
+    val = rng.standard_normal(e).astype(np.float32)
+    es = pad_edge_set(src, dst, num_src=num_src, num_dst=num_dst, val=val, pad_multiple=64)
+
+    s, d, m, v = (np.asarray(a) for a in (es.src, es.dst, es.mask, es.val))
+    valid = m > 0
+    # counts and CSR match, valid region sorted, padding at the dummy segment
+    assert valid.sum() == e
+    assert np.all(np.diff(d[valid]) >= 0) if e else True
+    assert np.all(d[~valid] == num_dst)
+    np.testing.assert_array_equal(
+        np.asarray(es.dst_count), np.bincount(dst, minlength=num_dst)
+    )
+    rp = np.asarray(es.row_ptr)
+    assert rp[0] == 0 and rp[-1] == e and np.all(np.diff(rp) >= 0)
+    # the multiset of (src, dst, val) triples survives the sort exactly
+    got = sorted(zip(s[valid].tolist(), d[valid].tolist(), v[valid].tolist()))
+    want = sorted(zip(src.tolist(), dst.tolist(), val.tolist()))
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(edge_case)
+def test_window_plan_reconstructs_edges(case):
+    num_src, num_dst, e, seed = case
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_src, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, num_dst, e)).astype(np.int32)
+    win_src, win_local, tile_map, num_windows = build_window_plan(src, dst, num_dst)
+
+    assert len(win_src) % TILE_E == 0
+    assert len(tile_map) == len(win_src) // TILE_E
+    assert set(tile_map.tolist()) == set(range(num_windows))  # every window owns a tile
+    valid = win_local < WINDOW
+    # reconstruct (src, dst) multiset exactly
+    window_of_slot = np.repeat(tile_map, TILE_E)
+    recon_dst = window_of_slot[valid] * WINDOW + win_local[valid]
+    got = sorted(zip(win_src[valid].tolist(), recon_dst.tolist()))
+    want = sorted(zip(src.tolist(), dst.tolist()))
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),  # num_rows
+    st.integers(min_value=0, max_value=400),  # n indices
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gather_plan_scatter_equivalence(num_rows, n, seed):
+    """Backward-through-plan == dense scatter-add, for any index multiset."""
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, num_rows, n).astype(np.int32)
+    plan = build_gather_plan(idx, num_rows)
+    g = rng.standard_normal((n, 4)).astype(np.float64)
+
+    # numpy oracle: dx[r] = sum of g rows whose idx == r
+    want = np.zeros((num_rows, 4))
+    np.add.at(want, idx, g)
+
+    # reconstruct what the kernel computes from the plan (host-side mirror)
+    win_src = np.asarray(plan.win_src)
+    win_local = np.asarray(plan.win_local)
+    tile_map = np.asarray(plan.win_tile_map)
+    valid = win_local < WINDOW
+    rows = np.repeat(tile_map, TILE_E)[valid] * WINDOW + win_local[valid]
+    got = np.zeros((plan.num_windows * WINDOW, 4))
+    np.add.at(got, rows, g[win_src[valid]])
+    np.testing.assert_allclose(got[:num_rows], want, rtol=1e-12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.text(max_size=8),
+), max_size=60))
+def test_indexer_bijection(ids):
+    ix = NodeIndexer()
+    codes = [ix.add(i) for i in ids]
+    # dense, contiguous codes
+    assert set(ix.id_to_index.values()) == set(range(len(ix)))
+    # round trip through canonicalization
+    for i, c in zip(ids, codes):
+        assert ix.index_of(i) == c
