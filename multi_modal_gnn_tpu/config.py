@@ -143,6 +143,10 @@ class GraphConfig:
     # TPU-specific: pad edge arrays up to a multiple of this bucket so that
     # recompilation is bounded when graphs change size between runs.
     edge_pad_multiple: int = 1024
+    # TPU-specific: per-relation budget for materializing the dense
+    # mean-normalized adjacency (one MXU matmul beats sparse gather+segment
+    # at EHR densities); 0 disables.  256 MB covers 100k x 500 relations.
+    dense_adjacency_max_bytes: int = 268_435_456
     extras: Dict[str, Any] = field(default_factory=dict)
 
     @staticmethod

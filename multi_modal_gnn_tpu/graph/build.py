@@ -222,11 +222,16 @@ def assemble_graph(
     pad_multiple: int = 1024,
     config: Optional[Config] = None,
     host_edges_out: Optional[Dict] = None,
+    dense_max_bytes: Optional[int] = None,
 ) -> HeteroGraph:
     """Pad/sort/CSR all relations and mirror each with its reverse.
 
     If ``host_edges_out`` is given, it is filled with the sorted valid
     (src, dst, val) numpy arrays per forward relation."""
+    if dense_max_bytes is None:
+        dense_max_bytes = (
+            config.graph.dense_adjacency_max_bytes if config is not None else 0
+        )
     enabled_bidirectional = {
         PATIENT_LAB: True,
         PATIENT_DIAGNOSIS: True,
@@ -251,6 +256,7 @@ def assemble_graph(
             val=val,
             pad_multiple=pad_multiple,
             return_host=True,
+            dense_max_bytes=dense_max_bytes,
         )
         if host_edges_out is not None:
             host_edges_out[et] = host
@@ -263,6 +269,7 @@ def assemble_graph(
                 num_dst=node_counts[s_type],
                 val=None,
                 pad_multiple=pad_multiple,
+                dense_max_bytes=dense_max_bytes,
             )
 
     # degree from the host arrays — avoids a device->host readback

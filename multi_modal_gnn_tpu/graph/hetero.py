@@ -63,6 +63,11 @@ class EdgeSet(struct.PyTreeNode):
     win_src: Optional[jax.Array] = None  # int32 [E_win] source node per slot
     win_local: Optional[jax.Array] = None  # int32 [E_win] dst offset in window
     win_tile_map: Optional[jax.Array] = None  # int32 [E_win/TILE_E] window of each tile
+    # Dense mean-normalized adjacency [num_dst, num_src] — built when the
+    # relation is small/dense enough (graph config dense_adjacency_max_bytes).
+    # At ~10%+ density one MXU matmul beats the sparse gather+segment path
+    # outright, and its backward is just the transposed matmul.
+    dense_adj: Optional[jax.Array] = None
     num_valid: int = struct.field(pytree_node=False, default=0)
     num_src: int = struct.field(pytree_node=False, default=0)
     num_dst: int = struct.field(pytree_node=False, default=0)
@@ -82,12 +87,15 @@ def pad_edge_set(
     pad_multiple: int = 1024,
     sort_by_dst: bool = True,
     return_host: bool = False,
+    dense_max_bytes: int = 0,
 ):
     """Build an :class:`EdgeSet` from host COO arrays (vectorized, no loops).
 
     With ``return_host=True`` also returns the sorted *valid* (src, dst, val)
     numpy arrays — the canonical host-side view (same order as the device
     arrays), kept so consumers never read back over a remote-device link.
+    ``dense_max_bytes > 0`` additionally materializes the mean-normalized
+    dense adjacency when ``num_dst * num_src * 4`` fits the budget.
     """
     src = np.asarray(src, dtype=np.int32).ravel()
     dst = np.asarray(dst, dtype=np.int32).ravel()
@@ -133,6 +141,7 @@ def pad_edge_set(
     win_src, win_local, win_tile_map, num_windows = build_window_plan(
         src, dst, num_dst, row_ptr=row_ptr
     )
+    dense = build_dense_adjacency(src, dst, num_src, num_dst, counts, dense_max_bytes)
     es = EdgeSet(
         src=jnp.asarray(src_p),
         dst=jnp.asarray(dst_p),
@@ -143,6 +152,7 @@ def pad_edge_set(
         win_src=jnp.asarray(win_src),
         win_local=jnp.asarray(win_local),
         win_tile_map=jnp.asarray(win_tile_map),
+        dense_adj=jnp.asarray(dense) if dense is not None else None,
         num_valid=e,
         num_src=int(num_src),
         num_dst=int(num_dst),
@@ -151,6 +161,25 @@ def pad_edge_set(
     if return_host:
         return es, (src, dst, val)
     return es
+
+
+def build_dense_adjacency(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_src: int,
+    num_dst: int,
+    counts: np.ndarray,
+    dense_max_bytes: int,
+) -> Optional[np.ndarray]:
+    """Mean-normalized dense adjacency A[dst, src] = multiplicity / in-degree,
+    or None when it exceeds the byte budget.  ``A @ x`` then equals the
+    segment-mean aggregation (duplicate edges accumulate, like segment_sum)."""
+    if dense_max_bytes <= 0 or num_src * num_dst * 4 > dense_max_bytes:
+        return None
+    a = np.zeros((num_dst, num_src), dtype=np.float32)
+    np.add.at(a, (dst, src), 1.0)
+    a /= np.maximum(counts, 1.0)[:, None]
+    return a
 
 
 # Pallas segment-kernel layout constants (see ops/pallas_segment.py):

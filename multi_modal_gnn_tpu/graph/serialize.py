@@ -85,10 +85,28 @@ def load_graph(path: str | Path) -> GraphBundle:
                 dst_host,
                 data[f"{key}{_SEP}val"][:n_valid] if entry["has_val"] else None,
             )
-            from multi_modal_gnn_tpu.graph.hetero import build_window_plan
+            from multi_modal_gnn_tpu.graph.hetero import (
+                build_dense_adjacency,
+                build_window_plan,
+            )
 
             win_src, win_local, win_tile_map, num_windows = build_window_plan(
                 src_host.astype(np.int32), dst_host.astype(np.int32), int(entry["num_dst"])
+            )
+            # dense adjacency is derived (not stored) — rebuild under the
+            # budget recorded in the bundle's config, default 256 MB
+            dense_budget = (
+                (sidecar.get("meta", {}).get("config") or {})
+                .get("graph", {})
+                .get("dense_adjacency_max_bytes", 268_435_456)
+            )
+            dense = build_dense_adjacency(
+                src_host.astype(np.int32),
+                dst_host.astype(np.int32),
+                int(entry["num_src"]),
+                int(entry["num_dst"]),
+                data[f"{key}{_SEP}dst_count"],
+                dense_budget,
             )
             edges[et] = EdgeSet(
                 src=jnp.asarray(data[f"{key}{_SEP}src"]),
@@ -100,6 +118,7 @@ def load_graph(path: str | Path) -> GraphBundle:
                 win_src=jnp.asarray(win_src),
                 win_local=jnp.asarray(win_local),
                 win_tile_map=jnp.asarray(win_tile_map),
+                dense_adj=jnp.asarray(dense) if dense is not None else None,
                 num_valid=int(entry["num_valid"]),
                 num_src=int(entry["num_src"]),
                 num_dst=int(entry["num_dst"]),

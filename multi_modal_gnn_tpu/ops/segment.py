@@ -96,6 +96,17 @@ def aggregate_neighbors(
         [num_dst, D] aggregated features (0 for isolated destinations).
     """
     if impl == "pallas" and axis_name is None:
+        # fastest tier: dense mean-normalized adjacency matmul (one MXU op;
+        # its backward is the transposed matmul) — available when the
+        # relation fits the graph config's dense byte budget
+        if edges.dense_adj is not None and aggregation in ("mean", "sum"):
+            out = jnp.dot(
+                edges.dense_adj.astype(x_src.dtype), x_src,
+                preferred_element_type=jnp.float32,
+            )
+            if aggregation == "sum":
+                out = out * jnp.maximum(edges.dst_count, 1.0)[:, None]
+            return out.astype(x_src.dtype)
         if edges_rev is not None and aggregation in ("mean", "sum"):
             from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate_paired
 

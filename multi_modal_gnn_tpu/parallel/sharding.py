@@ -33,6 +33,7 @@ def _edge_set_pspec(es: EdgeSet, axis: str) -> EdgeSet:
         win_src=P() if es.win_src is not None else None,
         win_local=P() if es.win_local is not None else None,
         win_tile_map=P() if es.win_tile_map is not None else None,
+        dense_adj=P() if es.dense_adj is not None else None,
         num_valid=es.num_valid,
         num_src=es.num_src,
         num_dst=es.num_dst,

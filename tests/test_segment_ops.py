@@ -67,3 +67,32 @@ def test_segment_softmax(rng):
             e = np.exp(logits[m] - logits[m].max())
             np.testing.assert_allclose(out[m], e / e.sum(), rtol=1e-5)
             assert out[m].sum() == pytest.approx(1.0, rel=1e-5)
+
+
+def test_dense_adjacency_matches_segment(rng):
+    """Dense-adjacency tier == XLA segment path (mean and sum), incl. grads."""
+    import jax
+
+    num_src, num_dst, e, d = 37, 23, 300, 16
+    src = rng.integers(0, num_src, e).astype(np.int32)
+    dst = rng.integers(0, num_dst, e).astype(np.int32)
+    es = pad_edge_set(src, dst, num_src=num_src, num_dst=num_dst, pad_multiple=64,
+                      dense_max_bytes=1 << 20)
+    assert es.dense_adj is not None
+    x = jnp.asarray(rng.standard_normal((num_src, d)).astype(np.float32))
+
+    for mode in ("mean", "sum"):
+        want = np.asarray(aggregate_neighbors(x, es, mode, impl="xla"))
+        got = np.asarray(aggregate_neighbors(x, es, mode, impl="pallas"))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    w = jnp.asarray(rng.standard_normal((num_dst, d)).astype(np.float32))
+    g_dense = np.asarray(jax.grad(lambda x: (aggregate_neighbors(x, es, "mean", impl="pallas") * w).sum())(x))
+    g_xla = np.asarray(jax.grad(lambda x: (aggregate_neighbors(x, es, "mean", impl="xla") * w).sum())(x))
+    np.testing.assert_allclose(g_dense, g_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_adjacency_respects_budget(rng):
+    es = pad_edge_set(np.array([0]), np.array([0]), num_src=100, num_dst=100,
+                      pad_multiple=64, dense_max_bytes=100)  # 100x100x4 > 100 bytes
+    assert es.dense_adj is None
