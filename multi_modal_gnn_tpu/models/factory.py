@@ -39,6 +39,12 @@ def build_model(
         dtype=dtype,
     )
     if mc.architecture == "RGCN":
+        # factored heads win when pair count dwarfs node count (large
+        # cohorts); concat wins on op-count-bound small graphs
+        num_patients = dict(graph.node_counts).get("patient", 0)
+        head_style = mc.extras.get("head_style", "auto")
+        if head_style == "auto":
+            head_style = "factored" if num_patients >= 20_000 else "concat"
         model = HeteroRGCN(
             **common,
             activation=mc.activation,
@@ -47,6 +53,7 @@ def build_model(
             degree_threshold=mc.degree_threshold,
             impl=impl,
             axis_name=axis_name,
+            head_style=head_style,
         )
     elif mc.architecture == "HGT":
         if axis_name is not None:

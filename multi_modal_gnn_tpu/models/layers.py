@@ -17,6 +17,17 @@ def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
+def torch_linear_kernel_init_fan(fan_in: int) -> Callable:
+    """Kernel init with an explicit fan-in (for factored layers that split a
+    wider linear into parallel blocks but must keep the original init scale)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, dtype=jnp.float32))
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
 def torch_linear_bias_init(fan_in: int) -> Callable:
     def init(key, shape, dtype=jnp.float32):
         bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, dtype=jnp.float32))
@@ -25,12 +36,22 @@ def torch_linear_bias_init(fan_in: int) -> Callable:
     return init
 
 
-def make_dense(features: int, in_features: int, use_bias: bool = True, dtype=None, name=None):
+def make_dense(
+    features: int,
+    in_features: int,
+    use_bias: bool = True,
+    dtype=None,
+    name=None,
+    fan_in_override: int | None = None,
+):
+    fan = fan_in_override or in_features
     return nn.Dense(
         features=features,
         use_bias=use_bias,
-        kernel_init=torch_linear_kernel_init,
-        bias_init=torch_linear_bias_init(in_features),
+        kernel_init=(
+            torch_linear_kernel_init_fan(fan) if fan_in_override else torch_linear_kernel_init
+        ),
+        bias_init=torch_linear_bias_init(fan),
         dtype=dtype,
         name=name,
     )
@@ -74,6 +95,57 @@ class EdgeRegressionHead(nn.Module):
             # mesh position into this stream so shards draw independent masks
             # (node-level dropout stays on the shared 'dropout' stream since
             # node arrays are replicated).
+            x = nn.Dropout(
+                rate=self.dropout, deterministic=not train, rng_collection="edge_dropout"
+            )(x)
+            prev = h
+        return make_dense(self.output_dim, prev, dtype=self.dtype, name="dense_out")(x)
+
+
+class FactoredEdgeHead(nn.Module):
+    """Edge head whose first layer is factored into node-level projections.
+
+    Mathematically identical to :class:`EdgeRegressionHead` on
+    ``concat([x_p[p_idx], x_l[l_idx]])`` — a linear over a concat is the sum
+    of two linears — but the first-layer matmul runs at NODE count instead of
+    EDGE count (53x fewer FLOPs at 3.5M pairs / 100k patients) and the
+    per-pair gather moves ``hidden_dims[0]``-wide rows instead of two
+    ``node_dim``-wide ones.  Same parameter count; init scale preserved via
+    fan-in override.
+    """
+
+    node_dim: int
+    hidden_dims: Sequence[int] = (64, 32)
+    output_dim: int = 1
+    dropout: float = 0.2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x_p_nodes: jax.Array,  # [num_patients, node_dim]
+        x_l_nodes: jax.Array,  # [num_labs, node_dim]
+        p_idx: jax.Array,  # [B]
+        l_idx: jax.Array,  # [B]
+        train: bool = False,
+    ) -> jax.Array:
+        h0 = self.hidden_dims[0]
+        fan = 2 * self.node_dim  # the concat layer's fan-in
+        proj_p = make_dense(
+            h0, self.node_dim, dtype=self.dtype, name="proj_patient", fan_in_override=fan
+        )(x_p_nodes)
+        proj_l = make_dense(
+            h0, self.node_dim, use_bias=False, dtype=self.dtype, name="proj_lab",
+            fan_in_override=fan,
+        )(x_l_nodes)
+        x = nn.relu(proj_p[p_idx] + proj_l[l_idx])
+        x = nn.Dropout(
+            rate=self.dropout, deterministic=not train, rng_collection="edge_dropout"
+        )(x)
+        prev = h0
+        for i, h in enumerate(self.hidden_dims[1:], start=1):
+            x = make_dense(h, prev, dtype=self.dtype, name=f"dense_{i}")(x)
+            x = nn.relu(x)
             x = nn.Dropout(
                 rate=self.dropout, deterministic=not train, rng_collection="edge_dropout"
             )(x)

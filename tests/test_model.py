@@ -132,3 +132,37 @@ def test_patient_encoder_l2_normalized(model_and_vars, tiny_graph):
     )(variables)
     norms = np.linalg.norm(np.asarray(x_dict["patient"]), axis=1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_factored_head_equals_concat_linear(rng, tiny_graph):
+    """FactoredEdgeHead == EdgeRegressionHead on concat, with stitched weights."""
+    import flax
+
+    from multi_modal_gnn_tpu.models.layers import EdgeRegressionHead, FactoredEdgeHead
+
+    d, h = 16, 8
+    num_p, num_l, b = 12, 5, 20
+    xp = jnp.asarray(rng.standard_normal((num_p, d)).astype(np.float32))
+    xl = jnp.asarray(rng.standard_normal((num_l, d)).astype(np.float32))
+    p_idx = jnp.asarray(rng.integers(0, num_p, b).astype(np.int32))
+    l_idx = jnp.asarray(rng.integers(0, num_l, b).astype(np.int32))
+
+    fact = FactoredEdgeHead(node_dim=d, hidden_dims=(h, 4), dropout=0.0)
+    fvars = fact.init(jax.random.key(0), xp, xl, p_idx, l_idx)
+
+    conc = EdgeRegressionHead(input_dim=2 * d, hidden_dims=(h, 4), dropout=0.0)
+    cvars = conc.init(jax.random.key(1), jnp.zeros((1, 2 * d)))
+    # stitch the factored weights into the concat layout
+    cp = flax.core.unfreeze(cvars)["params"] if hasattr(flax.core, "unfreeze") else dict(cvars["params"])
+    fp = fvars["params"]
+    cp["dense_0"]["kernel"] = jnp.concatenate(
+        [fp["proj_patient"]["kernel"], fp["proj_lab"]["kernel"]], axis=0
+    )
+    cp["dense_0"]["bias"] = fp["proj_patient"]["bias"]
+    cp["dense_1"] = fp["dense_1"]
+    cp["dense_out"] = fp["dense_out"]
+
+    got = fact.apply(fvars, xp, xl, p_idx, l_idx)
+    pre = jnp.concatenate([xp[p_idx], xl[l_idx]], axis=-1)
+    want = conc.apply({"params": cp}, pre)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
