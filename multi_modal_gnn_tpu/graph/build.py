@@ -178,6 +178,18 @@ def build_heterogeneous_graph(
         rx_src = rx_dst = np.zeros(0, dtype=np.int32)
     edge_arrays[PATIENT_MEDICATION] = (rx_src, rx_dst, None)
 
+    # empty modalities are dropped entirely: a zero-node type has no
+    # embedding table and no relations (matches the reference, where absent
+    # tables simply never enter the HeteroData metadata)
+    empty = {name for name, n in counts.items() if n == 0}
+    if empty:
+        logger.info("Dropping empty node types: %s", sorted(empty))
+        counts = {k: v for k, v in counts.items() if v > 0}
+        edge_arrays = {
+            et: arrs for et, arrs in edge_arrays.items()
+            if et[0] in counts and et[2] in counts
+        }
+
     # ---- pad + sort + CSR, forward and reverse ---------------------------
     host_edges: Dict[EdgeTypeKey, tuple] = {}
     graph = assemble_graph(

@@ -168,3 +168,35 @@ def test_onehot_features(config):
     pairs = pd.DataFrame({"SUBJECT_ID": [1, 1, 3, 9], "ICD3_CODE": ["428", "584", "428", "428"]})
     mat = build_onehot_features(pairs, "SUBJECT_ID", "ICD3_CODE", pats, items)
     np.testing.assert_array_equal(mat, [[1, 1], [0, 0], [1, 0]])  # row 9 dropped
+
+
+def test_empty_modality_graph_trains(config):
+    """A cohort with no medications at all must build, validate, and train."""
+    import dataclasses
+
+    import jax
+
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+    from multi_modal_gnn_tpu.training.trainer import Trainer
+    from multi_modal_gnn_tpu.models.factory import build_model
+
+    labs = pd.DataFrame(
+        {
+            "SUBJECT_ID": np.repeat(np.arange(1, 13), 4),
+            "ITEMID": np.tile([50, 51, 52, 53], 12),
+            "VALUE": np.random.default_rng(0).normal(10, 2, 48),
+            "VALUE_NORMALIZED": np.random.default_rng(0).standard_normal(48).astype(np.float32),
+        }
+    )
+    dx = pd.DataFrame({"SUBJECT_ID": [1, 2], "ICD3_CODE": ["428", "428"]})
+    rx = pd.DataFrame(columns=["SUBJECT_ID", "DRUG"])  # empty modality
+    cohort = pd.DataFrame({"SUBJECT_ID": np.arange(1, 13)})
+    bundle = build_heterogeneous_graph(labs, dx, rx, cohort, None, config)
+    validate_graph(bundle.graph)
+    assert "medication" not in bundle.graph.node_types  # empty modality dropped
+
+    cfg = config.replace(model=dataclasses.replace(config.model, hidden_dim=16))
+    masker = EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
+    trainer = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
