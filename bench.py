@@ -33,6 +33,7 @@ def run_bench(
     quick: bool = False,
     epochs: int | None = None,
     use_pallas: bool | None = None,
+    dense: bool = True,
 ) -> dict:
     import dataclasses
 
@@ -53,6 +54,10 @@ def run_bench(
 
     cfg = Config()
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, use_pallas=use_pallas))
+    if not dense:  # exercise the windowed-kernel tier (the beyond-dense regime)
+        cfg = cfg.replace(
+            graph=dataclasses.replace(cfg.graph, dense_adjacency_max_bytes=0)
+        )
     spec = SyntheticSpec.scale_100k() if scale else SyntheticSpec.eicu_demo()
 
     t0 = time.perf_counter()
@@ -102,7 +107,9 @@ def run_bench(
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / REFERENCE_EDGES_PER_SEC, 2),
         "config": "scale_100k" if scale else "eicu_demo_synthetic",
-        "aggregation_impl": "pallas" if use_pallas else "xla",
+        "aggregation_impl": (
+            ("dense+pallas" if dense else "pallas") if use_pallas else "xla"
+        ),
         "device": str(jax.devices()[0]),
         "train_edges": n_train,
         "timed_epochs": n_epochs,
@@ -123,11 +130,14 @@ def main() -> int:
                         help="force the fused Pallas aggregation kernel")
     parser.add_argument("--no-pallas", dest="pallas", action="store_false",
                         help="force the XLA segment-sum path")
+    parser.add_argument("--no-dense", dest="dense", action="store_false", default=True,
+                        help="disable the dense-adjacency tier (bench the windowed kernel)")
     args = parser.parse_args()
 
     try:
         result = run_bench(
-            scale=args.scale, quick=args.quick, epochs=args.epochs, use_pallas=args.pallas
+            scale=args.scale, quick=args.quick, epochs=args.epochs,
+            use_pallas=args.pallas, dense=args.dense,
         )
     except Exception as exc:  # noqa: BLE001 — always emit a JSON line for the driver
         import traceback
