@@ -185,3 +185,45 @@ def test_pipeline_cli_end_to_end(tmp_path):
     with open(out / "evaluation_results.json") as f:
         results = json.load(f)
     assert "overall_metrics" in results and "mae" in results["overall_metrics"]
+
+
+def test_pipeline_cli_step_without_artifacts_fails_cleanly(tmp_path):
+    """--step 3 with no graph artifact: nonzero exit + a FAILED message,
+    no traceback spew to the user."""
+    import os
+
+    from multi_modal_gnn_tpu.config import load_config, save_config
+
+    cfg = load_config("conf/config.yaml")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            interim_dir=str(tmp_path / "interim"),
+            output_dir=str(tmp_path / "out"),
+        ),
+        logging=dataclasses.replace(cfg.logging, save_to_file=False),
+    )
+    cfg_path = tmp_path / "config.yaml"
+    save_config(cfg, cfg_path)
+    env = dict(os.environ)
+    env["MMGNN_FORCE_CPU"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "run_pipeline.py", "--config", str(cfg_path),
+         "--step", "3", "--no-confirm"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 1
+    assert "FAILED" in proc.stdout
+    assert "aborted" in proc.stdout
+
+
+def test_pipeline_cli_bad_step_range(tmp_path):
+    import os
+
+    env = dict(os.environ)
+    env["MMGNN_FORCE_CPU"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "run_pipeline.py", "--step", "9", "--no-confirm"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode != 0
