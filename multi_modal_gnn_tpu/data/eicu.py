@@ -157,6 +157,28 @@ class EICULoader:
         )
 
 
+def map_eicu_to_mimic_format(loader: EICULoader) -> Dict[str, pd.DataFrame]:
+    """All eICU tables mapped to the MIMIC-III-style contract in one call
+    (reference src/io_eicu.py:420-509)."""
+    patients = loader.load_patients().copy()
+    patients["SUBJECT_ID"] = patients["patientunitstayid"]
+    patients["GENDER"] = patients.get("gender")
+    patients["AGE"] = parse_eicu_age(patients["age"])
+
+    admissions = loader.load_patients().copy()
+    admissions["SUBJECT_ID"] = admissions["patientunitstayid"]
+    admissions["HADM_ID"] = admissions["patienthealthsystemstayid"]
+
+    return {
+        "patients": patients,
+        "admissions": admissions,
+        "labevents": loader.load_labevents(),
+        "labitems": loader.load_d_labitems(),
+        "diagnoses": loader.load_diagnoses_icd(),
+        "prescriptions": loader.load_prescriptions(),
+    }
+
+
 def parse_eicu_age(age: pd.Series) -> pd.Series:
     """Vectorized age parser: '> 89' -> 90, numeric strings -> int, else NaN."""
     s = age.astype("string").str.strip()

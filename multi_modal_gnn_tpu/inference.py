@@ -34,6 +34,37 @@ def _denorm(meta, lab_idx: int, value: float) -> float:
     return float(value * stats.get("std", 1.0) + stats.get("mean", 0.0))
 
 
+def load_patient_context(
+    bundle: GraphBundle, patient_idx: int, cohort=None, max_items: int = 10
+) -> Dict:
+    """Demographic + diagnosis + medication context for a patient
+    (reference src/inference.py:27-51).  Diagnoses/medications come from the
+    graph's own host edge lists + indexers; age/gender from the cohort frame
+    when provided (interim cohort.parquet)."""
+    from multi_modal_gnn_tpu.graph.schema import PATIENT_DIAGNOSIS, PATIENT_MEDICATION
+
+    meta = bundle.meta
+    context: Dict = {
+        "patient_id": meta.indexers[PATIENT].id_of(patient_idx)
+        if PATIENT in meta.indexers
+        else patient_idx
+    }
+    for key, et in (("diagnoses", PATIENT_DIAGNOSIS), ("medications", PATIENT_MEDICATION)):
+        items: List = []
+        if bundle.host_edges and et in bundle.host_edges:
+            src, dst, _ = bundle.host_edges[et]
+            idxs = dst[src == patient_idx][:max_items]
+            indexer = meta.indexers.get(et[2])
+            items = [indexer.id_of(int(i)) if indexer else int(i) for i in idxs]
+        context[key] = items
+    if cohort is not None and "SUBJECT_ID" in cohort.columns:
+        row = cohort[cohort["SUBJECT_ID"] == context["patient_id"]]
+        if len(row):
+            context["age"] = float(row.iloc[0].get("AGE", float("nan")))
+            context["gender"] = str(row.iloc[0].get("GENDER", "N/A"))
+    return context
+
+
 def classify_patient_labs(masker, patient_idx: int) -> Dict[str, Dict[int, float]]:
     """Split a patient's observed labs by masker membership.
 
@@ -136,6 +167,17 @@ def print_patient_report(report: Dict, detailed: bool = False) -> str:
         f"Patient {report['patient_id']} — {report['num_measured']} labs measured",
         "=" * 66,
     ]
+    ctx = report.get("context") or {}
+    demo_bits = [
+        f"age {ctx['age']:.0f}" if "age" in ctx else None,
+        f"gender {ctx['gender']}" if "gender" in ctx else None,
+    ]
+    if any(demo_bits):
+        lines.append("  " + ", ".join(b for b in demo_bits if b))
+    if ctx.get("diagnoses"):
+        lines.append(f"  diagnoses: {', '.join(str(d) for d in ctx['diagnoses'])}")
+    if ctx.get("medications"):
+        lines.append(f"  medications: {', '.join(str(m) for m in ctx['medications'])}")
     if report["masked_labs"]:
         lines.append("\nHeld-out (test) labs — prediction vs actual:")
         for name, info in sorted(report["masked_labs"].items()):
@@ -165,9 +207,11 @@ def run_inference(
     patient_id: Optional[int] = None,
     num_examples: int = 5,
     detailed: bool = False,
+    cohort=None,
 ) -> Dict:
     """Generate inference examples and aggregate error statistics
-    (src/inference.py:260-415)."""
+    (src/inference.py:260-415).  ``cohort``: optional demographics frame
+    (interim cohort.parquet) enriching each report with age/gender."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     meta = bundle.meta
@@ -185,7 +229,8 @@ def run_inference(
         )
 
     reports = predict_for_patients(trainer, bundle, patient_indices)
-    for report in reports.values():
+    for idx, report in reports.items():
+        report["context"] = load_patient_context(bundle, idx, cohort=cohort)
         print_patient_report(report, detailed=detailed)
 
     errors = [

@@ -491,6 +491,12 @@ class Trainer:
     def _save(self, path: Path) -> None:
         save_checkpoint(path, self._checkpoint_payload(), self._host_metadata())
 
+    def load_best_model(self, output_dir: str | Path) -> None:
+        """Reload the best checkpoint from a training run's output directory
+        (reference: src/train.py:546-561) and make it the active state."""
+        self.restore(Path(output_dir) / "best_model.ckpt")
+        self.best_state = self.state
+
     def restore(self, path: str | Path) -> None:
         """True mid-training resume (state + scheduler + counters)."""
         restored, meta = load_checkpoint(path, self._checkpoint_payload())

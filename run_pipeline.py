@@ -121,9 +121,16 @@ def step_inference(config, patient_id=None, num_examples=5, detailed=False):
 
     bundle = _load_bundle(config)
     trainer = _load_trainer(config, bundle)
+    cohort = None
+    cohort_path = Path(config.data.interim_dir) / "cohort.parquet"
+    if cohort_path.exists():
+        from multi_modal_gnn_tpu.utils.io import load_dataframe
+
+        cohort = load_dataframe(cohort_path)
     run_inference(
         config, bundle, trainer, config.data.output_dir,
         patient_id=patient_id, num_examples=num_examples, detailed=detailed,
+        cohort=cohort,
     )
 
 

@@ -359,3 +359,14 @@ def test_eicu_raw_to_graph(eicu_dir, tmp_path):
     assert bundle.graph.num_nodes("patient") == 3
     assert bundle.graph.patient_lab.num_valid > 0
     assert (tmp_path / "graph.npz").exists()
+
+
+def test_map_eicu_to_mimic_format(eicu_dir):
+    from multi_modal_gnn_tpu.data.eicu import EICULoader, map_eicu_to_mimic_format
+
+    tables = map_eicu_to_mimic_format(EICULoader(eicu_dir))
+    assert set(tables) == {"patients", "admissions", "labevents", "labitems",
+                           "diagnoses", "prescriptions"}
+    assert "SUBJECT_ID" in tables["patients"].columns
+    assert tables["patients"]["AGE"].max() == 90  # '> 89' remap
+    assert "HADM_ID" in tables["admissions"].columns

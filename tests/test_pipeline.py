@@ -227,3 +227,21 @@ def test_pipeline_cli_bad_step_range(tmp_path):
         capture_output=True, text=True, timeout=600, env=env,
     )
     assert proc.returncode != 0
+
+
+def test_patient_context_in_reports(quick_trained, tmp_path):
+    import pandas as pd
+
+    from multi_modal_gnn_tpu.inference import load_patient_context
+
+    cfg, bundle, trainer, _ = quick_trained
+    ctx = load_patient_context(bundle, 0)
+    assert "diagnoses" in ctx and "medications" in ctx
+    # with a cohort frame, demographics appear
+    pid = bundle.meta.indexers["patient"].id_of(0)
+    cohort = pd.DataFrame({"SUBJECT_ID": [pid], "AGE": [55.0], "GENDER": ["F"]})
+    ctx2 = load_patient_context(bundle, 0, cohort=cohort)
+    assert ctx2["age"] == 55.0 and ctx2["gender"] == "F"
+    # run_inference attaches context to every example
+    result = run_inference(cfg, bundle, trainer, tmp_path, num_examples=2, cohort=cohort)
+    assert all("context" in ex for ex in result["examples"])

@@ -168,3 +168,16 @@ def test_fit_scan_chunked_early_stops(trained):
     trainer = Trainer(build_model(cfg_es, bundle.graph), bundle.graph, masker, cfg_es)
     trainer.fit(scan_chunk=4)
     assert len(trainer.history["train_loss"]) < 100
+
+
+def test_load_best_model(trained, tmp_path):
+    cfg, bundle, *_ = trained
+    cfg5 = _small_cfg(epochs=5)
+    masker = EdgeMasker(bundle.graph, seed=2)
+    t = Trainer(build_model(cfg5, bundle.graph), bundle.graph, masker, cfg5)
+    t.fit(output_dir=tmp_path)
+
+    t2 = Trainer(build_model(cfg5, bundle.graph), bundle.graph,
+                 EdgeMasker(bundle.graph, seed=2), cfg5)
+    t2.load_best_model(tmp_path)
+    np.testing.assert_allclose(t2.validate("test"), t.validate("test", state=t.best_state), rtol=1e-5)
