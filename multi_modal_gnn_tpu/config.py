@@ -44,6 +44,10 @@ class DataConfig:
     raw_dir: str = "data/raw"
     interim_dir: str = "data/interim"
     output_dir: str = "outputs"
+    # stream LABEVENTS in chunks of this many rows (None = whole-table load);
+    # for MIMIC-scale ingest (27M rows) this bounds peak host memory
+    # (reference src/io_mimic.py:205-250)
+    labevents_chunksize: Optional[int] = None
     extras: Dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -217,6 +221,11 @@ class OptimizerConfig:
     lr: float = 1e-3
     weight_decay: float = 1e-5
     momentum: float = 0.9  # sgd only
+    # extra L2 decay applied ONLY to the ID-embedding tables (embed_*) —
+    # the SGD analogue of the per-entity ridge shrinkage that makes the ALS
+    # baseline strong on noisy cohorts (evaluation/baselines.py ALSBaseline);
+    # 0 keeps exact reference optimizer semantics
+    embedding_weight_decay: float = 0.0
     extras: Dict[str, Any] = field(default_factory=dict)
 
 

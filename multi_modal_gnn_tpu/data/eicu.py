@@ -221,8 +221,15 @@ def select_cohort(
         admit = pd.to_datetime(
             cohort.get("unitadmittime24"), format="%H:%M:%S", errors="coerce"
         )
+        # drop_duplicates keeps WHOLE rows — groupby().first() would take the
+        # first non-null value per column independently, assembling chimeric
+        # rows mixing fields from different stays when the earliest has nulls
         cohort = cohort.assign(_admit=admit).sort_values(["uniquepid", "_admit"])
-        cohort = cohort.groupby("uniquepid").first().reset_index().drop(columns=["_admit"])
+        cohort = (
+            cohort.drop_duplicates("uniquepid", keep="first")
+            .drop(columns=["_admit"])
+            .reset_index(drop=True)
+        )
         logger.info("After first-stay-per-patient: %d patients", len(cohort))
 
     if subject_limit is not None and subject_limit < len(cohort):

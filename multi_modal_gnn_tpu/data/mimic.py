@@ -70,16 +70,53 @@ class MIMICLoader:
         return self.load_table("ICUSTAYS")
 
     def load_labevents(self, chunksize: Optional[int] = None):
-        if self.source == "csv" and chunksize:
-            for candidate in ("LABEVENTS.csv", "labevents.csv"):
-                path = self.data_dir / candidate
-                if path.exists():
-                    return pd.read_csv(path, chunksize=chunksize, low_memory=False)
-            raise FileNotFoundError("LABEVENTS.csv not found")
+        """Whole-table load, or a chunk iterator when ``chunksize`` is set
+        (the reference streams the 27M-row LABEVENTS this way,
+        src/io_mimic.py:205-250)."""
+        if chunksize:
+            if self.source == "csv":
+                for candidate in ("LABEVENTS", "labevents"):
+                    for suffix in (".csv", ".csv.gz"):
+                        path = self.data_dir / f"{candidate}{suffix}"
+                        if path.exists():
+                            return pd.read_csv(path, chunksize=chunksize, low_memory=False)
+                raise FileNotFoundError("LABEVENTS.csv(.gz) not found")
+            import sqlalchemy  # optional dependency, gated
+
+            engine = sqlalchemy.create_engine(self.db_connection)
+            return pd.read_sql(
+                "SELECT * FROM mimiciii.labevents", engine, chunksize=chunksize
+            )
         df = self.load_table("LABEVENTS")
         if "CHARTTIME" in df.columns:
             df["CHARTTIME"] = pd.to_datetime(df["CHARTTIME"], errors="coerce")
         return df
+
+    def load_labevents_for_cohort(
+        self, cohort_subject_ids, chunksize: int = 1_000_000
+    ) -> pd.DataFrame:
+        """Stream LABEVENTS in chunks, keeping only numeric events of cohort
+        patients — bounds peak memory to one chunk instead of the whole 27M-row
+        table (reference's chunked path, src/io_mimic.py:205-250)."""
+        ids = set(int(s) for s in cohort_subject_ids)
+        kept = []
+        total = 0
+        for chunk in self.load_labevents(chunksize=chunksize):
+            chunk.columns = chunk.columns.str.upper()
+            total += len(chunk)
+            sel = chunk[chunk["SUBJECT_ID"].isin(ids) & chunk["VALUENUM"].notna()]
+            if len(sel):
+                kept.append(sel)
+        out = (
+            pd.concat(kept, ignore_index=True)
+            if kept
+            else pd.DataFrame(columns=["SUBJECT_ID", "ITEMID", "VALUENUM"])
+        )
+        logger.info(
+            "Chunked LABEVENTS ingest: kept %d/%d rows for %d cohort patients",
+            len(out), total, len(ids),
+        )
+        return out
 
     def load_d_labitems(self) -> pd.DataFrame:
         return self.load_table("D_LABITEMS")
@@ -136,8 +173,10 @@ def select_cohort(
         logger.info("After excluding deaths: %d", len(cohort))
 
     if use_first_icu_only:
+        # whole-row dedup (not groupby().first(), which mixes fields across
+        # stays when the earliest stay has nulls in some columns)
         cohort = cohort.sort_values(["SUBJECT_ID", "INTIME"])
-        cohort = cohort.groupby("SUBJECT_ID").first().reset_index()
+        cohort = cohort.drop_duplicates("SUBJECT_ID", keep="first").reset_index(drop=True)
         logger.info("After first ICU stay only: %d", len(cohort))
 
     if subject_limit is not None:

@@ -281,7 +281,14 @@ def preprocess_pipeline(
             loader.load_patients(), loader.load_admissions(), loader.load_icustays(),
             **cohort_cfg,
         )
-        labevents = loader.load_labevents()
+        if config.data.labevents_chunksize:
+            # stream + pre-filter to the cohort: peak memory is one chunk,
+            # not the whole 27M-row table (reference src/io_mimic.py:205-250)
+            labevents = loader.load_labevents_for_cohort(
+                cohort["SUBJECT_ID"], chunksize=config.data.labevents_chunksize
+            )
+        else:
+            labevents = loader.load_labevents()
         d_labitems = loader.load_d_labitems()
         diagnoses = loader.load_diagnoses_icd()
         prescriptions = loader.load_prescriptions()

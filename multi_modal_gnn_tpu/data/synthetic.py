@@ -119,9 +119,27 @@ def _sample_memberships(
     return patient_idx, item_idx
 
 
-def generate_synthetic_tables(spec: SyntheticSpec) -> Dict[str, pd.DataFrame]:
+@dataclass(frozen=True)
+class SyntheticLatents:
+    """The generator's ground-truth latent structure, for computing the
+    Bayes-optimal conditional performance ceiling (evaluation/ceiling.py).
+
+    ``value_norm = signal * <w_lab[l], z[p]> + sqrt(1 - signal^2) * eps``.
+    """
+
+    z: np.ndarray  # [num_patients, latent_dim]
+    w_lab: np.ndarray  # [num_labs, latent_dim], unit rows
+    signal: float
+
+
+def generate_synthetic_tables(
+    spec: SyntheticSpec, return_latents: bool = False
+) -> Dict[str, pd.DataFrame] | Tuple[Dict[str, pd.DataFrame], SyntheticLatents]:
     """Generate preprocess-contract dataframes (cohort / labs_normalized /
-    diagnoses / medications / labitems / demographics)."""
+    diagnoses / medications / labitems / demographics).
+
+    With ``return_latents=True`` also returns the ground-truth
+    :class:`SyntheticLatents` (same tables, identical RNG stream)."""
     rng = np.random.default_rng(spec.seed)
 
     # ---- latent structure -------------------------------------------------
@@ -211,7 +229,7 @@ def generate_synthetic_tables(spec: SyntheticSpec) -> Dict[str, pd.DataFrame]:
         }
     )
 
-    return {
+    tables = {
         "cohort": cohort,
         "labs_normalized": labs,
         "diagnoses": diagnoses,
@@ -219,6 +237,9 @@ def generate_synthetic_tables(spec: SyntheticSpec) -> Dict[str, pd.DataFrame]:
         "labitems": labitems,
         "demographics": cohort.copy(),
     }
+    if return_latents:
+        return tables, SyntheticLatents(z=z, w_lab=w_lab, signal=float(s))
+    return tables
 
 
 def make_synthetic_bundle(spec: SyntheticSpec | None = None, config: Config | None = None):

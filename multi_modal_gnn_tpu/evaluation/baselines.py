@@ -87,6 +87,88 @@ class NearestNeighborBaseline:
         return np.where(has_donor, preds, 0.0)
 
 
+class ALSBaseline:
+    """Low-rank matrix completion via alternating ridge regression.
+
+    Fits ``v(p, l) ~ b_l + <u_p, c_l>`` on the train edges by alternating
+    closed-form ridge solves for the patient factors U and lab factors C.
+    This is the strongest *learnable* classical baseline for the
+    mask-and-recover task — on the synthetic cohort (whose generator is
+    exactly low-rank Gaussian, data/synthetic.py) it approaches the Bayes
+    conditional ceiling (evaluation/ceiling.py), so the gap between it and
+    the GNN measures architecture/optimization loss, not task difficulty.
+
+    Beyond-reference: the reference configures only mean/knn baselines
+    (conf/config.yaml evaluation.baselines; src/evaluate.py:147-230).
+    Everything is vectorized: per-entity normal equations are accumulated
+    with ``np.add.at`` over [N, k, k] blocks and solved batched.
+    """
+
+    def __init__(
+        self,
+        num_patients: int,
+        num_labs: int,
+        rank: int = 8,
+        reg: float = 3.0,
+        iters: int = 30,
+        seed: int = 0,
+    ):
+        self.num_patients = num_patients
+        self.num_labs = num_labs
+        self.rank = rank
+        self.reg = reg
+        self.iters = iters
+        self.seed = seed
+        self.U = np.zeros((num_patients, rank))
+        self.C = np.zeros((num_labs, rank))
+        self.lab_bias = np.zeros(num_labs)
+
+    @staticmethod
+    def _ridge_solve(
+        factors_other: np.ndarray,  # [E, k] the fixed side's factor per edge
+        idx_own: np.ndarray,  # [E] which own-entity each edge belongs to
+        resid: np.ndarray,  # [E] target minus bias
+        num_own: int,
+        reg: float,
+    ) -> np.ndarray:
+        k = factors_other.shape[1]
+        gram = np.tile(reg * np.eye(k), (num_own, 1, 1))
+        np.add.at(gram, idx_own, factors_other[:, :, None] * factors_other[:, None, :])
+        rhs = np.zeros((num_own, k))
+        np.add.at(rhs, idx_own, factors_other * resid[:, None])
+        return np.linalg.solve(gram, rhs[..., None])[..., 0]
+
+    def fit(
+        self,
+        values: np.ndarray,
+        patient_indices: np.ndarray,
+        lab_indices: np.ndarray,
+    ) -> "ALSBaseline":
+        values = np.asarray(values, dtype=np.float64)
+        p = np.asarray(patient_indices)
+        l = np.asarray(lab_indices)
+        sums = np.bincount(l, weights=values, minlength=self.num_labs)
+        counts = np.bincount(l, minlength=self.num_labs)
+        self.lab_bias = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+        rng = np.random.default_rng(self.seed)
+        self.C = rng.normal(scale=0.1, size=(self.num_labs, self.rank))
+        resid = values - self.lab_bias[l]
+        for _ in range(self.iters):
+            self.U = self._ridge_solve(self.C[l], p, resid, self.num_patients, self.reg)
+            self.C = self._ridge_solve(self.U[p], l, resid, self.num_labs, self.reg)
+            fitted = np.einsum("ek,ek->e", self.U[p], self.C[l])
+            bias_resid = values - fitted
+            sums = np.bincount(l, weights=bias_resid, minlength=self.num_labs)
+            self.lab_bias = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+            resid = values - self.lab_bias[l]
+        return self
+
+    def predict(self, patient_indices: np.ndarray, lab_indices: np.ndarray) -> np.ndarray:
+        p = np.asarray(patient_indices)
+        l = np.asarray(lab_indices)
+        return self.lab_bias[l] + np.einsum("ek,ek->e", self.U[p], self.C[l])
+
+
 def evaluate_baselines(
     train_values: np.ndarray,
     train_lab_indices: np.ndarray,
@@ -96,6 +178,9 @@ def evaluate_baselines(
     train_patient_indices: np.ndarray | None = None,
     test_patient_indices: np.ndarray | None = None,
     num_patients: int | None = None,
+    include_nn: bool = True,
+    include_als: bool = False,
+    als_rank: int = 8,
 ) -> Dict[str, Dict[str, float]]:
     results = {}
     gm = GlobalMeanBaseline().fit(train_values)
@@ -107,10 +192,18 @@ def evaluate_baselines(
         plm.predict(test_lab_indices), test_values
     )
     if train_patient_indices is not None and num_patients is not None:
-        nn = NearestNeighborBaseline(num_patients, num_labs).fit(
-            train_values, train_patient_indices, train_lab_indices
-        )
-        results["nearest_neighbor"] = compute_regression_metrics(
-            nn.predict(test_patient_indices, test_lab_indices), test_values
-        )
+        if include_nn:
+            nn = NearestNeighborBaseline(num_patients, num_labs).fit(
+                train_values, train_patient_indices, train_lab_indices
+            )
+            results["nearest_neighbor"] = compute_regression_metrics(
+                nn.predict(test_patient_indices, test_lab_indices), test_values
+            )
+        if include_als:
+            als = ALSBaseline(num_patients, num_labs, rank=als_rank).fit(
+                train_values, train_patient_indices, train_lab_indices
+            )
+            results["als_matrix_factorization"] = compute_regression_metrics(
+                als.predict(test_patient_indices, test_lab_indices), test_values
+            )
     return results

@@ -1,0 +1,119 @@
+"""Bayes-optimal conditional performance ceiling for the synthetic generator.
+
+The synthetic cohort (data/synthetic.py) draws normalized lab values from a
+jointly-Gaussian low-rank model:
+
+    z_p ~ N(0, I_k)
+    v(p, l) = s * <w_l, z_p> + sigma * eps,     sigma^2 = 1 - s^2
+
+The *unconditional* ceiling s^2 (variance explainable with oracle z) is the
+wrong yardstick for mask-and-recover training: the model only observes a
+patient's TRAIN-split lab values, so the right ceiling is the Bayes-optimal
+predictor of a held-out value given those observations.  For this generator
+that predictor has a closed form — the Gaussian posterior over z_p given the
+observed values:
+
+    A_p   = I_k + (s^2 / sigma^2) * W_O^T W_O          (posterior precision)
+    mu_p  = A_p^{-1} (s / sigma^2) W_O^T v_O           (posterior mean)
+    yhat  = s * <w_l, mu_p>
+    E[(y - yhat)^2] = s^2 * w_l^T A_p^{-1} w_l + sigma^2
+
+Because Var(v) = 1 by construction, the expected ceiling R^2 is simply
+1 - mean_q(residual variance).  This module computes both the *expected*
+ceiling (exact, averaged over noise draws) and the *realized* metrics of the
+oracle predictor on the actual sampled test values.
+
+No analogue exists in the reference (its quality number is measured on real
+eICU data); this is the yardstick VERDICT r1 required for interpreting
+synthetic-cohort R^2.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from multi_modal_gnn_tpu.evaluation.metrics import compute_regression_metrics
+
+
+def gaussian_posterior_means(
+    w_lab: np.ndarray,
+    signal: float,
+    obs_patient: np.ndarray,
+    obs_lab: np.ndarray,
+    obs_values: np.ndarray,
+    num_patients: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-patient posterior (mean, covariance) of z given observed values.
+
+    Returns (mu [P, k], cov [P, k, k]).  Patients with no observations get
+    the prior (mu = 0, cov = I).
+    """
+    w_lab = np.asarray(w_lab, dtype=np.float64)
+    k = w_lab.shape[1]
+    s = float(signal)
+    sigma2 = max(1.0 - s * s, 1e-12)
+    c = (s * s) / sigma2
+
+    w_obs = w_lab[obs_lab]  # [E, k]
+    precision = np.tile(np.eye(k), (num_patients, 1, 1))
+    outer = w_obs[:, :, None] * w_obs[:, None, :]  # [E, k, k]
+    np.add.at(precision, obs_patient, c * outer)
+
+    rhs = np.zeros((num_patients, k))
+    np.add.at(rhs, obs_patient, (s / sigma2) * w_obs * obs_values[:, None])
+
+    cov = np.linalg.inv(precision)
+    mu = np.einsum("pij,pj->pi", cov, rhs)
+    return mu, cov
+
+
+def gaussian_conditional_ceiling(
+    w_lab: np.ndarray,
+    signal: float,
+    obs_patient: np.ndarray,
+    obs_lab: np.ndarray,
+    obs_values: np.ndarray,
+    query_patient: np.ndarray,
+    query_lab: np.ndarray,
+    query_values: Optional[np.ndarray] = None,
+    num_patients: Optional[int] = None,
+) -> Dict:
+    """Bayes-optimal prediction of query edges given observed edges.
+
+    ``obs_*`` are the (patient, lab, normalized value) triples the model is
+    allowed to see (the train split); ``query_*`` are the held-out edges.
+    Returns expected (exact) and realized (sampled) ceiling metrics.
+    """
+    if num_patients is None:
+        num_patients = int(max(obs_patient.max(), query_patient.max())) + 1
+    s = float(signal)
+    sigma2 = max(1.0 - s * s, 1e-12)
+
+    mu, cov = gaussian_posterior_means(
+        w_lab, s, obs_patient, obs_lab, obs_values, num_patients
+    )
+
+    w_q = np.asarray(w_lab, dtype=np.float64)[query_lab]  # [Q, k]
+    predictions = s * np.einsum("qk,qk->q", w_q, mu[query_patient])
+
+    # exact residual variance per query: s^2 w^T cov w + sigma^2
+    cov_q = cov[query_patient]  # [Q, k, k]
+    resid_var = s * s * np.einsum("qi,qij,qj->q", w_q, cov_q, w_q) + sigma2
+    expected_r2 = float(1.0 - resid_var.mean())  # Var(v) == 1 by construction
+    # residuals are Gaussian, so E|resid| = sqrt(2/pi) * std
+    expected_mae = float(np.sqrt(2.0 / np.pi) * np.sqrt(resid_var).mean())
+    expected_rmse = float(np.sqrt(resid_var.mean()))
+
+    out: Dict = {
+        "expected": {"r2": expected_r2, "mae": expected_mae, "rmse": expected_rmse},
+        "unconditional_r2": s * s,
+        "predictions": predictions,
+        "mean_posterior_var": float(
+            np.trace(cov.sum(axis=0)) / (num_patients * cov.shape[1])
+        ),
+    }
+    if query_values is not None:
+        out["realized"] = compute_regression_metrics(predictions, np.asarray(query_values))
+    return out

@@ -84,11 +84,15 @@ def evaluate_model(
 
         tr_p, tr_l, tr_v = trainer.masker.split_arrays("train")
         want_nn = "nearest_neighbor" in config.evaluation.baselines
+        want_als = "als" in config.evaluation.baselines
+        want_pairs = want_nn or want_als
         results["baselines"] = evaluate_baselines(
             tr_v, tr_l, targets, lab_idx, graph.num_nodes(LAB),
-            train_patient_indices=tr_p if want_nn else None,
-            test_patient_indices=patient_idx if want_nn else None,
-            num_patients=graph.num_nodes(PATIENT) if want_nn else None,
+            train_patient_indices=tr_p if want_pairs else None,
+            test_patient_indices=patient_idx if want_pairs else None,
+            num_patients=graph.num_nodes(PATIENT) if want_pairs else None,
+            include_nn=want_nn,
+            include_als=want_als,
         )
         for name, m in results["baselines"].items():
             if m["mae"] > 0:
@@ -124,12 +128,19 @@ def evaluate_model(
 
 
 def evaluation_pipeline(
-    config: Config, bundle: GraphBundle, checkpoint_path: str | Path, output_dir: str | Path
+    config: Config,
+    bundle: GraphBundle,
+    checkpoint_path: str | Path,
+    output_dir: str | Path,
+    force: bool = False,
 ) -> Dict:
-    """CLI entry: rebuild model/trainer, restore a checkpoint, evaluate test.
+    """CLI entry: rebuild model, restore a checkpoint, evaluate test.
 
     The test split is recovered by re-deriving the seeded permutation —
-    same approach as the reference CLI (src/evaluate.py:636-644)."""
+    same approach as the reference CLI (src/evaluate.py:636-644).  The
+    trainer is built ``eval_only`` (no train step is ever staged) and the
+    restore verifies the checkpoint's config hash against the live config
+    unless ``force``."""
     from multi_modal_gnn_tpu.models.factory import build_model
     from multi_modal_gnn_tpu.training.masker import EdgeMasker
     from multi_modal_gnn_tpu.training.trainer import Trainer
@@ -145,6 +156,6 @@ def evaluation_pipeline(
         host_edges=bundle.patient_lab_host(),
     )
     model = build_model(config, bundle.graph)
-    trainer = Trainer(model, bundle.graph, masker, config)
-    trainer.restore(checkpoint_path)
+    trainer = Trainer(model, bundle.graph, masker, config, eval_only=True)
+    trainer.restore(checkpoint_path, force=force)
     return evaluate_model(trainer, bundle, config, output_dir=output_dir)

@@ -178,6 +178,26 @@ def build_heterogeneous_graph(
         rx_src = rx_dst = np.zeros(0, dtype=np.int32)
     edge_arrays[PATIENT_MEDICATION] = (rx_src, rx_dst, None)
 
+    # honor EdgeTypeConfig.enabled (reference gates relation construction on
+    # it, src/graph_build.py:212-239): disabled relations are never built,
+    # and node types that end up with no relations are dropped below
+    from multi_modal_gnn_tpu.graph.schema import CONFIG_EDGE_NAMES
+
+    for name, et in CONFIG_EDGE_NAMES.items():
+        etc = config.graph.edge_types.get(name)
+        if etc is not None and not etc.enabled:
+            if et == PATIENT_LAB:
+                raise ValueError(
+                    "graph.edge_types.patient_lab.enabled=false: the patient-lab "
+                    "relation carries the supervision targets and cannot be disabled"
+                )
+            logger.info("Relation %s disabled by config", name)
+            edge_arrays.pop(et, None)
+    connected = {t for et in edge_arrays for t in (et[0], et[2])}
+    for name in list(counts):
+        if name not in connected:
+            counts[name] = 0
+
     # empty modalities are dropped entirely: a zero-node type has no
     # embedding table and no relations (matches the reference, where absent
     # tables simply never enter the HeteroData metadata)
@@ -249,6 +269,7 @@ def assemble_graph(
         PATIENT_DIAGNOSIS: True,
         PATIENT_MEDICATION: True,
     }
+    disabled: set = set()
     if config is not None:
         from multi_modal_gnn_tpu.graph.schema import CONFIG_EDGE_NAMES
 
@@ -256,9 +277,13 @@ def assemble_graph(
             etc = config.graph.edge_types.get(name)
             if etc is not None:
                 enabled_bidirectional[et] = etc.bidirectional
+                if not etc.enabled and et != PATIENT_LAB:
+                    disabled.add(et)
 
     edges: Dict[EdgeTypeKey, EdgeSet] = {}
     for et, (src, dst, val) in edge_arrays.items():
+        if et in disabled:
+            continue
         s_type, _, d_type = et
         edges[et], host = pad_edge_set(
             src,

@@ -27,11 +27,65 @@ from multi_modal_gnn_tpu.utils.io import save_json
 logger = logging.getLogger(__name__)
 
 
-def _denorm(meta, lab_idx: int, value: float) -> float:
-    stats = meta.lab_stats.get(int(lab_idx))
-    if not stats:
-        return float(value)
-    return float(value * stats.get("std", 1.0) + stats.get("mean", 0.0))
+class Denormalizer:
+    """Maps graph lab indices to original-unit values.
+
+    Prefers the fitted :class:`LabNormalizer` persisted by the preprocess
+    stage (interim ``normalizer.parquet``) — every method's inverse is the
+    affine ``value * scale + center`` — so minmax/robust/none configs
+    denormalize correctly.  Falls back to ``GraphMeta.lab_stats`` (raw-value
+    mean/std), which is only exact for zscore; the fallback logs once when
+    the configured method isn't zscore.  Reference recomputes mean/std from
+    interim parquet and assumes zscore (src/inference.py:296-299).
+    """
+
+    def __init__(self, meta, normalizer_frame=None, method: str = "zscore"):
+        self.meta = meta
+        self._affine: Dict[int, tuple] = {}
+        if normalizer_frame is not None and len(normalizer_frame):
+            from multi_modal_gnn_tpu.graph.schema import LAB as _LAB
+
+            indexer = meta.indexers.get(_LAB)
+            by_id = {
+                row["lab_id"]: (float(row["center"]), float(row["scale"]))
+                for _, row in normalizer_frame.iterrows()
+            }
+            nmethod = (
+                str(normalizer_frame["method"].iloc[0])
+                if "method" in normalizer_frame.columns
+                else method
+            )
+            if indexer is not None:
+                for lab_id, cs in by_id.items():
+                    idx = indexer.get(lab_id)
+                    if idx is not None:
+                        self._affine[int(idx)] = (0.0, 1.0) if nmethod == "none" else cs
+        elif method != "zscore":
+            logger.warning(
+                "No fitted normalizer available; falling back to raw-value "
+                "mean/std, which is only exact for zscore (configured: %s)",
+                method,
+            )
+
+    def __call__(self, lab_idx: int, value: float) -> float:
+        affine = self._affine.get(int(lab_idx))
+        if affine is not None:
+            center, scale = affine
+            return float(value * scale + center)
+        stats = self.meta.lab_stats.get(int(lab_idx))
+        if not stats:
+            return float(value)
+        return float(value * stats.get("std", 1.0) + stats.get("mean", 0.0))
+
+
+def load_fitted_normalizer_frame(interim_dir) -> Optional[object]:
+    """The preprocess stage's persisted normalizer table, if present."""
+    path = Path(interim_dir) / "normalizer.parquet"
+    if not path.exists():
+        return None
+    from multi_modal_gnn_tpu.utils.io import load_dataframe
+
+    return load_dataframe(path)
 
 
 def load_patient_context(
@@ -103,12 +157,14 @@ def select_example_patients(
 
 
 def predict_for_patients(
-    trainer, bundle: GraphBundle, patient_indices: List[int]
+    trainer, bundle: GraphBundle, patient_indices: List[int], denorm=None
 ) -> Dict[int, Dict]:
     """Batched prediction of EVERY lab for each patient (single jitted call),
     then classification into measured / masked / truly-missing groups."""
     graph = bundle.graph
     meta = bundle.meta
+    if denorm is None:
+        denorm = Denormalizer(meta)
     num_labs = graph.num_nodes(LAB)
     masker = trainer.masker
 
@@ -127,23 +183,21 @@ def predict_for_patients(
             if lab_idx in groups["masked"]:
                 actual_n = groups["masked"][lab_idx]
                 masked[name] = {
-                    "predicted": _denorm(meta, lab_idx, pred_n),
-                    "actual": _denorm(meta, lab_idx, actual_n),
-                    "error": abs(
-                        _denorm(meta, lab_idx, pred_n) - _denorm(meta, lab_idx, actual_n)
-                    ),
+                    "predicted": denorm(lab_idx, pred_n),
+                    "actual": denorm(lab_idx, actual_n),
+                    "error": abs(denorm(lab_idx, pred_n) - denorm(lab_idx, actual_n)),
                     "normalized_predicted": pred_n,
                     "normalized_actual": actual_n,
                 }
             elif lab_idx in groups["measured"]:
                 actual_n = groups["measured"][lab_idx]
                 measured[name] = {
-                    "value": _denorm(meta, lab_idx, actual_n),
+                    "value": denorm(lab_idx, actual_n),
                     "normalized": actual_n,
                 }
             else:
                 missing[name] = {
-                    "predicted": _denorm(meta, lab_idx, pred_n),
+                    "predicted": denorm(lab_idx, pred_n),
                     "normalized_predicted": pred_n,
                     "note": "Lab was never measured for this patient",
                 }
@@ -228,7 +282,12 @@ def run_inference(
             trainer.masker, num_patients, num_examples, rng
         )
 
-    reports = predict_for_patients(trainer, bundle, patient_indices)
+    denorm = Denormalizer(
+        meta,
+        normalizer_frame=load_fitted_normalizer_frame(config.data.interim_dir),
+        method=config.feature_space.labs.normalize,
+    )
+    reports = predict_for_patients(trainer, bundle, patient_indices, denorm=denorm)
     for idx, report in reports.items():
         report["context"] = load_patient_context(bundle, idx, cohort=cohort)
         print_patient_report(report, detailed=detailed)

@@ -54,11 +54,10 @@ def build_model(
             impl=impl,
             axis_name=axis_name,
             head_style=head_style,
+            bilinear_rank=int(mc.edge_head.extras.get("bilinear_rank", 0)),
         )
     elif mc.architecture == "HGT":
-        if axis_name is not None:
-            raise NotImplementedError("sharded HGT is not implemented yet")
-        model = HeteroGT(**common, num_heads=mc.num_heads)
+        model = HeteroGT(**common, num_heads=mc.num_heads, axis_name=axis_name)
     else:
         raise ValueError(f"Unknown architecture: {mc.architecture}")
     logger.info("Built %s model (hidden=%d, layers=%d)", mc.architecture, mc.hidden_dim, mc.num_layers)

@@ -34,6 +34,7 @@ class HGTLayer(nn.Module):
     node_types: Tuple[str, ...]
     hidden_dim: int
     num_heads: int = 4
+    axis_name: str | None = None  # mesh axis edges are sharded over (SPMD)
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -75,9 +76,14 @@ class HGTLayer(nn.Module):
             values = jnp.concatenate(value_parts, axis=0)
             dsts = jnp.concatenate(dst_parts, axis=0)
             num_dst = x_dict[dst_t].shape[0]
-            attn = segment_softmax(logits, dsts, num_segments=num_dst)
+            attn = segment_softmax(
+                logits, dsts, num_segments=num_dst, axis_name=self.axis_name
+            )
             attn = jnp.where(jnp.isfinite(logits), attn, 0.0)
             agg = segment_sum(values * attn[..., None], dsts, num_segments=num_dst)
+            if self.axis_name is not None:
+                # partial per-destination sums from each edge shard
+                agg = jax.lax.psum(agg, self.axis_name)
             agg = agg.reshape(num_dst, h)
             out[dst_t] = nn.gelu(self.out_proj[dst_t](agg)) + x_dict[dst_t]
         for nt in self.node_types:
@@ -93,6 +99,7 @@ class HeteroGT(nn.Module):
     num_heads: int = 4
     dropout: float = 0.2
     head_hidden_dims: Tuple[int, ...] = (64, 32)
+    axis_name: str | None = None  # set under shard_map data parallelism
     dtype: jnp.dtype | None = None
 
     @property
@@ -116,6 +123,7 @@ class HeteroGT(nn.Module):
                 node_types=self.node_types,
                 hidden_dim=self.hidden_dim,
                 num_heads=self.num_heads,
+                axis_name=self.axis_name,
                 name=f"hgt_{i}",
             )
             for i in range(self.num_layers)

@@ -99,6 +99,12 @@ class HeteroSAGELayer(nn.Module):
             )
             contrib = self.lin_neigh[key](msg) + self.lin_root[key](x_dict[dst_t])
             out[dst_t] = contrib if dst_t not in out else out[dst_t] + contrib
+        # node types receiving no relation in this layer (possible with
+        # bidirectional=false configs) pass through unchanged, so later
+        # layers / heads can still read them (same carry-through as HGTLayer)
+        for nt in self.node_types:
+            if nt in x_dict:
+                out.setdefault(nt, x_dict[nt])
         return out
 
 
@@ -120,6 +126,9 @@ class HeteroRGCN(nn.Module):
     # gathers the narrow projections (53x fewer first-layer FLOPs — wins at
     # scale).  Mathematically identical; models/factory.py picks by size.
     head_style: str = "concat"
+    # beyond-reference opt-in: low-rank bilinear term in both heads
+    # (models/layers.py EdgeRegressionHead.bilinear_rank rationale)
+    bilinear_rank: int = 0
     dtype: jnp.dtype | None = None
 
     @property
@@ -176,6 +185,7 @@ class HeteroRGCN(nn.Module):
                 hidden_dims=self.head_hidden_dims,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                bilinear_rank=self.bilinear_rank,
                 name=name,
             )
         else:
@@ -184,6 +194,7 @@ class HeteroRGCN(nn.Module):
                 hidden_dims=self.head_hidden_dims,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                bilinear_rank=self.bilinear_rank,
                 name=name,
             )
         self.edge_predictor = head_cls("edge_predictor")

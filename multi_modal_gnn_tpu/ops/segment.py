@@ -57,15 +57,33 @@ def segment_softmax(
     segment_ids: jax.Array,
     num_segments: int,
     indices_are_sorted: bool = False,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
-    """Numerically-stable softmax within segments (used by the HGT variant)."""
+    """Numerically-stable softmax within segments (used by the HGT variant).
+
+    With ``axis_name`` set (edges sharded over that mesh axis under
+    shard_map), the per-segment max and normalizer combine across shards with
+    one pmax + one psum — a destination whose edges straddle shards still
+    normalizes over ALL of them, so sharded attention matches single-device
+    attention exactly.
+    """
+    # the max shift is for numerical stability only — softmax is invariant to
+    # it, so it carries no gradient (and pmax has no differentiation rule)
     seg_max = jax.ops.segment_max(
-        logits, segment_ids, num_segments=num_segments, indices_are_sorted=indices_are_sorted
+        jax.lax.stop_gradient(logits),
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
     )
+    if axis_name is not None:
+        seg_max = jax.lax.pmax(seg_max, axis_name)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    seg_max = jax.lax.stop_gradient(seg_max)
     shifted = logits - seg_max[segment_ids]
     exp = jnp.exp(shifted)
     denom = segment_sum(exp, segment_ids, num_segments, indices_are_sorted)
+    if axis_name is not None:
+        denom = jax.lax.psum(denom, axis_name)
     return exp / jnp.maximum(denom[segment_ids], 1e-16)
 
 

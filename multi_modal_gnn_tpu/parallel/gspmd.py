@@ -104,15 +104,16 @@ class GSPMDTrainer(Trainer):
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), graph, specs
         )
 
-    def _build_steps(self) -> None:
-        super()._build_steps()
-        # shard split batches over the data axis once they're materialized
-        original_get_split = self.masker.get_split
-
-        def sharded_get_split(split):
-            batch = original_get_split(split)
+    def _get_batch(self, split):
+        """Split batches re-placed over the data axis (cached).  Overrides the
+        Trainer hook instead of mutating the shared masker, so a masker reused
+        across trainers is unaffected."""
+        if not hasattr(self, "_sharded_batches"):
+            self._sharded_batches = {}
+        if split not in self._sharded_batches:
+            batch = self.masker.get_split(split)
             spec = batch_pspec(batch, DATA_AXIS)
-            return jax.tree_util.tree_map(
+            self._sharded_batches[split] = jax.tree_util.tree_map(
                 lambda x, s: (
                     jax.device_put(x, NamedSharding(self.mesh, s))
                     if hasattr(x, "shape")
@@ -121,5 +122,4 @@ class GSPMDTrainer(Trainer):
                 batch,
                 spec,
             )
-
-        self.masker.get_split = sharded_get_split
+        return self._sharded_batches[split]

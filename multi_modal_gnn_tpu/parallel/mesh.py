@@ -14,17 +14,23 @@ logger = logging.getLogger(__name__)
 DATA_AXIS = "data"
 
 
+MODEL_AXIS = "model"
+
+
 def make_mesh(
     num_devices: int = 0,
     axis_names: Sequence[str] = (DATA_AXIS,),
     devices: Optional[Sequence] = None,
+    axis_sizes: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """A 1-D (default) mesh over available devices.
+    """A 1-D (default) or N-D mesh over available devices.
 
     Args:
         num_devices: how many devices to use (0 = all available).
         axis_names: mesh axis names; 1-D ``("data",)`` by default.
         devices: explicit device list (defaults to jax.devices()).
+        axis_sizes: per-axis sizes for N-D meshes.  One entry may be -1
+            (inferred).  Required when ``len(axis_names) > 1``.
     """
     devices = list(devices if devices is not None else jax.devices())
     if num_devices and num_devices > 0:
@@ -33,7 +39,12 @@ def make_mesh(
         devices = devices[:num_devices]
     arr = np.array(devices)
     if len(axis_names) > 1:
-        raise NotImplementedError("only 1-D meshes are built here for now")
+        if axis_sizes is None or len(axis_sizes) != len(axis_names):
+            raise ValueError(
+                f"axis_sizes (one per axis name {tuple(axis_names)}) is required "
+                "for N-D meshes"
+            )
+        arr = arr.reshape(tuple(axis_sizes))
     mesh = Mesh(arr, axis_names=tuple(axis_names))
-    logger.info("Mesh: %d devices over axes %s", arr.size, axis_names)
+    logger.info("Mesh: %d devices over axes %s", arr.size, dict(mesh.shape))
     return mesh

@@ -56,17 +56,28 @@ class TrainState(struct.PyTreeNode):
 def build_optimizer(train_config) -> optax.GradientTransformation:
     oc = train_config.optimizer
 
+    def embed_mask(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: any(
+                str(getattr(p, "key", p)).startswith("embed_") for p in path
+            ),
+            params,
+        )
+
     def make(learning_rate):
+        decay = [optax.add_decayed_weights(oc.weight_decay)]
+        if oc.embedding_weight_decay:
+            # per-entity ridge shrinkage on the ID tables only (see
+            # OptimizerConfig.embedding_weight_decay)
+            decay.append(
+                optax.masked(
+                    optax.add_decayed_weights(oc.embedding_weight_decay), embed_mask
+                )
+            )
         if oc.type.lower() == "adam":
-            return optax.chain(
-                optax.add_decayed_weights(oc.weight_decay),
-                optax.adam(learning_rate),
-            )
+            return optax.chain(*decay, optax.adam(learning_rate))
         if oc.type.lower() == "sgd":
-            return optax.chain(
-                optax.add_decayed_weights(oc.weight_decay),
-                optax.sgd(learning_rate, momentum=oc.momentum),
-            )
+            return optax.chain(*decay, optax.sgd(learning_rate, momentum=oc.momentum))
         raise ValueError(f"Unknown optimizer: {oc.type}")
 
     return optax.inject_hyperparams(make)(learning_rate=oc.lr)
@@ -83,11 +94,16 @@ class Trainer:
         config: Config,
         variables: Optional[dict] = None,
         rngs: Optional[RngSequence] = None,
+        eval_only: bool = False,
     ):
+        """``eval_only``: build just the eval step (no train step, no
+        supervision-mask sampler) — the lean path for evaluation/inference
+        CLIs that restore a checkpoint and never train."""
         self.model = model
         self.graph = graph
         self.masker = masker
         self.config = config
+        self.eval_only = bool(eval_only)
         self.rngs = rngs or RngSequence(config.train.seed)
         tc = config.train
 
@@ -127,9 +143,11 @@ class Trainer:
 
     def _build_steps(self) -> None:
         """Compile train/eval steps (overridden by the data-parallel trainer)."""
+        self._eval_step = jax.jit(self._eval_step_impl)
+        if self.eval_only:
+            return
         donate = (0,) if self.config.train.donate_state else ()
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate)
-        self._eval_step = jax.jit(self._eval_step_impl)
         mf = self._mask_fraction
 
         @jax.jit
@@ -141,7 +159,16 @@ class Trainer:
 
         self._draw_sup_mask = draw_mask
 
+    def _prepare_params(self, params):
+        """Hook: reconstruct full parameter arrays inside the jitted step.
+        The explicit 2-D trainer (parallel/dp2d.py) all-gathers its
+        model-axis-sharded patient table here; AD then routes the table's
+        gradient through the gather's transpose (a reduce-scatter), so the
+        optimizer update itself runs on the shard."""
+        return params
+
     def _apply_train(self, params, batch_stats, graph, batch: SplitBatch, dropout_key):
+        params = self._prepare_params(params)
         variables = {"params": params}
         mutable = []
         if batch_stats:
@@ -182,7 +209,12 @@ class Trainer:
     ) -> Tuple[TrainState, jax.Array]:
         def loss_fn(params):
             preds, new_bs = self._apply_train(params, state.batch_stats, graph, batch, dropout_key)
-            w = lab_weights[batch.lab_idx]
+            # the reference applies lab-wise weights only for mae/mse and falls
+            # back to the unweighted loss for anything else (src/train.py:374-381)
+            if self._loss_type in ("mae", "mse"):
+                w = lab_weights[batch.lab_idx]
+            else:
+                w = jnp.ones_like(batch.values)
             loss = weighted_regression_loss(
                 preds, batch.values, w, sup_mask,
                 loss_type=self._loss_type, axis_name=self._axis_name,
@@ -203,7 +235,7 @@ class Trainer:
     def _eval_step_impl(
         self, state: TrainState, graph: HeteroGraph, batch: SplitBatch
     ) -> Tuple[jax.Array, jax.Array]:
-        variables = {"params": state.params}
+        variables = {"params": self._prepare_params(state.params)}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         preds = self.model.apply(
@@ -224,8 +256,16 @@ class Trainer:
 
     # -- public API ---------------------------------------------------------
 
+    def _get_batch(self, split: str) -> SplitBatch:
+        """Device batch for a split.  Subclasses re-place the arrays (e.g.
+        GSPMDTrainer shards them over its mesh) WITHOUT mutating the shared
+        masker — a masker instance may be reused across trainers."""
+        return self.masker.get_split(split)
+
     def train_epoch(self) -> float:
-        batch = self.masker.get_split("train")
+        if self.eval_only:
+            raise RuntimeError("Trainer was built with eval_only=True; cannot train")
+        batch = self._get_batch("train")
         sup_key = self.rngs.key_for("supervision", self.epoch)
         dropout_key = self.rngs.key_for("dropout", self.epoch)
         sup_mask = self._prepare_sup_mask(sup_key, batch)
@@ -252,15 +292,13 @@ class Trainer:
 
         Returns (train_losses[k], val_losses[k] or None).
         """
-        if self._axis_name is not None:
-            raise NotImplementedError("scanned epochs not wired for the DP trainer yet")
         key = (int(k), bool(with_val))
         if not hasattr(self, "_scan_fns"):
             self._scan_fns = {}
         if key not in self._scan_fns:
             self._scan_fns[key] = self._make_scan_fn(k, with_val)
-        batch = self.masker.get_split("train")
-        vbatch = self.masker.get_split("val") if with_val else batch
+        batch = self._get_batch("train")
+        vbatch = self._get_batch("val") if with_val else batch
         state, (tl, vl) = self._scan_fns[key](
             self.state,
             self.graph,
@@ -305,12 +343,12 @@ class Trainer:
         return jax.jit(scan_fn, donate_argnums=donate)
 
     def validate(self, split: str = "val", state: Optional[TrainState] = None) -> float:
-        loss, _ = self._eval_step(state or self.state, self.graph, self.masker.get_split(split))
+        loss, _ = self._eval_step(state or self.state, self.graph, self._get_batch(split))
         return float(loss)
 
     def predict(self, split: str, state: Optional[TrainState] = None) -> np.ndarray:
         """Unpadded predictions for a split (best for metrics)."""
-        batch = self.masker.get_split(split)
+        batch = self._get_batch(split)
         _, preds = self._eval_step(state or self.state, self.graph, batch)
         return np.asarray(preds)[: batch.num_valid]
 
@@ -491,15 +529,27 @@ class Trainer:
     def _save(self, path: Path) -> None:
         save_checkpoint(path, self._checkpoint_payload(), self._host_metadata())
 
-    def load_best_model(self, output_dir: str | Path) -> None:
+    def load_best_model(self, output_dir: str | Path, force: bool = False) -> None:
         """Reload the best checkpoint from a training run's output directory
         (reference: src/train.py:546-561) and make it the active state."""
-        self.restore(Path(output_dir) / "best_model.ckpt")
+        self.restore(Path(output_dir) / "best_model.ckpt", force=force)
         self.best_state = self.state
 
-    def restore(self, path: str | Path) -> None:
-        """True mid-training resume (state + scheduler + counters)."""
+    def restore(self, path: str | Path, force: bool = False) -> None:
+        """True mid-training resume (state + scheduler + counters).
+
+        Refuses to load a checkpoint whose ``config_hash`` differs from the
+        live config (a mismatched model would fail late or silently skew);
+        pass ``force=True`` to override deliberately."""
         restored, meta = load_checkpoint(path, self._checkpoint_payload())
+        ckpt_hash = meta.get("config_hash")
+        live_hash = self.config.content_hash()
+        if ckpt_hash and ckpt_hash != live_hash and not force:
+            raise ValueError(
+                f"Checkpoint {path} was trained with a different config "
+                f"(checkpoint hash {ckpt_hash[:12]}.. != live {live_hash[:12]}..). "
+                "Pass force=True (CLI: --force) to restore anyway."
+            )
         self.state = restored["state"]
         self.best_state = restored["best_state"]
         self.epoch = int(meta.get("epoch", 0))

@@ -219,6 +219,14 @@ def create_all_visualizations(
             )({"params": (trainer.best_state or trainer.state).params,
                "batch_stats": (trainer.best_state or trainer.state).batch_stats})
             emb = {k: np.asarray(v) for k, v in x_dict.items()}
-            method = "pca" if vc.dim_reduction == "umap" else vc.dim_reduction
+            method = vc.dim_reduction
+            if method == "umap":
+                # umap-learn is absent from this image (reference uses it,
+                # src/visualize.py:421-502); substitute PCA and say so
+                logger.warning(
+                    "visualization.dim_reduction=umap requested but umap-learn "
+                    "is not installed; substituting PCA"
+                )
+                method = "pca"
             plot_embeddings(emb, out, method=method)
     return out

@@ -37,8 +37,12 @@ def _load_bundle(config):
     return load_graph(Path(config.data.output_dir) / "graph")
 
 
-def _load_trainer(config, bundle):
-    """Rebuild model/masker and restore the best checkpoint."""
+FORCE_RESTORE = False  # set by --force: restore checkpoints across config changes
+
+
+def _load_trainer(config, bundle, force: bool = None):
+    """Rebuild model/masker and restore the best checkpoint (eval-only: the
+    downstream steps — evaluate/audit/viz/inference — never train)."""
     from multi_modal_gnn_tpu.models.factory import build_model
     from multi_modal_gnn_tpu.training.masker import EdgeMasker
     from multi_modal_gnn_tpu.training.trainer import Trainer
@@ -54,10 +58,10 @@ def _load_trainer(config, bundle):
         host_edges=bundle.patient_lab_host(),
     )
     model = build_model(config, bundle.graph)
-    trainer = Trainer(model, bundle.graph, masker, config)
+    trainer = Trainer(model, bundle.graph, masker, config, eval_only=True)
     ckpt = Path(config.data.output_dir) / "best_model.ckpt"
     if ckpt.exists():
-        trainer.restore(ckpt)
+        trainer.restore(ckpt, force=FORCE_RESTORE if force is None else force)
         trainer.best_state = trainer.state
     return trainer
 
@@ -192,7 +196,12 @@ def main() -> int:
                         help="inference: number of example patients")
     parser.add_argument("--detailed", action="store_true",
                         help="inference: include measured/imputed lab listings")
+    parser.add_argument("--force", action="store_true",
+                        help="restore checkpoints even if their config hash differs")
     args = parser.parse_args()
+
+    global FORCE_RESTORE
+    FORCE_RESTORE = bool(args.force)
 
     if args.list:
         for i, (name, desc, _) in enumerate(STEPS):

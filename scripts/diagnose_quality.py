@@ -1,0 +1,218 @@
+"""Quality-gap diagnostic on the eICU-statistics-matched synthetic cohort.
+
+Computes the Bayes conditional ceiling (evaluation/ceiling.py) and the ALS
+matrix-factorization baseline, then optionally trains the GNN with config
+overrides and reports test metrics against those yardsticks.
+
+Usage (one JAX process at a time — see CLAUDE.md):
+    python scripts/diagnose_quality.py --skip-train          # yardsticks only
+    python scripts/diagnose_quality.py --epochs 1300 --scan-chunk 100 \
+        --no-scheduler --dropout 0.0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=1300)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--no-scheduler", action="store_true")
+    ap.add_argument("--dropout", type=float, default=None)
+    ap.add_argument("--mask-fraction", type=float, default=None)
+    ap.add_argument("--no-batch-norm", action="store_true")
+    ap.add_argument("--hidden-dim", type=int, default=None)
+    ap.add_argument("--num-layers", type=int, default=None)
+    ap.add_argument("--degree-threshold", type=int, default=None)
+    ap.add_argument("--bilinear-rank", type=int, default=0)
+    ap.add_argument("--weight-decay", type=float, default=None)
+    ap.add_argument("--loss", type=str, default=None, choices=["mae", "mse", "huber"])
+    ap.add_argument("--embedding-weight-decay", type=float, default=None)
+    ap.add_argument("--scan-chunk", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--data-seed", type=int, default=0)
+    ap.add_argument("--signal", type=float, default=0.6)
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-yardsticks", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force host CPU backend")
+    ap.add_argument("--tag", type=str, default="")
+    args = ap.parse_args()
+
+    if args.cpu:
+        from multi_modal_gnn_tpu.utils.platform import force_cpu_devices
+
+        force_cpu_devices(1)
+
+    import dataclasses
+
+    from multi_modal_gnn_tpu.config import Config
+    from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, generate_synthetic_tables
+    from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+    from multi_modal_gnn_tpu.evaluation.ceiling import gaussian_conditional_ceiling
+    from multi_modal_gnn_tpu.evaluation.metrics import (
+        compute_regression_metrics,
+        winsorize_residuals,
+    )
+    from multi_modal_gnn_tpu.graph.build import build_heterogeneous_graph
+    from multi_modal_gnn_tpu.graph.schema import LAB, PATIENT
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+
+    config = Config()
+    tc = config.train
+    spec = dataclasses.replace(
+        SyntheticSpec.eicu_demo(), seed=args.data_seed, signal_strength=args.signal
+    )
+    tables, latents = generate_synthetic_tables(spec, return_latents=True)
+    bundle = build_heterogeneous_graph(
+        labs=tables["labs_normalized"],
+        diagnoses=tables["diagnoses"],
+        medications=tables["medications"],
+        cohort=tables["cohort"],
+        labitems=tables["labitems"],
+        config=config,
+    )
+    masker = EdgeMasker(
+        bundle.graph,
+        train_split=tc.train_split,
+        val_split=tc.val_split,
+        test_split=tc.test_split,
+        mask_fraction=tc.mask_fraction if args.mask_fraction is None else args.mask_fraction,
+        seed=args.seed,
+        host_edges=bundle.patient_lab_host(),
+    )
+
+    # graph lab index -> generator lab index (ITEMID = 51000 + j)
+    lab_indexer = bundle.meta.indexers[LAB]
+    num_graph_labs = bundle.graph.num_nodes(LAB)
+    w_graph = np.zeros((num_graph_labs, latents.w_lab.shape[1]))
+    for g in range(num_graph_labs):
+        w_graph[g] = latents.w_lab[int(lab_indexer.id_of(g)) - 51000]
+
+    tr_p, tr_l, tr_v = masker.split_arrays("train")
+    te_p, te_l, te_v = masker.split_arrays("test")
+    num_patients = bundle.graph.num_nodes(PATIENT)
+
+    report: dict = {
+        "spec": {"signal": spec.signal_strength, "latent_dim": spec.latent_dim,
+                 "num_patients": spec.num_patients, "num_labs": spec.num_labs},
+        "splits": masker.split_sizes(),
+        "args": vars(args),
+    }
+
+    if not args.skip_yardsticks:
+        ceil = gaussian_conditional_ceiling(
+            w_graph, latents.signal, tr_p, tr_l, tr_v, te_p, te_l, te_v,
+            num_patients=num_patients,
+        )
+        report["ceiling"] = {
+            "expected": ceil["expected"],
+            "realized": ceil["realized"],
+            "unconditional_r2": ceil["unconditional_r2"],
+            "mean_posterior_var": ceil["mean_posterior_var"],
+        }
+        print("Conditional ceiling (Bayes, oracle W, train-obs only):")
+        print("  expected:", json.dumps(ceil["expected"]))
+        print("  realized:", json.dumps(ceil["realized"]))
+        print("  unconditional (oracle-z) R^2:", ceil["unconditional_r2"])
+
+        t0 = time.perf_counter()
+        als = ALSBaseline(num_patients, num_graph_labs, rank=spec.latent_dim).fit(
+            tr_v, tr_p, tr_l
+        )
+        als_m = compute_regression_metrics(als.predict(te_p, te_l), te_v)
+        report["als"] = als_m
+        print(f"ALS (rank {spec.latent_dim}, {time.perf_counter() - t0:.1f}s):",
+              json.dumps(als_m))
+
+    if not args.skip_train:
+        from multi_modal_gnn_tpu.models.factory import build_model
+        from multi_modal_gnn_tpu.training.trainer import Trainer
+
+        mc = config.model
+        overrides = {}
+        if args.dropout is not None:
+            overrides["dropout"] = args.dropout
+        if args.no_batch_norm:
+            overrides["use_batch_norm"] = False
+        if args.hidden_dim is not None:
+            overrides["hidden_dim"] = args.hidden_dim
+        if args.num_layers is not None:
+            overrides["num_layers"] = args.num_layers
+        if args.degree_threshold is not None:
+            overrides["degree_threshold"] = args.degree_threshold
+        if args.bilinear_rank:
+            overrides["edge_head"] = dataclasses.replace(
+                mc.edge_head, extras={"bilinear_rank": args.bilinear_rank}
+            )
+        if overrides:
+            mc = dataclasses.replace(mc, **overrides)
+        opt = dataclasses.replace(
+            tc.optimizer,
+            lr=args.lr,
+            **({"weight_decay": args.weight_decay} if args.weight_decay is not None else {}),
+            **(
+                {"embedding_weight_decay": args.embedding_weight_decay}
+                if args.embedding_weight_decay is not None
+                else {}
+            ),
+        )
+        sched = dataclasses.replace(tc.lr_scheduler, enabled=not args.no_scheduler)
+        tc2 = dataclasses.replace(
+            tc,
+            epochs=args.epochs,
+            early_stopping_patience=10**9,
+            optimizer=opt,
+            lr_scheduler=sched,
+            seed=args.seed,
+            scan_chunk=args.scan_chunk,
+            **({"mask_fraction": args.mask_fraction} if args.mask_fraction is not None else {}),
+            **({"loss": args.loss} if args.loss is not None else {}),
+        )
+        cfg2 = dataclasses.replace(config, model=mc, train=tc2)
+
+        model = build_model(cfg2, bundle.graph)
+        trainer = Trainer(model, bundle.graph, masker, cfg2)
+        t0 = time.perf_counter()
+        trainer.fit(scan_chunk=args.scan_chunk)
+        train_s = time.perf_counter() - t0
+
+        best = trainer.best_state if trainer.best_state is not None else trainer.state
+        preds = trainer.predict("test", state=best).astype(np.float64)
+        raw = compute_regression_metrics(preds, te_v)
+        preds_w, capped = winsorize_residuals(preds, te_v, te_l, sigma=3.0)
+        wins = compute_regression_metrics(preds_w, te_v)
+        report["model"] = {
+            "raw": raw,
+            "winsorized": wins,
+            "best_val_loss": trainer.best_val_loss,
+            "final_train_loss": trainer.history["train_loss"][-1],
+            "epochs_run": len(trainer.history["train_loss"]),
+            "train_time_s": train_s,
+            "overrides": overrides,
+            "lr": args.lr,
+            "scheduler": not args.no_scheduler,
+        }
+        print("Model   raw:", json.dumps(raw))
+        print("Model  wins:", json.dumps(wins))
+        print(f"({len(trainer.history['train_loss'])} epochs in {train_s:.1f}s)")
+
+    out_dir = Path("outputs/diagnostics")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tag = args.tag or time.strftime("%H%M%S")
+    out_path = out_dir / f"quality_{tag}.json"
+    out_path.write_text(json.dumps(report, indent=2, default=float))
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

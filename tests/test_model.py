@@ -41,6 +41,36 @@ def test_parameter_count_structure(model_and_vars, tiny_graph):
     assert count_parameters(params) > 0
 
 
+def test_parameter_count_reconciliation():
+    """On eICU shapes the model counts exactly 752,514 parameters, and the
+    non-embedding subtotal is exactly the 483,970 the reference README
+    reports — the reference counted before its lazy ``_init_embeddings``
+    created the tables (src/model.py:180-204).  Pins README 'Parameter-count
+    reconciliation'."""
+    from multi_modal_gnn_tpu.graph.build import assemble_graph
+    from multi_modal_gnn_tpu.graph.schema import (
+        PATIENT_DIAGNOSIS,
+        PATIENT_LAB,
+        PATIENT_MEDICATION,
+    )
+
+    counts = {"patient": 1834, "lab": 50, "diagnosis": 114, "medication": 100}
+    one = np.zeros(1, dtype=np.int32)
+    edge_arrays = {
+        PATIENT_LAB: (one, one, np.zeros(1, dtype=np.float32)),
+        PATIENT_DIAGNOSIS: (one, one, None),
+        PATIENT_MEDICATION: (one, one, None),
+    }
+    graph = assemble_graph(edge_arrays, counts, pad_multiple=8)
+    cfg = Config()
+    model = build_model(cfg, graph)
+    variables = init_model_variables(model, graph, jax.random.key(0))
+    total = count_parameters(variables["params"])
+    embedding_params = cfg.model.hidden_dim * sum(counts.values())
+    assert total == 752_514
+    assert total - embedding_params == 483_970
+
+
 def test_eval_deterministic(model_and_vars, tiny_graph):
     model, variables = model_and_vars
     p = jnp.arange(16, dtype=jnp.int32) % tiny_graph.num_nodes("patient")

@@ -87,6 +87,37 @@ def test_dp_predictions_match(setup):
     np.testing.assert_allclose(ps, pd_, rtol=2e-4, atol=1e-5)
 
 
+def test_dp_scan_chunk_matches_loop(setup):
+    """5 epochs via ONE shard_map'd lax.scan dispatch == 5 per-epoch DP
+    dispatches == 5 single-device epochs (the supervision mask inside the
+    scan is the global draw, dynamic-sliced per shard)."""
+    cfg, bundle = setup
+    graph = bundle.graph
+
+    loop = DataParallelTrainer(graph, EdgeMasker(graph, seed=42), cfg, mesh=make_mesh())
+    losses_loop = []
+    for _ in range(5):
+        losses_loop.append(loop.train_epoch())
+        loop.epoch += 1
+
+    scan = DataParallelTrainer(graph, EdgeMasker(graph, seed=42), cfg, mesh=make_mesh())
+    losses_scan, val_scan = scan.train_epochs_scanned(5, with_val=True)
+    np.testing.assert_allclose(losses_loop, losses_scan, rtol=2e-4)
+    assert np.isfinite(val_scan).all()
+
+    # and the single-device scan agrees too
+    single = Trainer(
+        build_model(cfg, graph), graph, EdgeMasker(graph, seed=42), cfg
+    )
+    losses_single, _ = single.train_epochs_scanned(5)
+    np.testing.assert_allclose(losses_single, losses_scan, rtol=2e-4)
+
+    pa = jax.tree_util.tree_leaves(loop.state.params)
+    pb = jax.tree_util.tree_leaves(scan.state.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
 def test_dp_trains_with_dropout(setup):
     """With dropout on, DP training still works (per-shard independent head
     masks) and the loss goes down."""
@@ -100,6 +131,80 @@ def test_dp_trains_with_dropout(setup):
         dp.epoch += 1
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 1.5  # sane, not exploding
+
+
+def test_sharded_hgt_matches_single_device(setup):
+    """The attention variant under shard_map DP: segment-softmax combines
+    per-shard maxima/normalizers with pmax/psum, so sharded == single."""
+    cfg, bundle = setup
+    cfg_hgt = cfg.replace(model=dataclasses.replace(cfg.model, architecture="HGT"))
+    graph = bundle.graph
+
+    single = Trainer(
+        build_model(cfg_hgt, graph), graph, EdgeMasker(graph, seed=42), cfg_hgt
+    )
+    dp = DataParallelTrainer(graph, EdgeMasker(graph, seed=42), cfg_hgt, mesh=make_mesh())
+
+    losses_s, losses_d = [], []
+    for _ in range(3):
+        losses_s.append(single.train_epoch())
+        single.epoch += 1
+        losses_d.append(dp.train_epoch())
+        dp.epoch += 1
+    np.testing.assert_allclose(losses_s, losses_d, rtol=2e-4)
+    np.testing.assert_allclose(single.validate("val"), dp.validate("val"), rtol=2e-4)
+
+
+class TestTwoDShardMap:
+    def test_2d_explicit_matches_single_device(self, setup):
+        """Explicit (4 data x 2 model) shard_map program: edges sharded over
+        data, patient table + adam moments sharded over model (forward
+        all_gather / backward reduce-scatter placed by hand) — numerics must
+        match single-device exactly."""
+        from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer, make_2d_mesh
+
+        cfg, bundle = setup
+        graph = bundle.graph
+
+        single = Trainer(build_model(cfg, graph), graph, EdgeMasker(graph, seed=42), cfg)
+        mesh = make_2d_mesh(8, model_parallel=2)
+        two_d = TwoDTrainer(graph, EdgeMasker(graph, seed=42), cfg, mesh=mesh)
+
+        # the table and its adam moments live sharded over the model axis
+        emb = two_d.state.params["embed_patient"]["embedding"]
+        assert not emb.sharding.is_fully_replicated
+        mu_leaves = [
+            leaf
+            for path, leaf in jax.tree_util.tree_leaves_with_path(two_d.state.opt_state)
+            if "embed_patient" in "/".join(str(getattr(p, "key", p)) for p in path)
+            and getattr(leaf, "ndim", 0) == 2
+        ]
+        assert mu_leaves and all(not m.sharding.is_fully_replicated for m in mu_leaves)
+
+        losses_s, losses_t = [], []
+        for _ in range(4):
+            losses_s.append(single.train_epoch())
+            single.epoch += 1
+            losses_t.append(two_d.train_epoch())
+            two_d.epoch += 1
+        np.testing.assert_allclose(losses_s, losses_t, rtol=2e-4)
+        np.testing.assert_allclose(single.validate("val"), two_d.validate("val"), rtol=2e-4)
+        np.testing.assert_allclose(
+            single.predict("test"), two_d.predict("test"), rtol=2e-4, atol=1e-5
+        )
+
+    def test_indivisible_patients_rejected(self, setup):
+        from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer, make_2d_mesh
+
+        cfg, _ = setup
+        spec_bad = SyntheticSpec(
+            num_patients=121, num_labs=10, num_diagnoses=5, num_medications=5,
+            mean_labs_per_patient=5.0, latent_dim=2, seed=0,
+        )
+        bad = make_synthetic_bundle(spec_bad, cfg)
+        mesh = make_2d_mesh(8, model_parallel=2)
+        with pytest.raises(ValueError, match="not divisible"):
+            TwoDTrainer(bad.graph, EdgeMasker(bad.graph, seed=0), cfg, mesh=mesh)
 
 
 class TestGSPMD:
