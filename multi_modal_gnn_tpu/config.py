@@ -388,6 +388,17 @@ class Config:
         blob = json.dumps(self.to_dict(), sort_keys=True, default=str).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
+    def model_hash(self) -> str:
+        """Hash of the sections that determine checkpoint *compatibility*
+        (architecture, graph schema, feature space).  Run-length and
+        optimizer knobs (``train.epochs``, LR, patience) may legitimately
+        differ at resume — train-longer is the canonical resume — so the
+        restore guard compares this, not :meth:`content_hash`."""
+        d = self.to_dict()
+        sub = {k: d.get(k) for k in ("model", "graph", "feature_space")}
+        blob = json.dumps(sub, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)
 

@@ -55,6 +55,7 @@ def build_model(
             axis_name=axis_name,
             head_style=head_style,
             bilinear_rank=int(mc.edge_head.extras.get("bilinear_rank", 0)),
+            bilinear_source=str(mc.edge_head.extras.get("bilinear_source", "head")),
         )
     elif mc.architecture == "HGT":
         model = HeteroGT(**common, num_heads=mc.num_heads, axis_name=axis_name)

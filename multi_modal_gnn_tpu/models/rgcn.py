@@ -129,6 +129,16 @@ class HeteroRGCN(nn.Module):
     # beyond-reference opt-in: low-rank bilinear term in both heads
     # (models/layers.py EdgeRegressionHead.bilinear_rank rationale)
     bilinear_rank: int = 0
+    # where the bilinear term reads from: "head" applies <A h_p, B h_l> to
+    # each head's own (pre/post-GNN, MLP'd/normalized) inputs; "embedding"
+    # applies ONE shared term to the RAW ID-embedding tables — exactly the
+    # ALS matrix-factorization parametrization (evaluation/baselines.py),
+    # whose factors the per-entity ridge (optimizer.embedding_weight_decay)
+    # shrinks the way ALS's reg does.  The L2-normalized patient encoder and
+    # ReLU'd post-GNN features cannot express the per-patient magnitude
+    # shrinkage the Bayes-optimal predictor needs (evaluation/ceiling.py);
+    # raw embeddings can.
+    bilinear_source: str = "head"
     dtype: jnp.dtype | None = None
 
     @property
@@ -179,13 +189,14 @@ class HeteroRGCN(nn.Module):
                 }
                 for i in range(self.num_layers)
             ]
+        head_rank = self.bilinear_rank if self.bilinear_source == "head" else 0
         if self.head_style == "factored":
             head_cls = lambda name: FactoredEdgeHead(  # noqa: E731
                 node_dim=self.hidden_dim,
                 hidden_dims=self.head_hidden_dims,
                 dropout=self.dropout,
                 dtype=self.dtype,
-                bilinear_rank=self.bilinear_rank,
+                bilinear_rank=head_rank,
                 name=name,
             )
         else:
@@ -194,11 +205,19 @@ class HeteroRGCN(nn.Module):
                 hidden_dims=self.head_hidden_dims,
                 dropout=self.dropout,
                 dtype=self.dtype,
-                bilinear_rank=self.bilinear_rank,
+                bilinear_rank=head_rank,
                 name=name,
             )
         self.edge_predictor = head_cls("edge_predictor")
         self.tabular_mlp = head_cls("tabular_mlp")
+        if self.bilinear_rank > 0 and self.bilinear_source == "embedding":
+            scale = nn.initializers.normal(stddev=1.0 / jnp.sqrt(self.hidden_dim))
+            self.bilinear_u = self.param(
+                "bilinear_u", scale, (self.hidden_dim, self.bilinear_rank)
+            )
+            self.bilinear_l = self.param(
+                "bilinear_l", scale, (self.hidden_dim, self.bilinear_rank)
+            )
         self.inter_layer_dropout = nn.Dropout(rate=self.dropout)
 
     def encode_nodes(self, train: bool = False) -> Dict[str, jax.Array]:
@@ -279,4 +298,10 @@ class HeteroRGCN(nn.Module):
             gnn_pred = self.edge_predictor(post, train=train)[..., 0]
 
         degrees = graph.patient_lab_degree[patient_indices]
-        return jnp.where(degrees < self.degree_threshold, tab_pred, gnn_pred)
+        pred = jnp.where(degrees < self.degree_threshold, tab_pred, gnn_pred)
+        if self.bilinear_rank > 0 and self.bilinear_source == "embedding":
+            # shared MF term over the raw ID tables (see bilinear_source doc)
+            u = self.embeddings[PATIENT](patient_indices)
+            c = self.embeddings[LAB](lab_indices)
+            pred = pred + jnp.sum((u @ self.bilinear_u) * (c @ self.bilinear_l), axis=-1)
+        return pred

@@ -523,6 +523,7 @@ class Trainer:
             "scheduler": dict(self.scheduler.__dict__),
             "history": {k: v for k, v in self.history.items() if isinstance(v, list)},
             "config_hash": self.config.content_hash(),
+            "model_hash": self.config.model_hash(),
             "config": self.config.to_dict(),
         }
 
@@ -538,16 +539,18 @@ class Trainer:
     def restore(self, path: str | Path, force: bool = False) -> None:
         """True mid-training resume (state + scheduler + counters).
 
-        Refuses to load a checkpoint whose ``config_hash`` differs from the
-        live config (a mismatched model would fail late or silently skew);
-        pass ``force=True`` to override deliberately."""
+        Refuses to load a checkpoint whose ``model_hash`` (model + graph +
+        feature-space sections, Config.model_hash) differs from the live
+        config's — a mismatched model would fail late or silently skew.
+        Run-length knobs like ``train.epochs`` may differ (train-longer is
+        the canonical resume).  Pass ``force=True`` to override."""
         restored, meta = load_checkpoint(path, self._checkpoint_payload())
-        ckpt_hash = meta.get("config_hash")
-        live_hash = self.config.content_hash()
+        ckpt_hash = meta.get("model_hash")
+        live_hash = self.config.model_hash()
         if ckpt_hash and ckpt_hash != live_hash and not force:
             raise ValueError(
-                f"Checkpoint {path} was trained with a different config "
-                f"(checkpoint hash {ckpt_hash[:12]}.. != live {live_hash[:12]}..). "
+                f"Checkpoint {path} was trained with an incompatible config "
+                f"(checkpoint model hash {ckpt_hash[:12]}.. != live {live_hash[:12]}..). "
                 "Pass force=True (CLI: --force) to restore anyway."
             )
         self.state = restored["state"]

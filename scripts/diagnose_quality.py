@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--num-layers", type=int, default=None)
     ap.add_argument("--degree-threshold", type=int, default=None)
     ap.add_argument("--bilinear-rank", type=int, default=0)
+    ap.add_argument("--bilinear-source", type=str, default="head",
+                    choices=["head", "embedding"])
     ap.add_argument("--weight-decay", type=float, default=None)
     ap.add_argument("--loss", type=str, default=None, choices=["mae", "mse", "huber"])
     ap.add_argument("--embedding-weight-decay", type=float, default=None)
@@ -44,6 +46,13 @@ def main() -> None:
     ap.add_argument("--signal", type=float, default=0.6)
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-yardsticks", action="store_true")
+    ap.add_argument("--als-rank", type=int, default=None, help="default: latent_dim")
+    ap.add_argument("--als-reg", type=float, default=None, help="default: ALSBaseline's")
+    ap.add_argument("--als-iters", type=int, default=None)
+    ap.add_argument(
+        "--als-sweep", action="store_true",
+        help="grid-search ALS reg on the val split, report best-on-val test metrics",
+    )
     ap.add_argument("--cpu", action="store_true", help="force host CPU backend")
     ap.add_argument("--tag", type=str, default="")
     args = ap.parse_args()
@@ -125,13 +134,37 @@ def main() -> None:
         print("  realized:", json.dumps(ceil["realized"]))
         print("  unconditional (oracle-z) R^2:", ceil["unconditional_r2"])
 
+        va_p, va_l, va_v = masker.split_arrays("val")
+        rank = args.als_rank or spec.latent_dim
+        als_kwargs = {}
+        if args.als_reg is not None:
+            als_kwargs["reg"] = args.als_reg
+        if args.als_iters is not None:
+            als_kwargs["iters"] = args.als_iters
+
         t0 = time.perf_counter()
-        als = ALSBaseline(num_patients, num_graph_labs, rank=spec.latent_dim).fit(
-            tr_v, tr_p, tr_l
-        )
-        als_m = compute_regression_metrics(als.predict(te_p, te_l), te_v)
+        if args.als_sweep:
+            # model-select reg on the val split (the ALS analogue of the
+            # trainer's best-val checkpointing) — the Bayes-matched reg for
+            # this generator is sigma^2 = 1 - s^2 on the patient solve
+            best = None
+            for reg in (0.25, 0.5, 0.64, 1.0, 1.5, 2.0, 3.0):
+                m = ALSBaseline(num_patients, num_graph_labs, rank=rank, reg=reg,
+                                **{k: v for k, v in als_kwargs.items() if k != "reg"}
+                                ).fit(tr_v, tr_p, tr_l)
+                val_r2 = compute_regression_metrics(m.predict(va_p, va_l), va_v)["r2"]
+                test_m = compute_regression_metrics(m.predict(te_p, te_l), te_v)
+                print(f"  ALS reg={reg}: val r2={val_r2:.4f} test r2={test_m['r2']:.4f}")
+                if best is None or val_r2 > best[0]:
+                    best = (val_r2, reg, test_m)
+            als_m = dict(best[2], reg=best[1], val_r2=best[0], rank=rank)
+        else:
+            als = ALSBaseline(num_patients, num_graph_labs, rank=rank, **als_kwargs).fit(
+                tr_v, tr_p, tr_l
+            )
+            als_m = compute_regression_metrics(als.predict(te_p, te_l), te_v)
         report["als"] = als_m
-        print(f"ALS (rank {spec.latent_dim}, {time.perf_counter() - t0:.1f}s):",
+        print(f"ALS (rank {rank}, {time.perf_counter() - t0:.1f}s):",
               json.dumps(als_m))
 
     if not args.skip_train:
@@ -152,7 +185,11 @@ def main() -> None:
             overrides["degree_threshold"] = args.degree_threshold
         if args.bilinear_rank:
             overrides["edge_head"] = dataclasses.replace(
-                mc.edge_head, extras={"bilinear_rank": args.bilinear_rank}
+                mc.edge_head,
+                extras={
+                    "bilinear_rank": args.bilinear_rank,
+                    "bilinear_source": args.bilinear_source,
+                },
             )
         if overrides:
             mc = dataclasses.replace(mc, **overrides)
@@ -210,7 +247,13 @@ def main() -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     tag = args.tag or time.strftime("%H%M%S")
     out_path = out_dir / f"quality_{tag}.json"
-    out_path.write_text(json.dumps(report, indent=2, default=float))
+    def _default(o):
+        try:
+            return float(o)
+        except (TypeError, ValueError):
+            return str(o)
+
+    out_path.write_text(json.dumps(report, indent=2, default=_default))
     print("wrote", out_path)
 
 

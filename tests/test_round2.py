@@ -388,9 +388,15 @@ class TestRestoreGuard:
             cfg, model=dataclasses.replace(cfg.model, dropout=0.35)
         )
         other, _ = _make_trainer(cfg2, bundle)
-        with pytest.raises(ValueError, match="different config"):
+        with pytest.raises(ValueError, match="incompatible config"):
             other.restore(tmp_path / "ckpt")
         other.restore(tmp_path / "ckpt", force=True)  # escape hatch
+
+        # run-length knobs are NOT part of the compatibility hash: resuming
+        # with a larger epoch budget is the canonical resume
+        cfg3 = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, epochs=7))
+        longer, _ = _make_trainer(cfg3, bundle)
+        longer.restore(tmp_path / "ckpt")
 
     def test_matching_hash_restores(self, tmp_path):
         cfg = Config()
