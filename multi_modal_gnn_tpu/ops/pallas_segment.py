@@ -125,6 +125,283 @@ def _wss_bwd(num_windows, interpret, res, g_out):
 windowed_segment_sum.defvjp(_wss_fwd, _wss_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused small-table kernels: the gather moves INSIDE the kernel
+# ---------------------------------------------------------------------------
+#
+# For a relation whose SOURCE side is small (labs/diagnoses/medications: the
+# EHR graph is bipartite, so every relation has one small side), the whole
+# source feature table fits VMEM.  The XLA row-gather that materializes
+# G = x_src[win_src] in HBM (~E*D*4 bytes written + re-read; the measured
+# bottleneck of the windowed tier, PERFORMANCE.md "Roofline") disappears:
+# the table is pinned VMEM-resident via a constant index map and rows are
+# picked up in-kernel.  Traffic drops from O(E*D) to O(E + table + out).
+#
+# Two in-kernel gather strategies:
+#   * "take": jnp.take on the VMEM-resident table (Mosaic dynamic-gather);
+#   * "indicator": G_tile = P @ T with P[e, s] = (src[e] == s) — pure MXU,
+#     always lowers, costs TILE_E*S*D MACs per tile (worth it below ~1k rows).
+# `_vmem_take_supported()` probes the current backend once and picks.
+#
+# The BACKWARD of the mirrored direction fuses the same way: for a relation
+# with small DESTINATION side, dT[s] = sum_e (src[e]==s) g[dst[e]] streams
+# the large-side gradient in window blocks (the tile map already groups each
+# tile's destinations into one 128-row window) and accumulates the small dT
+# block VMEM-resident — so neither direction of a small x large relation
+# touches an HBM gather or scatter, forward or backward.
+
+
+def _fused_table_kernel_take(tile_map_ref, local_ref, src_ref, table_ref, out_ref):
+    """out[window] += indicator(local) @ table[src_tile] (gather via take)."""
+    t = pl.program_id(0)
+    prev_same = jnp.where(t > 0, tile_map_ref[jnp.maximum(t - 1, 0)], -1)
+
+    @pl.when(jnp.logical_or(t == 0, prev_same != tile_map_ref[t]))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    g_tile = jnp.take(table_ref[:], src_ref[:], axis=0)  # [TILE_E, D] from VMEM
+    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
+    s = (local_ref[:].reshape(1, TILE_E) == rows).astype(g_tile.dtype)
+    out_ref[:] += jnp.dot(s, g_tile, preferred_element_type=jnp.float32)
+
+
+def _fused_table_kernel_indicator(tile_map_ref, local_ref, src_ref, table_ref, out_ref):
+    """out[window] += (S_local @ P_src) @ table — gather as an MXU indicator
+    matmul; M[w, s] counts this tile's edges landing on (window row w, src s)."""
+    t = pl.program_id(0)
+    prev_same = jnp.where(t > 0, tile_map_ref[jnp.maximum(t - 1, 0)], -1)
+
+    @pl.when(jnp.logical_or(t == 0, prev_same != tile_map_ref[t]))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    table = table_ref[:]
+    s_pad = table.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
+    s_ind = (local_ref[:].reshape(1, TILE_E) == rows).astype(table.dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, s_pad), 1)
+    p_src = (src_ref[:].reshape(TILE_E, 1) == cols).astype(table.dtype)
+    m = jnp.dot(s_ind, p_src, preferred_element_type=jnp.float32).astype(table.dtype)
+    out_ref[:] += jnp.dot(m, table, preferred_element_type=jnp.float32)
+
+
+_VMEM_TAKE_SUPPORTED: dict[str, bool] = {}
+
+
+def _vmem_take_supported() -> bool:
+    """Probe (once per backend) whether Mosaic lowers jnp.take on a
+    VMEM-resident array — if not, the indicator-matmul gather is used."""
+    backend = jax.default_backend()
+    if backend != "tpu":
+        return True  # interpret mode executes numpy semantics
+    hit = _VMEM_TAKE_SUPPORTED.get(backend)
+    if hit is not None:
+        return hit
+
+    def k(idx_ref, tab_ref, o_ref):
+        o_ref[:] = jnp.take(tab_ref[:], idx_ref[:], axis=0)
+
+    try:
+        jax.jit(
+            lambda i, t: pl.pallas_call(
+                k,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            )(i, t)
+        ).lower(
+            jax.ShapeDtypeStruct((8,), jnp.int32),
+            jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        ).compile()
+        ok = True
+    except Exception:  # noqa: BLE001 — any lowering failure means "no"
+        ok = False
+    _VMEM_TAKE_SUPPORTED[backend] = ok
+    return ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_windows", "num_src_pad", "interpret", "mode")
+)
+def _fused_table_segment_sum_fwd(
+    table: jax.Array,  # [num_src, D] — the small side's features
+    win_src: jax.Array,  # [E_win] int32 source ids in windowed edge order
+    win_local: jax.Array,  # [E_win] int32 dst offset within window (128 = pad)
+    win_tile_map: jax.Array,  # [E_win / TILE_E] int32 window of each tile
+    num_windows: int,
+    num_src_pad: int,
+    interpret: bool = False,
+    mode: str = "take",
+) -> jax.Array:
+    e_win = win_src.shape[0]
+    d = table.shape[1]
+    num_tiles = e_win // TILE_E
+    if table.shape[0] != num_src_pad:
+        table = jnp.pad(table, ((0, num_src_pad - table.shape[0]), (0, 0)))
+
+    kernel = _fused_table_kernel_take if mode == "take" else _fused_table_kernel_indicator
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_E,), lambda t, tm: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm: (t,)),
+            # constant index map: the table is copied to VMEM once and stays
+            pl.BlockSpec((num_src_pad, d), lambda t, tm: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((WINDOW, d), lambda t, tm: (tm[t], 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_windows * WINDOW, d), jnp.float32),
+        interpret=interpret,
+    )(win_tile_map, win_local, win_src, table)
+
+
+def _fused_table_bwd_kernel_take(
+    tile_map_ref, local_ref, src_ref, g_ref, out_ref
+):
+    """dT += scatter_by_src( g[window block][local] ) — the large-side grad
+    streams in window blocks; the small dT accumulator stays VMEM-resident."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    g_tile = jnp.take(
+        g_ref[:], jnp.minimum(local_ref[:], WINDOW - 1), axis=0
+    )  # [TILE_E, D]
+    g_tile = jnp.where((local_ref[:] < WINDOW)[:, None], g_tile, 0.0)
+    s_pad = out_ref.shape[0]
+    # p_src^T[s, e] = (src[e] == s) — the scatter-by-src as one MXU matmul
+    p_src_t = (src_ref[:].reshape(1, TILE_E) == jax.lax.broadcasted_iota(
+        jnp.int32, (s_pad, TILE_E), 0
+    )).astype(g_tile.dtype)
+    out_ref[:] += jnp.dot(p_src_t, g_tile, preferred_element_type=jnp.float32)
+
+
+def _fused_table_bwd_kernel_indicator(
+    tile_map_ref, local_ref, src_ref, g_ref, out_ref
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    g_block = g_ref[:]  # [WINDOW, D]
+    # gather-by-indicator: G_tile = P_local @ g_block
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, WINDOW), 1)
+    p_local = (local_ref[:].reshape(TILE_E, 1) == cols_w).astype(g_block.dtype)
+    g_tile = jnp.dot(p_local, g_block, preferred_element_type=jnp.float32).astype(
+        g_block.dtype
+    )
+    s_pad = out_ref.shape[0]
+    p_src_t = (src_ref[:].reshape(1, TILE_E) == jax.lax.broadcasted_iota(
+        jnp.int32, (s_pad, TILE_E), 0
+    )).astype(g_block.dtype)
+    out_ref[:] += jnp.dot(p_src_t, g_tile, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_src_pad", "interpret", "mode")
+)
+def _fused_table_segment_sum_bwd(
+    g_out: jax.Array,  # [num_windows * WINDOW, D] f32 upstream grad (padded)
+    win_src: jax.Array,
+    win_local: jax.Array,
+    win_tile_map: jax.Array,
+    num_src_pad: int,
+    interpret: bool = False,
+    mode: str = "take",
+) -> jax.Array:
+    e_win = win_src.shape[0]
+    d = g_out.shape[1]
+    num_tiles = e_win // TILE_E
+    kernel = (
+        _fused_table_bwd_kernel_take if mode == "take" else _fused_table_bwd_kernel_indicator
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_E,), lambda t, tm: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm: (t,)),
+            pl.BlockSpec((WINDOW, d), lambda t, tm: (tm[t], 0)),
+        ],
+        out_specs=pl.BlockSpec((num_src_pad, d), lambda t, tm: (0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_src_pad, d), jnp.float32),
+        interpret=interpret,
+    )(win_tile_map, win_local, win_src, g_out)
+
+
+# above these row counts the VMEM-resident table (and, in indicator mode,
+# the per-tile indicator matmul's S-proportional FLOPs) stop paying off
+FUSED_TABLE_MAX_ROWS_TAKE = 2048
+FUSED_TABLE_MAX_ROWS_INDICATOR = 512
+
+
+def fused_table_applicable(edges: EdgeSet) -> bool:
+    if edges.win_src is None:
+        return False
+    limit = (
+        FUSED_TABLE_MAX_ROWS_TAKE
+        if _vmem_take_supported()
+        else FUSED_TABLE_MAX_ROWS_INDICATOR
+    )
+    return edges.num_src <= limit
+
+
+def fused_table_aggregate(
+    x_src: jax.Array,
+    edges: EdgeSet,
+    aggregation: Literal["mean", "sum"] = "mean",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Neighbor aggregation with the source table VMEM-resident: no HBM
+    gather forward, no HBM scatter backward.  Requires the windowed layout
+    and a small source side (ops dispatch gates on num_src)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mode = "take" if _vmem_take_supported() else "indicator"
+    num_src_pad = max(128, -(-edges.num_src // 128) * 128)
+    num_windows, num_dst = edges.num_windows, edges.num_dst
+
+    @jax.custom_vjp
+    def agg(x):
+        out = _fused_table_segment_sum_fwd(
+            x, edges.win_src, edges.win_local, edges.win_tile_map,
+            num_windows, num_src_pad, interpret, mode,
+        )[:num_dst]
+        if aggregation == "mean":
+            out = out / jnp.maximum(edges.dst_count, 1.0)[:, None]
+        return out.astype(x.dtype)
+
+    def fwd(x):
+        return agg(x), None
+
+    def bwd(_res, g):
+        g32 = g.astype(jnp.float32)
+        if aggregation == "mean":
+            g32 = g32 / jnp.maximum(edges.dst_count, 1.0)[:, None]
+        pad_rows = num_windows * WINDOW - g32.shape[0]
+        if pad_rows:
+            g32 = jnp.pad(g32, ((0, pad_rows), (0, 0)))
+        dx = _fused_table_segment_sum_bwd(
+            g32, edges.win_src, edges.win_local, edges.win_tile_map,
+            num_src_pad, interpret, mode,
+        )[: edges.num_src]
+        return (dx.astype(g.dtype),)
+
+    agg.defvjp(fwd, bwd)
+    return agg(x_src)
+
+
 def _aggregate_fwd_impl(x_src, edges: EdgeSet, aggregation: str, interpret: bool):
     gathered = jnp.take(x_src, edges.win_src, axis=0)
     out = windowed_segment_sum(  # f32 accumulation regardless of input dtype

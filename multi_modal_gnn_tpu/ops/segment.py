@@ -125,6 +125,18 @@ def aggregate_neighbors(
             if aggregation == "sum":
                 out = out * jnp.maximum(edges.dst_count, 1.0)[:, None]
             return out.astype(x_src.dtype)
+        if aggregation in ("mean", "sum"):
+            # small-source relations (the EHR graph is bipartite, so one side
+            # is always labs/diagnoses/medications-sized): the whole source
+            # table rides VMEM and the gather happens in-kernel — no HBM
+            # gather forward, no HBM scatter backward
+            from multi_modal_gnn_tpu.ops.pallas_segment import (
+                fused_table_aggregate,
+                fused_table_applicable,
+            )
+
+            if fused_table_applicable(edges):
+                return fused_table_aggregate(x_src, edges, aggregation)
         if edges_rev is not None and aggregation in ("mean", "sum"):
             from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate_paired
 

@@ -148,7 +148,7 @@ def main() -> None:
             # trainer's best-val checkpointing) — the Bayes-matched reg for
             # this generator is sigma^2 = 1 - s^2 on the patient solve
             best = None
-            for reg in (0.25, 0.5, 0.64, 1.0, 1.5, 2.0, 3.0):
+            for reg in (1.0, 2.0, 3.0, 5.0, 8.0, 12.0, 20.0, 30.0, 50.0):
                 m = ALSBaseline(num_patients, num_graph_labs, rank=rank, reg=reg,
                                 **{k: v for k, v in als_kwargs.items() if k != "reg"}
                                 ).fit(tr_v, tr_p, tr_l)

@@ -146,3 +146,61 @@ def test_model_training_with_paired_kernel(tiny_graph):
         run.append(trainer.train_epoch())
         losses[use_pallas] = run
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused small-table kernels (gather/scatter moved in-kernel)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["take", "indicator"])
+@pytest.mark.parametrize("aggregation", ["mean", "sum"])
+def test_fused_table_matches_xla(rng, mode, aggregation, monkeypatch):
+    from multi_modal_gnn_tpu.ops import pallas_segment as ps
+
+    num_src, num_dst, e, d = 60, 700, 5000, 128
+    src, dst = _random_edges(rng, num_src, num_dst, e)
+    es = pad_edge_set(src, dst, num_src=num_src, num_dst=num_dst, pad_multiple=512)
+    x = jnp.asarray(rng.standard_normal((num_src, d)).astype(np.float32))
+
+    monkeypatch.setattr(ps, "_vmem_take_supported", lambda: mode == "take")
+    want = np.asarray(aggregate_neighbors(x, es, aggregation, impl="xla"))
+    got = np.asarray(ps.fused_table_aggregate(x, es, aggregation, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["take", "indicator"])
+def test_fused_table_gradient_matches_xla(rng, mode, monkeypatch):
+    from multi_modal_gnn_tpu.ops import pallas_segment as ps
+
+    num_src, num_dst, e, d = 40, 300, 2000, 32
+    src, dst = _random_edges(rng, num_src, num_dst, e)
+    es = pad_edge_set(src, dst, num_src=num_src, num_dst=num_dst, pad_multiple=512)
+    x = jnp.asarray(rng.standard_normal((num_src, d)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((num_dst, d)).astype(np.float32))
+
+    monkeypatch.setattr(ps, "_vmem_take_supported", lambda: mode == "take")
+
+    def loss_fused(x):
+        return (ps.fused_table_aggregate(x, es, "mean", interpret=True) * w).sum()
+
+    def loss_xla(x):
+        return (aggregate_neighbors(x, es, "mean", impl="xla") * w).sum()
+
+    g_fused = np.asarray(jax.grad(loss_fused)(x))
+    g_xla = np.asarray(jax.grad(loss_xla)(x))
+    np.testing.assert_allclose(g_fused, g_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_table_dispatch(rng):
+    """aggregate_neighbors(impl='pallas') routes small-src relations to the
+    fused tier (no dense adjacency, windowed layout present)."""
+    from multi_modal_gnn_tpu.ops import pallas_segment as ps
+
+    num_src, num_dst, e, d = 50, 400, 3000, 64
+    src, dst = _random_edges(rng, num_src, num_dst, e)
+    es = pad_edge_set(src, dst, num_src=num_src, num_dst=num_dst, pad_multiple=512)
+    assert es.dense_adj is None and ps.fused_table_applicable(es)
+    x = jnp.asarray(rng.standard_normal((num_src, d)).astype(np.float32))
+    want = np.asarray(aggregate_neighbors(x, es, "mean", impl="xla"))
+    got = np.asarray(aggregate_neighbors(x, es, "mean", impl="pallas"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
