@@ -79,26 +79,63 @@ class HeteroSAGELayer(nn.Module):
     def __call__(self, x_dict: Dict[str, jax.Array], graph: HeteroGraph) -> Dict[str, jax.Array]:
         from multi_modal_gnn_tpu.graph.schema import mirror_edge_type
 
-        out: Dict[str, jax.Array] = {}
+        # group relations by destination: the HeteroConv sum
+        #   out[dst] = sum_r (msg_r @ W_r + b_r) + x_dst @ W_root_r ...
+        # is ONE matmul per destination type on the concatenated messages,
+        #   out[dst] = [msg_1 .. msg_k, x_dst*k?] — see below — which cuts
+        # the per-layer op count from 2k matmuls + k adds to k aggregations
+        # + 1 concat + 1 matmul (kernels concatenated along the K axis; the
+        # MXU prefers one K=(k+1)*D contraction over k+1 small ones).
+        by_dst: Dict[str, list] = {}
         for et in self.edge_types:
-            src_t, _, dst_t = et
-            key = _et_key(et)
-            x_in = x_dict[src_t]
-            if self.dtype is not None:
-                x_in = x_in.astype(self.dtype)  # bf16 halves gather traffic,
-                # and the Pallas kernel's indicator matmul runs 4x faster
-            msg = aggregate_neighbors(
-                x_in,
-                graph.edges[et],
-                self.aggregation,
-                impl=self.impl,
-                axis_name=self.axis_name,
-                # the mirrored relation's windowed plan drives the backward
-                # scatter on the MXU too (ops/pallas_segment.py)
-                edges_rev=graph.edges.get(mirror_edge_type(et)),
+            by_dst.setdefault(et[2], []).append(et)
+
+        out: Dict[str, jax.Array] = {}
+        for dst_t, ets in by_dst.items():
+            parts = []
+            kernels = []
+            bias = None
+            root_kernel = None
+            for et in ets:
+                src_t = et[0]
+                key = _et_key(et)
+                x_in = x_dict[src_t]
+                if self.dtype is not None:
+                    x_in = x_in.astype(self.dtype)  # bf16 halves gather
+                    # traffic; the Pallas indicator matmuls run 4x faster
+                msg = aggregate_neighbors(
+                    x_in,
+                    graph.edges[et],
+                    self.aggregation,
+                    impl=self.impl,
+                    axis_name=self.axis_name,
+                    # the mirrored relation's windowed plan drives the
+                    # backward scatter on the MXU too (ops/pallas_segment.py)
+                    edges_rev=graph.edges.get(mirror_edge_type(et)),
+                )
+                parts.append(msg)
+                neigh, root = self.lin_neigh[key], self.lin_root[key]
+                if self.is_initializing():
+                    # flax creates Dense params inside __call__; touch each
+                    # once so the param tree keeps the per-relation layout
+                    neigh(msg[:1])
+                    root(x_dict[dst_t][:1])
+                kernels.append(neigh.variables["params"]["kernel"])
+                b = neigh.variables["params"]["bias"]
+                bias = b if bias is None else bias + b
+                rk = root.variables["params"]["kernel"]
+                root_kernel = rk if root_kernel is None else root_kernel + rk
+            # the k root transforms fold into one summed kernel:
+            #   sum_r x_dst @ W_root_r = x_dst @ (sum_r W_root_r)
+            kernels.append(root_kernel)
+            parts.append(
+                x_dict[dst_t] if self.dtype is None else x_dict[dst_t].astype(self.dtype)
             )
-            contrib = self.lin_neigh[key](msg) + self.lin_root[key](x_dict[dst_t])
-            out[dst_t] = contrib if dst_t not in out else out[dst_t] + contrib
+            w_cat = jnp.concatenate(kernels, axis=0)
+            x_cat = jnp.concatenate(parts, axis=-1)
+            if self.dtype is not None:
+                w_cat = w_cat.astype(self.dtype)
+            out[dst_t] = jnp.dot(x_cat, w_cat) + bias.astype(x_cat.dtype)
         # node types receiving no relation in this layer (possible with
         # bidirectional=false configs) pass through unchanged, so later
         # layers / heads can still read them (same carry-through as HGTLayer)
