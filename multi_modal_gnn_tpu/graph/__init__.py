@@ -26,3 +26,7 @@ from multi_modal_gnn_tpu.graph.build import (  # noqa: F401
 )
 from multi_modal_gnn_tpu.graph.stats import validate_graph, compute_graph_statistics  # noqa: F401
 from multi_modal_gnn_tpu.graph.serialize import save_graph, load_graph  # noqa: F401
+from multi_modal_gnn_tpu.graph.distributed import (  # noqa: F401
+    load_graph_distributed,
+    save_graph_sharded,
+)
