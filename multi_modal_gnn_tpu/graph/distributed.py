@@ -38,8 +38,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from multi_modal_gnn_tpu.graph.build import GraphBundle, GraphMeta
 from multi_modal_gnn_tpu.graph.hetero import EdgeSet, HeteroGraph
 from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey, PATIENT_LAB
-from multi_modal_gnn_tpu.parallel.mesh import DATA_AXIS
 from multi_modal_gnn_tpu.utils.io import load_json, save_json
+
+# parallel.mesh.DATA_AXIS — spelled literally here so graph/__init__ does not
+# pull in the parallel package (whose sharding module imports training.masker,
+# which imports graph: a cycle)
+DATA_AXIS = "data"
 
 logger = logging.getLogger(__name__)
 

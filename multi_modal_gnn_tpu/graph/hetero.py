@@ -68,6 +68,15 @@ class EdgeSet(struct.PyTreeNode):
     # At ~10%+ density one MXU matmul beats the sparse gather+segment path
     # outright, and its backward is just the transposed matmul.
     dense_adj: Optional[jax.Array] = None
+    # Value-visibility mask float32[E_pad], set per-step by the trainer when
+    # the model's value-context channel is enabled (models/rgcn.py
+    # value_context): 1.0 where this forward may CONDITION on ``val`` (train
+    # edges not under the epoch's supervision mask), 0.0 for supervised /
+    # val / test / padding edges.  Distinct from ``mask`` (structural
+    # validity): message passing over the topology always sees every valid
+    # edge — only the observed *values* are gated, which is what keeps the
+    # mask-and-recover protocol leakage-free (see audit.py).
+    val_vis: Optional[jax.Array] = None
     num_valid: int = struct.field(pytree_node=False, default=0)
     num_src: int = struct.field(pytree_node=False, default=0)
     num_dst: int = struct.field(pytree_node=False, default=0)

@@ -38,6 +38,15 @@ def build_model(
         head_hidden_dims=tuple(mc.edge_head.hidden_dims),
         dtype=dtype,
     )
+    bl_source = str(mc.edge_head.extras.get("bilinear_source", "head"))
+    value_context = bool(mc.extras.get("value_context", False))
+    if bl_source == "context" and not value_context:
+        raise ValueError(
+            "edge_head.extras.bilinear_source='context' requires "
+            "model.extras.value_context=true — without the trainer's "
+            "val_vis gating the context channel would read val/test values "
+            "(leakage)"
+        )
     if mc.architecture == "RGCN":
         # factored heads win when pair count dwarfs node count (large
         # cohorts); concat wins on op-count-bound small graphs
@@ -55,7 +64,8 @@ def build_model(
             axis_name=axis_name,
             head_style=head_style,
             bilinear_rank=int(mc.edge_head.extras.get("bilinear_rank", 0)),
-            bilinear_source=str(mc.edge_head.extras.get("bilinear_source", "head")),
+            bilinear_source=bl_source,
+            value_context=value_context,
         )
     elif mc.architecture == "HGT":
         model = HeteroGT(**common, num_heads=mc.num_heads, axis_name=axis_name)

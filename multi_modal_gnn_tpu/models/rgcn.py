@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
-from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey, PATIENT, LAB
+from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey, PATIENT, LAB, PATIENT_LAB
 from multi_modal_gnn_tpu.models.layers import (
     EdgeRegressionHead,
     FactoredEdgeHead,
@@ -176,6 +176,20 @@ class HeteroRGCN(nn.Module):
     # shrinkage the Bayes-optimal predictor needs (evaluation/ceiling.py);
     # raw embeddings can.
     bilinear_source: str = "head"
+    # beyond-reference opt-in (model.extras.value_context): condition on the
+    # OBSERVED patient-lab values.  The reference's SAGEConv ignores
+    # edge_attr entirely (src/model.py:116-131 — lab values ride the graph
+    # as edge_attr but never enter a message), so its information channel is
+    # purely supervised matrix factorization; the Bayes-optimal predictor
+    # for a masked lab, however, conditions on the patient's *other observed
+    # values* (evaluation/ceiling.py).  This adds one value-weighted
+    # aggregation per side before layer 0:
+    #     ctx[p] = mean_{visible e: p->l} val_e * x[l],   (+ visible count)
+    #     ctx[l] = mean_{visible e: p->l} val_e * x[p],   (+ visible count)
+    # projected and added to the node features.  Visibility (EdgeSet.val_vis,
+    # set by the trainer) excludes supervised/val/test edges, so the channel
+    # is leakage-free under the mask-and-recover protocol.
+    value_context: bool = False
     dtype: jnp.dtype | None = None
 
     @property
@@ -247,13 +261,21 @@ class HeteroRGCN(nn.Module):
             )
         self.edge_predictor = head_cls("edge_predictor")
         self.tabular_mlp = head_cls("tabular_mlp")
-        if self.bilinear_rank > 0 and self.bilinear_source == "embedding":
+        if self.bilinear_rank > 0 and self.bilinear_source in ("embedding", "context"):
             scale = nn.initializers.normal(stddev=1.0 / jnp.sqrt(self.hidden_dim))
             self.bilinear_u = self.param(
                 "bilinear_u", scale, (self.hidden_dim, self.bilinear_rank)
             )
             self.bilinear_l = self.param(
                 "bilinear_l", scale, (self.hidden_dim, self.bilinear_rank)
+            )
+        if self.value_context:
+            # input = [value-weighted mean context (D), visible-count channel (1)]
+            self.vctx_patient = make_dense(
+                self.hidden_dim, self.hidden_dim + 1, dtype=self.dtype, name="vctx_patient"
+            )
+            self.vctx_lab = make_dense(
+                self.hidden_dim, self.hidden_dim + 1, dtype=self.dtype, name="vctx_lab"
             )
         self.inter_layer_dropout = nn.Dropout(rate=self.dropout)
 
@@ -268,10 +290,72 @@ class HeteroRGCN(nn.Module):
             x_dict[PATIENT] = self.patient_encoder(x_dict[PATIENT], train=train)
         return x_dict
 
+    def _inject_value_context(
+        self, x_dict: Dict[str, jax.Array], graph: HeteroGraph
+    ) -> Dict[str, jax.Array]:
+        """Add the observed-value channel to patient/lab features (one
+        value-weighted aggregation per side; see the ``value_context`` field
+        doc).  ``EdgeSet.val_vis`` gates which values this forward may see;
+        absent (e.g. during init) it falls back to the structural mask,
+        which the trainer never allows at train/eval time."""
+        es = graph.edges.get(PATIENT_LAB)
+        if es is None or es.val is None:
+            return x_dict
+        x_p, x_l = x_dict[PATIENT], x_dict[LAB]
+        vis = es.val_vis if es.val_vis is not None else es.mask
+        v = (es.val * vis).astype(x_p.dtype)
+
+        # per-lab context: edges are dst(=lab)-sorted — the fast segment path
+        num_seg = es.num_dst + 1  # dummy segment swallows padding
+        wsum_l = jax.ops.segment_sum(
+            jnp.take(x_p, es.src, axis=0) * v[:, None],
+            es.dst, num_segments=num_seg, indices_are_sorted=True,
+        )[: es.num_dst]
+        cnt_l = jax.ops.segment_sum(
+            vis, es.dst, num_segments=num_seg, indices_are_sorted=True
+        )[: es.num_dst]
+        ctx_p, cnt_p = self._patient_value_context(x_l, es)
+        if self.axis_name is not None:  # edge-sharded SPMD: combine partials
+            wsum_l = jax.lax.psum(wsum_l, self.axis_name)
+            cnt_l = jax.lax.psum(cnt_l, self.axis_name)
+
+        def with_frac(mean, cnt, total):
+            frac = (cnt / float(total)).astype(mean.dtype)
+            return jnp.concatenate([mean, frac[:, None]], axis=-1)
+
+        ctx_l = wsum_l / jnp.maximum(cnt_l, 1.0)[:, None].astype(wsum_l.dtype)
+        out = dict(x_dict)
+        out[PATIENT] = x_p + self.vctx_patient(with_frac(ctx_p, cnt_p, es.num_dst))
+        out[LAB] = x_l + self.vctx_lab(with_frac(ctx_l, cnt_l, es.num_src))
+        return out
+
+    def _patient_value_context(self, x_l: jax.Array, es) -> Tuple[jax.Array, jax.Array]:
+        """(mean value-weighted lab-feature context [num_patients, D],
+        visible count [num_patients]) — the sufficient statistic the Bayes
+        predictor conditions on (evaluation/ceiling.py: the posterior mean of
+        a patient's latent state is a linear map of sum_obs val * w_lab).
+        Unsorted segment over src — off the reference hot path (opt-in)."""
+        vis = es.val_vis if es.val_vis is not None else es.mask
+        v = (es.val * vis).astype(x_l.dtype)
+        # mode="clip": padding rows carry dst == num_dst (one past the lab
+        # table; the default fill mode would gather NaN, and NaN * 0 = NaN)
+        wsum_p = jax.ops.segment_sum(
+            jnp.take(x_l, es.dst, axis=0, mode="clip") * v[:, None],
+            es.src, num_segments=es.num_src,
+        )
+        cnt_p = jax.ops.segment_sum(vis, es.src, num_segments=es.num_src)
+        if self.axis_name is not None:
+            wsum_p = jax.lax.psum(wsum_p, self.axis_name)
+            cnt_p = jax.lax.psum(cnt_p, self.axis_name)
+        ctx = wsum_p / jnp.maximum(cnt_p, 1.0)[:, None].astype(wsum_p.dtype)
+        return ctx, cnt_p
+
     def propagate(
         self, x_dict: Dict[str, jax.Array], graph: HeteroGraph, train: bool = False
     ) -> Dict[str, jax.Array]:
         act = get_activation(self.activation)
+        if self.value_context:
+            x_dict = self._inject_value_context(x_dict, graph)
         for layer_idx in range(self.num_layers):
             x_dict = self.convs[layer_idx](x_dict, graph)
             if self.use_batch_norm:
@@ -339,6 +423,21 @@ class HeteroRGCN(nn.Module):
         if self.bilinear_rank > 0 and self.bilinear_source == "embedding":
             # shared MF term over the raw ID tables (see bilinear_source doc)
             u = self.embeddings[PATIENT](patient_indices)
+            c = self.embeddings[LAB](lab_indices)
+            pred = pred + jnp.sum((u @ self.bilinear_u) * (c @ self.bilinear_l), axis=-1)
+        elif self.bilinear_rank > 0 and self.bilinear_source == "context":
+            # conditional bilinear readout — the differentiable replica of
+            # the Bayes form y(p,l) = w_l^T M (sum_obs val * w_lab)
+            # (evaluation/ceiling.py): u = the patient's value-weighted mean
+            # of RAW lab embeddings over this step's visible observations,
+            # c = the target lab's raw embedding; the shared table ties the
+            # conditioning basis to the readout basis.  Requires
+            # value_context (the trainer's val_vis gating) — enforced by
+            # models/factory.py — so the channel never sees val/test values.
+            ctx_p, _ = self._patient_value_context(
+                initial[LAB], graph.edges[PATIENT_LAB]
+            )
+            u = ctx_p[patient_indices]
             c = self.embeddings[LAB](lab_indices)
             pred = pred + jnp.sum((u @ self.bilinear_u) * (c @ self.bilinear_l), axis=-1)
         return pred

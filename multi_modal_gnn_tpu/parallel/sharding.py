@@ -34,6 +34,7 @@ def _edge_set_pspec(es: EdgeSet, axis: str) -> EdgeSet:
         win_local=P() if es.win_local is not None else None,
         win_tile_map=P() if es.win_tile_map is not None else None,
         dense_adj=P() if es.dense_adj is not None else None,
+        val_vis=P(axis) if es.val_vis is not None else None,
         num_valid=es.num_valid,
         num_src=es.num_src,
         num_dst=es.num_dst,

@@ -160,6 +160,34 @@ class EdgeMasker:
         idx = self._split_indices[split]
         return self._p[idx], self._l[idx], self._v[idx]
 
+    def visibility_base(self, num_padded: int) -> np.ndarray:
+        """float32[num_padded] value-visibility template over the padded
+        patient->lab edge array: 1.0 at TRAIN edge positions, 0.0 for
+        val/test/padding.  Valid edges occupy positions 0..num_edges-1 of the
+        padded array in device order (graph/hetero.py pad_edge_set sorts the
+        valid edges then appends padding), so split indices ARE padded-array
+        positions.  Consumed by the trainer's value-context plumbing
+        (EdgeSet.val_vis); at eval time this template is used as-is — the
+        model conditions on every train observation and nothing else."""
+        if num_padded < self.num_edges:
+            raise ValueError(
+                f"num_padded={num_padded} < {self.num_edges} valid edges"
+            )
+        base = np.zeros(num_padded, dtype=np.float32)
+        base[self._split_indices["train"]] = 1.0
+        return base
+
+    def train_positions(self) -> np.ndarray:
+        """int32[B_pad] padded-edge-array position of each train-batch row
+        (padding rows point at 0 — their knockout multiplier is 1, a no-op).
+        Lets the train step map the epoch's supervision draw (batch-shaped)
+        onto the edge array: visible = base.at[pos].multiply(1 - sup)."""
+        batch = self.get_split("train")
+        idx = self._split_indices["train"]
+        out = np.zeros(batch.valid.shape[0], dtype=np.int32)
+        out[: len(idx)] = idx
+        return out
+
     def supervision_mask(self, key: jax.Array, batch: Optional[SplitBatch] = None) -> jax.Array:
         """Per-epoch Bernoulli supervision mask over the train batch (float)."""
         batch = batch if batch is not None else self.get_split("train")

@@ -128,6 +128,20 @@ class Trainer:
         self._loss_type = tc.loss
         self._mask_fraction = tc.mask_fraction
         self._axis_name: Optional[str] = None
+
+        # value-context plumbing (models/rgcn.py value_context): per-forward
+        # visibility over the padded patient->lab values.  Base template =
+        # train edges only; the train step additionally knocks out the
+        # epoch's supervised subset so a supervised edge never sees its own
+        # target (leakage-free mask-and-recover).
+        self._value_context = bool(getattr(model, "value_context", False))
+        if self._value_context:
+            num_padded = graph.patient_lab.num_padded
+            self._vis_base = jnp.asarray(masker.visibility_base(num_padded))
+            self._vis_train_pos = (
+                None if self.eval_only else jnp.asarray(masker.train_positions())
+            )
+
         self._build_steps()
 
         # host-side loop state (captured in checkpoints for true resume)
@@ -198,6 +212,26 @@ class Trainer:
             return preds, new_vars["batch_stats"]
         return out, batch_stats
 
+    def _visible_graph(
+        self, graph: HeteroGraph, sup_mask: Optional[jax.Array]
+    ) -> HeteroGraph:
+        """Attach the step's value-visibility mask to the patient->lab
+        EdgeSet (no-op unless the model's value_context channel is on).
+        Train steps pass the epoch's supervision mask so supervised edges'
+        values are hidden from the forward; eval passes None (condition on
+        all train observations, none of val/test)."""
+        if not self._value_context:
+            return graph
+        vis = self._vis_base
+        if sup_mask is not None:
+            # unique train positions; batch-padding rows point at 0 with
+            # sup=0 -> multiplier 1.0 (no-op)
+            vis = vis.at[self._vis_train_pos].multiply(1.0 - sup_mask)
+        from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
+
+        es = graph.edges[PATIENT_LAB].replace(val_vis=vis)
+        return graph.replace(edges={**graph.edges, PATIENT_LAB: es})
+
     def _train_step_impl(
         self,
         state: TrainState,
@@ -207,6 +241,8 @@ class Trainer:
         sup_mask: jax.Array,
         dropout_key: jax.Array,
     ) -> Tuple[TrainState, jax.Array]:
+        graph = self._visible_graph(graph, sup_mask)
+
         def loss_fn(params):
             preds, new_bs = self._apply_train(params, state.batch_stats, graph, batch, dropout_key)
             # the reference applies lab-wise weights only for mae/mse and falls
@@ -235,6 +271,7 @@ class Trainer:
     def _eval_step_impl(
         self, state: TrainState, graph: HeteroGraph, batch: SplitBatch
     ) -> Tuple[jax.Array, jax.Array]:
+        graph = self._visible_graph(graph, None)
         variables = {"params": self._prepare_params(state.params)}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

@@ -36,7 +36,9 @@ def main() -> None:
     ap.add_argument("--degree-threshold", type=int, default=None)
     ap.add_argument("--bilinear-rank", type=int, default=0)
     ap.add_argument("--bilinear-source", type=str, default="head",
-                    choices=["head", "embedding"])
+                    choices=["head", "embedding", "context"])
+    ap.add_argument("--value-context", action="store_true",
+                    help="enable the observed-value channel (model.extras.value_context)")
     ap.add_argument("--weight-decay", type=float, default=None)
     ap.add_argument("--loss", type=str, default=None, choices=["mae", "mse", "huber"])
     ap.add_argument("--embedding-weight-decay", type=float, default=None)
@@ -183,6 +185,8 @@ def main() -> None:
             overrides["num_layers"] = args.num_layers
         if args.degree_threshold is not None:
             overrides["degree_threshold"] = args.degree_threshold
+        if args.value_context:
+            overrides["extras"] = {**mc.extras, "value_context": True}
         if args.bilinear_rank:
             overrides["edge_head"] = dataclasses.replace(
                 mc.edge_head,
