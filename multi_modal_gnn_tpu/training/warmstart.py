@@ -1,0 +1,110 @@
+"""ALS warm start: seed the GNN's factorization channel with the exact
+closed-form solution.
+
+Diagnosed on the synthetic cohort (scripts/diagnose_quality.py, README
+"Results"): gradient training of the implicit-MF channel is the quality
+bottleneck — exact alternating ridge (evaluation/baselines.ALSBaseline)
+reaches the conditional ceiling's neighborhood while SGD from random init
+plateaus far below.  The fix is classical (ALS-initialized neural
+recommenders): fit ALS on the train split, then copy
+
+    embed_patient[:, :r] = U,   embed_patient[:, r] = 1
+    embed_lab[:, :r]     = C,   embed_lab[:, r]     = lab_bias
+    bilinear_u = bilinear_l = [I_{r+1}; 0]   (so <A e_p, B e_l> = <u_p, c_l> + b_l)
+
+so the model's ``bilinear_source='embedding'`` term starts AT the ALS
+predictor and gradient descent + best-val selection can only improve on it.
+Requires ``bilinear_rank >= rank + 1`` (the +1 carries the lab bias through
+the product term).
+
+The reference has no analogue (its baselines are fit-at-eval only,
+src/evaluate.py:147-230); this is a beyond-reference training utility.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+from multi_modal_gnn_tpu.graph.schema import LAB, PATIENT
+
+logger = logging.getLogger(__name__)
+
+
+def als_warm_start_params(
+    params: dict,
+    als: ALSBaseline,
+    scale: float = 1.0,
+    zero_heads: bool = True,
+) -> dict:
+    """Return a params tree with the ALS solution planted in the
+    embedding-bilinear channel (non-destructive copy).
+
+    ``params`` must come from a model built with
+    ``edge_head.extras = {bilinear_rank: >= als.rank + 1,
+    bilinear_source: 'embedding'}`` — raises KeyError otherwise.
+    ``scale`` multiplies the planted factors (1.0 = start exactly at ALS).
+    ``zero_heads`` zeroes both MLP heads' output layers (the zero-init
+    residual-branch trick) so the epoch-0 prediction IS the ALS prediction;
+    the heads then learn additive corrections from zero instead of starting
+    as noise on top of the planted solution.
+    """
+    r = als.rank
+    bl_u = np.asarray(params["bilinear_u"])
+    if bl_u.shape[1] < r + 1:
+        raise ValueError(
+            f"bilinear_rank={bl_u.shape[1]} < ALS rank+1={r + 1}; raise "
+            "edge_head.extras.bilinear_rank (the +1 slot carries lab_bias)"
+        )
+    hidden = bl_u.shape[0]
+    if hidden < r + 1:
+        raise ValueError(f"hidden_dim={hidden} < ALS rank+1={r + 1}")
+
+    emb_p = np.array(params["embed_patient"]["embedding"], dtype=np.float32)
+    emb_l = np.array(params["embed_lab"]["embedding"], dtype=np.float32)
+    emb_p[:, :r] = als.U * scale
+    emb_p[:, r] = 1.0
+    emb_l[:, :r] = als.C * scale
+    emb_l[:, r] = als.lab_bias * scale
+
+    sel = np.zeros_like(bl_u)
+    sel[: r + 1, : r + 1] = np.eye(r + 1, dtype=sel.dtype)
+
+    out = dict(params)
+    out["embed_patient"] = dict(params["embed_patient"], embedding=jnp.asarray(emb_p))
+    out["embed_lab"] = dict(params["embed_lab"], embedding=jnp.asarray(emb_l))
+    out["bilinear_u"] = jnp.asarray(sel)
+    out["bilinear_l"] = jnp.asarray(sel)
+    if zero_heads:
+        for head in ("edge_predictor", "tabular_mlp"):
+            if head not in out:
+                continue
+            hp = dict(out[head])
+            if "dense_out" in hp:
+                dout = {
+                    k: jnp.zeros_like(v) for k, v in hp["dense_out"].items()
+                }
+                hp["dense_out"] = dout
+            out[head] = hp
+    return out
+
+
+def warm_start_trainer(trainer, rank: int = 8, reg: float = 12.0, iters: int = 30):
+    """Fit ALS on the trainer's train split and plant it into the live state
+    (optimizer state re-initialized so adam moments don't fight the init).
+    Returns the fitted ALSBaseline for yardstick reporting."""
+    masker = trainer.masker
+    graph = trainer.graph
+    tr_p, tr_l, tr_v = masker.split_arrays("train")
+    als = ALSBaseline(
+        graph.num_nodes(PATIENT), graph.num_nodes(LAB), rank=rank, reg=reg, iters=iters
+    ).fit(tr_v, tr_p, tr_l)
+    new_params = als_warm_start_params(trainer.state.params, als)
+    trainer.state = trainer.state.replace(
+        params=new_params, opt_state=trainer.tx.init(new_params)
+    )
+    logger.info("ALS warm start planted (rank=%d, reg=%.1f)", rank, reg)
+    return als

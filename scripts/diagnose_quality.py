@@ -39,6 +39,10 @@ def main() -> None:
                     choices=["head", "embedding", "context"])
     ap.add_argument("--value-context", action="store_true",
                     help="enable the observed-value channel (model.extras.value_context)")
+    ap.add_argument("--als-init", action="store_true",
+                    help="warm-start the embedding-bilinear channel at the ALS "
+                         "solution (training/warmstart.py); implies "
+                         "bilinear_source=embedding, bilinear_rank>=rank+1")
     ap.add_argument("--weight-decay", type=float, default=None)
     ap.add_argument("--loss", type=str, default=None, choices=["mae", "mse", "huber"])
     ap.add_argument("--embedding-weight-decay", type=float, default=None)
@@ -187,6 +191,10 @@ def main() -> None:
             overrides["degree_threshold"] = args.degree_threshold
         if args.value_context:
             overrides["extras"] = {**mc.extras, "value_context": True}
+        if args.als_init:
+            # the warm start plants into the embedding-bilinear channel
+            args.bilinear_rank = max(args.bilinear_rank, (args.als_rank or spec.latent_dim) + 1)
+            args.bilinear_source = "embedding"
         if args.bilinear_rank:
             overrides["edge_head"] = dataclasses.replace(
                 mc.edge_head,
@@ -223,6 +231,18 @@ def main() -> None:
 
         model = build_model(cfg2, bundle.graph)
         trainer = Trainer(model, bundle.graph, masker, cfg2)
+        if args.als_init:
+            from multi_modal_gnn_tpu.training.warmstart import warm_start_trainer
+
+            rank = args.als_rank or spec.latent_dim
+            als = warm_start_trainer(
+                trainer, rank=rank, reg=args.als_reg if args.als_reg is not None else 12.0
+            )
+            pre = compute_regression_metrics(
+                trainer.predict("test").astype(np.float64), te_v
+            )
+            print("Warm-start (epoch 0) test metrics:", json.dumps(pre))
+            report["warm_start_epoch0"] = pre
         t0 = time.perf_counter()
         trainer.fit(scan_chunk=args.scan_chunk)
         train_s = time.perf_counter() - t0

@@ -1,0 +1,75 @@
+"""ALS warm start (training/warmstart.py): epoch-0 equals the closed-form
+ALS predictor, and gradient training from there can only be selected if it
+improves validation (best-val checkpointing)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
+from multi_modal_gnn_tpu.evaluation.metrics import compute_regression_metrics
+from multi_modal_gnn_tpu.models.factory import build_model
+from multi_modal_gnn_tpu.training.masker import EdgeMasker
+from multi_modal_gnn_tpu.training.trainer import Trainer
+from multi_modal_gnn_tpu.training.warmstart import als_warm_start_params, warm_start_trainer
+
+
+def _mf_config(rank=5):
+    cfg = Config()
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            edge_head=dataclasses.replace(
+                cfg.model.edge_head,
+                extras={"bilinear_rank": rank, "bilinear_source": "embedding"},
+            ),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _mf_config()
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=3), cfg)
+    masker = EdgeMasker(bundle.graph, seed=7, host_edges=bundle.patient_lab_host())
+    return cfg, bundle, masker
+
+
+def test_epoch0_equals_als(setup):
+    cfg, bundle, masker = setup
+    tr = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    als = warm_start_trainer(tr, rank=4, reg=3.0)
+    tep, tel, tev = masker.split_arrays("test")
+    got = compute_regression_metrics(tr.predict("test").astype(np.float64), tev)
+    want = compute_regression_metrics(als.predict(tep, tel), tev)
+    assert got["r2"] == pytest.approx(want["r2"], abs=1e-5)
+    assert got["mae"] == pytest.approx(want["mae"], abs=1e-5)
+
+
+def test_training_from_warm_start_stays_finite(setup):
+    cfg, bundle, masker = setup
+    tr = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    warm_start_trainer(tr, rank=4, reg=3.0)
+    v0 = tr.validate()
+    for _ in range(5):
+        loss = tr.train_epoch()
+        tr.epoch += 1
+        assert np.isfinite(loss)
+    assert np.isfinite(tr.validate())
+    assert np.isfinite(v0)
+
+
+def test_rank_too_large_rejected(setup):
+    cfg, bundle, masker = setup
+    tr = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+
+    als = ALSBaseline(
+        bundle.graph.num_nodes("patient"), bundle.graph.num_nodes("lab"), rank=5
+    )
+    # bilinear_rank is 5 -> needs rank+1=6 slots: must refuse
+    with pytest.raises(ValueError, match="bilinear_rank"):
+        als_warm_start_params(tr.state.params, als)
