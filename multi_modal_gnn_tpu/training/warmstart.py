@@ -106,5 +106,13 @@ def warm_start_trainer(trainer, rank: int = 8, reg: float = 12.0, iters: int = 3
     trainer.state = trainer.state.replace(
         params=new_params, opt_state=trainer.tx.init(new_params)
     )
-    logger.info("ALS warm start planted (rank=%d, reg=%.1f)", rank, reg)
+    # seed best-val tracking with the warm-started state so "training can
+    # only improve" holds literally: if no epoch beats the ALS predictor on
+    # validation, best_state remains the ALS-equivalent model
+    trainer.best_val_loss = trainer.validate()
+    trainer.best_state = trainer.state
+    logger.info(
+        "ALS warm start planted (rank=%d, reg=%.1f, val_loss=%.4f)",
+        rank, reg, trainer.best_val_loss,
+    )
     return als

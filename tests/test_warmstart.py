@@ -62,6 +62,22 @@ def test_training_from_warm_start_stays_finite(setup):
     assert np.isfinite(v0)
 
 
+def test_warm_start_seeds_best_state(setup):
+    """If no trained epoch beats the warm-started val loss, best_state is
+    the ALS-equivalent model (training can only improve, never regress)."""
+    cfg, bundle, masker = setup
+    tr = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    warm_start_trainer(tr, rank=4, reg=3.0)
+    assert tr.best_state is not None
+    assert np.isfinite(tr.best_val_loss)
+    seeded_val = tr.best_val_loss
+    for _ in range(3):
+        tr.train_epoch()
+        tr.epoch += 1
+    # best-val tracker only moves downward from the seeded value
+    assert tr.best_val_loss <= seeded_val
+
+
 def test_rank_too_large_rejected(setup):
     cfg, bundle, masker = setup
     tr = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
