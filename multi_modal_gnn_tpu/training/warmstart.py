@@ -108,9 +108,13 @@ def warm_start_trainer(trainer, rank: int = 8, reg: float = 12.0, iters: int = 3
     )
     # seed best-val tracking with the warm-started state so "training can
     # only improve" holds literally: if no epoch beats the ALS predictor on
-    # validation, best_state remains the ALS-equivalent model
+    # validation, best_state remains the ALS-equivalent model.  Deep copy:
+    # the train step donates its state argument, which would otherwise
+    # invalidate these buffers on the first epoch.
+    import jax
+
     trainer.best_val_loss = trainer.validate()
-    trainer.best_state = trainer.state
+    trainer.best_state = jax.tree_util.tree_map(lambda x: x.copy(), trainer.state)
     logger.info(
         "ALS warm start planted (rank=%d, reg=%.1f, val_loss=%.4f)",
         rank, reg, trainer.best_val_loss,

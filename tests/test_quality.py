@@ -1,0 +1,104 @@
+"""Realistic-cohort quality pins (VERDICT round-1 item 1).
+
+On the eICU-statistics-matched synthetic cohort (signal 0.6, the
+"realistic" generator), the measured quality ladder is:
+
+    Bayes conditional ceiling (oracle W, train obs):  R^2 = 0.195
+    ALS rank-8 (best classical learnable):            R^2 = 0.178
+    this framework, ALS-warm-started GNN:             R^2 = 0.174-0.178
+    this framework, tuned faithful config:            R^2 = 0.10-0.12
+    reference-faithful default config:                R^2 = 0.073
+
+(outputs/diagnostics/quality_*.json; README "Results").  These tests pin
+the deliverable numbers so a regression that halves them fails CI:
+
+  * the ALS warm start must put the model AT the ALS predictor (>= 0.15
+    here, vs 0.178 measured — margin for split/seed variation);
+  * fine-tuning from the warm start must NOT destroy that quality
+    (best-val seeding guarantees the selected state only improves).
+
+Full-length training curves are exercised by scripts/diagnose_quality.py,
+not CI (1300 epochs is minutes on CPU).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, generate_synthetic_tables
+from multi_modal_gnn_tpu.evaluation.metrics import compute_regression_metrics
+from multi_modal_gnn_tpu.graph.build import build_heterogeneous_graph
+from multi_modal_gnn_tpu.models.factory import build_model
+from multi_modal_gnn_tpu.training.masker import EdgeMasker
+from multi_modal_gnn_tpu.training.trainer import Trainer
+from multi_modal_gnn_tpu.training.warmstart import warm_start_trainer
+
+RANK = 8
+
+
+@pytest.fixture(scope="module")
+def realistic():
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            edge_head=dataclasses.replace(
+                cfg.model.edge_head,
+                extras={"bilinear_rank": RANK + 1, "bilinear_source": "embedding"},
+            ),
+        ),
+        train=dataclasses.replace(cfg.train, loss="mse"),
+    )
+    spec = dataclasses.replace(SyntheticSpec.eicu_demo(), seed=0, signal_strength=0.6)
+    tables = generate_synthetic_tables(spec)
+    bundle = build_heterogeneous_graph(
+        labs=tables["labs_normalized"],
+        diagnoses=tables["diagnoses"],
+        medications=tables["medications"],
+        cohort=tables["cohort"],
+        labitems=tables["labitems"],
+        config=cfg,
+    )
+    masker = EdgeMasker(bundle.graph, seed=42, host_edges=bundle.patient_lab_host())
+    trainer = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    als = warm_start_trainer(trainer, rank=RANK, reg=12.0)
+    return cfg, bundle, masker, trainer, als
+
+
+def test_warm_start_hits_als_quality(realistic):
+    """Epoch-0 (warm-started, untrained) test R^2 on the realistic cohort:
+    measured 0.178 — pinned at >= 0.15."""
+    _, _, masker, trainer, _ = realistic
+    _, _, tev = masker.split_arrays("test")
+    m = compute_regression_metrics(trainer.predict("test").astype(np.float64), tev)
+    assert m["r2"] >= 0.15, f"warm-start quality regressed: R^2={m['r2']:.4f}"
+    assert m["mae"] <= 0.76, f"warm-start MAE regressed: {m['mae']:.4f}"
+
+
+def test_fine_tune_retains_quality(realistic):
+    """30 epochs of fine-tuning at lr 1e-4 must keep the best-val-selected
+    state at ALS-level quality (the seeding makes regression impossible by
+    construction; this exercises the full train loop on the realistic
+    cohort end-to-end)."""
+    cfg, bundle, masker, trainer, _ = realistic
+    seeded_val = trainer.best_val_loss
+    for _ in range(30):
+        loss = trainer.train_epoch()
+        assert np.isfinite(loss)
+        val = trainer.validate()
+        if val < trainer.best_val_loss:
+            trainer.best_val_loss = val
+            import jax
+
+            trainer.best_state = jax.tree_util.tree_map(lambda x: x.copy(), trainer.state)
+        trainer.epoch += 1
+    assert trainer.best_val_loss <= seeded_val
+    _, _, tev = masker.split_arrays("test")
+    best = trainer.best_state
+    m = compute_regression_metrics(
+        trainer.predict("test", state=best).astype(np.float64), tev
+    )
+    assert m["r2"] >= 0.15, f"fine-tuned quality regressed: R^2={m['r2']:.4f}"
