@@ -151,7 +151,21 @@ class FactoredEdgeHead(nn.Module):
         p_idx: jax.Array,  # [B]
         l_idx: jax.Array,  # [B]
         train: bool = False,
+        patient_plan=None,  # GatherPlan — batch-gather backward on the MXU
+        lab_plan=None,
     ) -> jax.Array:
+        # with plans, the row-gather backwards (scatter-adds of B pair
+        # gradients into the node matrices — the dominant head cost at the
+        # 3.5M-pair scale, 24 ms each by device trace; PERFORMANCE.md) run
+        # the windowed segment kernel instead of XLA scatters
+        if patient_plan is not None or lab_plan is not None:
+            from multi_modal_gnn_tpu.ops.pallas_segment import take_with_plan
+
+            take_p = lambda x: take_with_plan(x, p_idx, patient_plan)  # noqa: E731
+            take_l = lambda x: take_with_plan(x, l_idx, lab_plan)  # noqa: E731
+        else:
+            take_p = lambda x: x[p_idx]  # noqa: E731
+            take_l = lambda x: x[l_idx]  # noqa: E731
         h0 = self.hidden_dims[0]
         fan = 2 * self.node_dim  # the concat layer's fan-in
         proj_p = make_dense(
@@ -161,7 +175,7 @@ class FactoredEdgeHead(nn.Module):
             h0, self.node_dim, use_bias=False, dtype=self.dtype, name="proj_lab",
             fan_in_override=fan,
         )(x_l_nodes)
-        x = nn.relu(proj_p[p_idx] + proj_l[l_idx])
+        x = nn.relu(take_p(proj_p) + take_l(proj_l))
         x = nn.Dropout(
             rate=self.dropout, deterministic=not train, rng_collection="edge_dropout"
         )(x)
@@ -181,7 +195,7 @@ class FactoredEdgeHead(nn.Module):
             a = self.param("bilinear_u", scale, (d, self.bilinear_rank))
             b = self.param("bilinear_l", scale, (d, self.bilinear_rank))
             term = jnp.sum(
-                (x_p_nodes @ a)[p_idx] * (x_l_nodes @ b)[l_idx], axis=-1, keepdims=True
+                take_p(x_p_nodes @ a) * take_l(x_l_nodes @ b), axis=-1, keepdims=True
             )
             out = out + term.astype(out.dtype)
         return out

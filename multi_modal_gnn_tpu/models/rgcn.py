@@ -397,12 +397,20 @@ class HeteroRGCN(nn.Module):
         final = self.propagate(initial, graph, train=train)
 
         if self.head_style == "factored":
-            # per-node projections; the pair gather moves narrow rows
+            # per-node projections; the pair gather moves narrow rows.  The
+            # plans move the B-pair scatter-add backwards onto the MXU
+            # segment kernel (trace-measured as the dominant scale-epoch
+            # cost; PERFORMANCE.md "Device trace")
+            use_plans = self.impl == "pallas" and self.axis_name is None
+            pp = patient_plan if use_plans else None
+            lp = lab_plan if use_plans else None
             tab_pred = self.tabular_mlp(
-                initial[PATIENT], initial[LAB], patient_indices, lab_indices, train=train
+                initial[PATIENT], initial[LAB], patient_indices, lab_indices,
+                train=train, patient_plan=pp, lab_plan=lp,
             )[..., 0]
             gnn_pred = self.edge_predictor(
-                final[PATIENT], final[LAB], patient_indices, lab_indices, train=train
+                final[PATIENT], final[LAB], patient_indices, lab_indices,
+                train=train, patient_plan=pp, lab_plan=lp,
             )[..., 0]
         else:
             if self.impl == "pallas" and patient_plan is not None and self.axis_name is None:

@@ -196,3 +196,39 @@ def test_factored_head_equals_concat_linear(rng, tiny_graph):
     pre = jnp.concatenate([xp[p_idx], xl[l_idx]], axis=-1)
     want = conc.apply({"params": cp}, pre)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_factored_head_plan_gradient_parity():
+    """Factored-head gathers through GatherPlans (MXU scatter-free backward)
+    must match plain indexing to float tolerance, gradients included."""
+    from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model,
+            use_pallas=True,  # interpret-mode kernels on CPU
+            extras={"head_style": "factored"},
+            edge_head=dataclasses.replace(cfg.model.edge_head, extras={"bilinear_rank": 4}),
+        )
+    )
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=2), cfg)
+    g = bundle.graph
+    masker = EdgeMasker(g, seed=3, host_edges=bundle.patient_lab_host())
+    batch = masker.get_split("train")
+    model = build_model(cfg, g)
+    variables = init_model_variables(model, g, jax.random.key(0))
+
+    def loss(vars_, pp, lp):
+        preds = model.apply(
+            vars_, g, batch.patient_idx, batch.lab_idx, train=False,
+            method=model.predict_lab_values, patient_plan=pp, lab_plan=lp,
+        )
+        return jnp.sum((preds - batch.values) ** 2 * batch.valid)
+
+    l_plan, g_plan = jax.value_and_grad(loss)(variables, batch.patient_plan, batch.lab_plan)
+    l_none, g_none = jax.value_and_grad(loss)(variables, None, None)
+    assert float(abs(l_plan - l_none)) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(g_plan), jax.tree_util.tree_leaves(g_none)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
