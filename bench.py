@@ -34,6 +34,7 @@ def run_bench(
     epochs: int | None = None,
     use_pallas: bool | None = None,
     dense: bool = True,
+    bf16: bool = False,
 ) -> dict:
     import dataclasses
 
@@ -53,7 +54,13 @@ def run_bench(
     from multi_modal_gnn_tpu.training.trainer import Trainer
 
     cfg = Config()
-    cfg = cfg.replace(model=dataclasses.replace(cfg.model, use_pallas=use_pallas))
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model,
+            use_pallas=use_pallas,
+            **({"compute_dtype": "bfloat16"} if bf16 else {}),
+        )
+    )
     if not dense:  # exercise the windowed-kernel tier (the beyond-dense regime)
         cfg = cfg.replace(
             graph=dataclasses.replace(cfg.graph, dense_adjacency_max_bytes=0)
@@ -73,6 +80,7 @@ def run_bench(
         mask_fraction=cfg.train.mask_fraction,
         seed=cfg.train.seed,
         host_edges=bundle.patient_lab_host(),
+        slot_major_train=use_pallas,
     )
     n_train = masker.split_sizes()["train"]
 
@@ -110,6 +118,7 @@ def run_bench(
         "aggregation_impl": (
             ("dense+pallas" if dense else "pallas") if use_pallas else "xla"
         ),
+        "compute_dtype": cfg.model.compute_dtype,
         "device": str(jax.devices()[0]),
         "train_edges": n_train,
         "timed_epochs": n_epochs,
@@ -132,12 +141,14 @@ def main() -> int:
                         help="force the XLA segment-sum path")
     parser.add_argument("--no-dense", dest="dense", action="store_false", default=True,
                         help="disable the dense-adjacency tier (bench the windowed kernel)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="model.compute_dtype=bfloat16 (halves the HBM-bound pair traffic)")
     args = parser.parse_args()
 
     try:
         result = run_bench(
             scale=args.scale, quick=args.quick, epochs=args.epochs,
-            use_pallas=args.pallas, dense=args.dense,
+            use_pallas=args.pallas, dense=args.dense, bf16=args.bf16,
         )
     except Exception as exc:  # noqa: BLE001 — always emit a JSON line for the driver
         import traceback

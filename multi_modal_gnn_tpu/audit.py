@@ -166,7 +166,7 @@ class PatientHoldoutSplitter:
     def get_split(self, split: str) -> SplitBatch:
         if split not in self._batches:
             idx = self._split_indices[split]
-            self._batches[split] = _pad_batch(
+            self._batches[split], _ = _pad_batch(
                 self._p[idx], self._l[idx], self._v[idx], self.pad_multiple
             )
         return self._batches[split]

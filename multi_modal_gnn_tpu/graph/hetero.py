@@ -264,6 +264,11 @@ class GatherPlan(struct.PyTreeNode):
     win_tile_map: jax.Array  # int32 [E_win / TILE_E]
     num_windows: int = struct.field(pytree_node=False, default=0)
     num_rows: int = struct.field(pytree_node=False, default=0)
+    # True when the batch is ALREADY laid out in this plan's slot order
+    # (EdgeMasker slot_major_train): the backward's window-order gather —
+    # trace-measured at ~45 ms per 3.9M x 64 random gather — disappears and
+    # the cotangent feeds the segment kernel directly.
+    identity: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_gather_plan(idx: np.ndarray, num_rows: int) -> "GatherPlan":

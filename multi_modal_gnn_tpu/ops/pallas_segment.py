@@ -487,7 +487,9 @@ def take_with_plan(
         return jnp.take(x, idx, axis=0), None
 
     def bwd(_res, g):
-        g_win = jnp.take(g, plan.win_src, axis=0)
+        # identity plans (slot-major batches) skip the window-order gather —
+        # the cotangent is already slot-ordered
+        g_win = g if plan.identity else jnp.take(g, plan.win_src, axis=0)
         dx = windowed_segment_sum(
             g_win, plan.win_local, plan.win_tile_map, plan.num_windows, interpret
         )[: plan.num_rows]

@@ -33,6 +33,12 @@ from flax import struct
 from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
 
 
+# below this many train rows the slot-major layout's window padding costs
+# more than the backward gather it eliminates (measured on v5e: eICU's 38k
+# rows regress, 3.5M rows win 1.5x)
+SLOT_MAJOR_MIN_ROWS = 262_144
+
+
 class SplitBatch(struct.PyTreeNode):
     """A padded, static-shape batch of supervised patient-lab edges.
 
@@ -58,29 +64,72 @@ def _pad_batch(
     pad_multiple: int,
     num_patients: Optional[int] = None,
     num_labs: Optional[int] = None,
-) -> SplitBatch:
+    slot_major: bool = False,
+) -> Tuple[SplitBatch, Optional[np.ndarray]]:
+    """Pad (and optionally slot-reorder) a supervised batch.
+
+    ``slot_major``: lay the batch out in the PATIENT gather plan's window-slot
+    order.  The batch grows to E_win rows (window runs padded to the kernel
+    tile), but the patient-side backward — a ~45 ms random gather of B x 64
+    pair cotangents at the 3.5M-pair scale (PERFORMANCE.md device trace) —
+    disappears entirely: the cotangent is already slot-ordered, so it feeds
+    the windowed segment kernel directly (GatherPlan.identity).  The lab side
+    falls back to XLA's scatter (num_labs is small — the scatter into
+    [500, 64] is cheaper than a second 4M-row reorder gather).
+
+    Returns (batch, row_slots) where ``row_slots[i]`` is the slot holding
+    original row ``i`` (None unless slot_major) — callers use it to read
+    per-edge predictions back in split order.
+    """
     n = len(p)
     n_pad = max(pad_multiple, ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
     pad = n_pad - n
     p_pad = np.concatenate([p, np.zeros(pad, np.int32)])
     l_pad = np.concatenate([l, np.zeros(pad, np.int32)])
+    v_pad = np.concatenate([v, np.zeros(pad, np.float32)])
+    valid_pad = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
     patient_plan = lab_plan = None
+    row_slots = None
     if num_patients is not None and num_labs is not None:
-        from multi_modal_gnn_tpu.graph.hetero import build_gather_plan
+        from multi_modal_gnn_tpu.graph.hetero import (
+            WINDOW,
+            GatherPlan,
+            build_gather_plan,
+        )
 
         # padding rows point at row 0; their cotangents are exactly zero
         # (masked loss), so including them in the plan is harmless
         patient_plan = build_gather_plan(p_pad, num_patients)
-        lab_plan = build_gather_plan(l_pad, num_labs)
+        if slot_major:
+            win_src = np.asarray(patient_plan.win_src)
+            win_local = np.asarray(patient_plan.win_local)
+            real_slot = win_local < WINDOW
+            p_pad = np.where(real_slot, p_pad[win_src], 0).astype(np.int32)
+            l_pad = np.where(real_slot, l_pad[win_src], 0).astype(np.int32)
+            v_pad = np.where(real_slot, v_pad[win_src], 0.0).astype(np.float32)
+            valid_pad = np.where(real_slot, valid_pad[win_src], 0.0).astype(np.float32)
+            row_slots = np.zeros(n_pad, dtype=np.int32)
+            row_slots[win_src[real_slot]] = np.nonzero(real_slot)[0]
+            patient_plan = GatherPlan(
+                win_src=patient_plan.win_src,  # unused under identity
+                win_local=patient_plan.win_local,
+                win_tile_map=patient_plan.win_tile_map,
+                num_windows=patient_plan.num_windows,
+                num_rows=patient_plan.num_rows,
+                identity=True,
+            )
+            # lab_plan stays None -> plain take, XLA scatter backward
+        else:
+            lab_plan = build_gather_plan(l_pad, num_labs)
     return SplitBatch(
         patient_idx=jnp.asarray(p_pad),
         lab_idx=jnp.asarray(l_pad),
-        values=jnp.asarray(np.concatenate([v, np.zeros(pad, np.float32)])),
-        valid=jnp.asarray(np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])),
+        values=jnp.asarray(v_pad),
+        valid=jnp.asarray(valid_pad),
         patient_plan=patient_plan,
         lab_plan=lab_plan,
         num_valid=n,
-    )
+    ), row_slots
 
 
 class EdgeMasker:
@@ -96,16 +145,32 @@ class EdgeMasker:
         seed: int = 42,
         pad_multiple: int = 256,
         host_edges: Optional[tuple] = None,
+        slot_major_train: bool = False,
+        slot_major_min_rows: int = SLOT_MAJOR_MIN_ROWS,
     ):
         """``host_edges``: optional (src, dst, val) numpy arrays of the valid
         patient->lab edges in device order (GraphBundle.patient_lab_host()) —
-        avoids a device->host readback, which is expensive on remote TPUs."""
+        avoids a device->host readback, which is expensive on remote TPUs.
+
+        ``slot_major_train``: lay the TRAIN batch out in patient-window slot
+        order (see ``_pad_batch``) — eliminates the dominant backward gather
+        at large batch sizes under the Pallas head path.  Only engages for
+        train batches of at least ``SLOT_MAJOR_MIN_ROWS`` rows: the layout
+        adds window-padding slots (~10-30%), a net loss on small
+        dispatch-bound batches (eICU-sized bench regressed 14.5M -> 11.0M
+        edges/s with it forced on) and a 1.5x win at 3.5M rows.  Eval
+        batches stay row-major (no backward).  Note the per-epoch
+        supervision draw is shaped by the slot layout, so losses differ in
+        RNG realization (not distribution) from row-major maskers."""
         total = train_split + val_split + test_split
         if abs(total - 1.0) > 1e-6:
             raise ValueError(f"Splits must sum to 1.0, got {total}")
         self.mask_fraction = float(mask_fraction)
         self.seed = int(seed)
         self.pad_multiple = int(pad_multiple)
+        self.slot_major_train = bool(slot_major_train)
+        self.slot_major_min_rows = int(slot_major_min_rows)
+        self._row_slots: Dict[str, Optional[np.ndarray]] = {}
         counts = graph.node_count_map if graph is not None else {}
         self._num_patients = counts.get("patient")
         self._num_labs = counts.get("lab")
@@ -149,11 +214,22 @@ class EdgeMasker:
         """Padded device batch for a split (cached)."""
         if split not in self._batches:
             idx = self._split_indices[split]
-            self._batches[split] = _pad_batch(
+            self._batches[split], self._row_slots[split] = _pad_batch(
                 self._p[idx], self._l[idx], self._v[idx], self.pad_multiple,
                 num_patients=self._num_patients, num_labs=self._num_labs,
+                slot_major=(
+                    self.slot_major_train
+                    and split == "train"
+                    and len(idx) >= self.slot_major_min_rows
+                ),
             )
         return self._batches[split]
+
+    def slot_map(self, split: str) -> Optional[np.ndarray]:
+        """int32[B_pad] slot holding each original row (None for row-major
+        batches) — invert slot-major predictions back to split order."""
+        self.get_split(split)
+        return self._row_slots.get(split)
 
     def split_arrays(self, split: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host (patient_idx, lab_idx, values) without padding — for metrics."""
@@ -179,13 +255,19 @@ class EdgeMasker:
 
     def train_positions(self) -> np.ndarray:
         """int32[B_pad] padded-edge-array position of each train-batch row
-        (padding rows point at 0 — their knockout multiplier is 1, a no-op).
-        Lets the train step map the epoch's supervision draw (batch-shaped)
-        onto the edge array: visible = base.at[pos].multiply(1 - sup)."""
+        (padding rows point at 0 — their knockout multiplier is 1, a no-op;
+        supervision there is always 0).  Lets the train step map the epoch's
+        supervision draw (batch-shaped) onto the edge array:
+        visible = base.at[pos].multiply(1 - sup).  Slot-major batches place
+        each row's position at its slot."""
         batch = self.get_split("train")
         idx = self._split_indices["train"]
         out = np.zeros(batch.valid.shape[0], dtype=np.int32)
-        out[: len(idx)] = idx
+        slots = self._row_slots.get("train")
+        if slots is None:
+            out[: len(idx)] = idx
+        else:
+            out[slots[: len(idx)]] = idx
         return out
 
     def supervision_mask(self, key: jax.Array, batch: Optional[SplitBatch] = None) -> jax.Array:

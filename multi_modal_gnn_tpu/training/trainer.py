@@ -384,10 +384,15 @@ class Trainer:
         return float(loss)
 
     def predict(self, split: str, state: Optional[TrainState] = None) -> np.ndarray:
-        """Unpadded predictions for a split (best for metrics)."""
+        """Unpadded predictions for a split, in split order (best for
+        metrics).  Slot-major batches are inverted back to row order."""
         batch = self._get_batch(split)
         _, preds = self._eval_step(state or self.state, self.graph, batch)
-        return np.asarray(preds)[: batch.num_valid]
+        preds = np.asarray(preds)
+        slots = self.masker.slot_map(split)
+        if slots is not None:
+            preds = preds[slots]
+        return preds[: batch.num_valid]
 
     def predict_pairs(
         self,
@@ -632,6 +637,9 @@ def train_pipeline(
         mask_fraction=tc.mask_fraction,
         seed=tc.seed,
         host_edges=bundle.patient_lab_host(),
+        # slot-major train batches pay off exactly when the Pallas head path
+        # consumes the plans (see EdgeMasker doc)
+        slot_major_train=config.model.use_pallas,
     )
     logger.info("Edge splits: %s", masker.split_sizes())
 

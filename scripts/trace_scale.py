@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--eicu", action="store_true", help="trace the eICU-sized config")
     ap.add_argument("--no-dense", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--out", type=str, default="outputs/trace")
     args = ap.parse_args()
 
@@ -44,7 +45,10 @@ def main() -> None:
 
     use_pallas = jax.default_backend() == "tpu"
     cfg = Config()
-    cfg = cfg.replace(model=dataclasses.replace(cfg.model, use_pallas=use_pallas))
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, use_pallas=use_pallas,
+        **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
+    ))
     if args.no_dense:
         cfg = cfg.replace(graph=dataclasses.replace(cfg.graph, dense_adjacency_max_bytes=0))
     spec = SyntheticSpec.eicu_demo() if args.eicu else SyntheticSpec.scale_100k()
@@ -66,27 +70,52 @@ def main() -> None:
     if not xplanes:
         print("no xplane captured (host-only backend?); trace dir:", out)
         return
-    xplane = xplanes[-1]
-    print("xplane:", xplane)
+    print(json.dumps(summarize_xplane(xplanes[-1], args.epochs), indent=2))
 
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    except ImportError:
-        print("tensorboard_plugin_profile unavailable; inspect the trace in TensorBoard")
-        return
 
-    for tool in ("framework_op_stats^", "op_profile^", "tensorflow_stats^"):
-        try:
-            data, _ = raw_to_tool_data.xspace_to_tool_data([xplane], tool, {})
-        except Exception as exc:  # noqa: BLE001 — tool availability varies by version
-            print(f"[{tool}] failed: {type(exc).__name__}: {exc}")
+def summarize_xplane(xplane: str, epochs: int) -> dict:
+    """Aggregate the TPU plane's leaf 'XLA Ops' line into per-shape/opcode
+    self-time buckets (the tensorboard_plugin_profile converter is broken
+    against this image's TF, so parse the xplane proto directly)."""
+    import re
+    from collections import defaultdict
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(xplane, "rb").read())
+    tpu = [p for p in xs.planes if "TPU" in p.name]
+    if not tpu:
+        return {"error": "no TPU plane in trace", "planes": [p.name for p in xs.planes]}
+    p = tpu[0]
+    ev_meta = {mid: m.name for mid, m in p.event_metadata.items()}
+    line = max(p.lines, key=lambda l: len(l.events))
+    by_key = defaultdict(int)
+    cnt = defaultdict(int)
+    for e in line.events:
+        nm = ev_meta.get(e.metadata_id, "?")
+        if nm.startswith("%while"):  # the scan wrapper overlaps its children
             continue
-        path = out / f"{tool.strip('^')}.json"
-        if isinstance(data, bytes):
-            path.write_bytes(data)
-        else:
-            path.write_text(data if isinstance(data, str) else json.dumps(data))
-        print(f"[{tool}] written to {path} ({path.stat().st_size} bytes)")
+        op = re.match(r"%([a-z\-_]+)", nm)
+        shape = re.search(r"= (\S+?)\{", nm)
+        key = f"{op.group(1) if op else nm[:24]} -> {shape.group(1) if shape else '?'}"
+        by_key[key] += e.duration_ps
+        cnt[key] += 1
+    total = sum(by_key.values())
+    top = [
+        {
+            "op": k,
+            "ms_per_epoch": round(ps / 1e9 / epochs, 2),
+            "count_per_epoch": cnt[k] // epochs,
+            "pct": round(100 * ps / total, 1),
+        }
+        for k, ps in sorted(by_key.items(), key=lambda kv: -kv[1])[:20]
+    ]
+    return {
+        "xplane": xplane,
+        "device_ms_per_epoch": round(total / 1e9 / epochs, 1),
+        "top_ops": top,
+    }
 
 
 if __name__ == "__main__":
