@@ -175,6 +175,38 @@ class FactoredEdgeHead(nn.Module):
             h0, self.node_dim, use_bias=False, dtype=self.dtype, name="proj_lab",
             fan_in_override=fan,
         )(x_l_nodes)
+
+        # fused pair-head kernel: with a slot-major batch (identity patient
+        # plan) and the reference's 2-hidden-layer head, the whole MLP runs
+        # in VMEM tiles — no B x H0 HBM intermediate exists, forward or
+        # backward (ops/pallas_pairhead.py).  The init pass runs the unfused
+        # path so the param tree is identical either way.
+        import jax as _jax
+
+        use_fused = (
+            patient_plan is not None
+            and getattr(patient_plan, "identity", False)
+            and len(self.hidden_dims) == 2
+            and self.output_dim == 1
+            and not self.is_initializing()
+            # the in-kernel dropout PRNG only lowers on real TPU; interpret
+            # mode (CPU tests) runs fused only when dropout is inactive
+            and (not train or self.dropout == 0.0 or _jax.default_backend() == "tpu")
+        )
+        if use_fused:
+            out = self._fused_mlp(proj_p, proj_l, l_idx, patient_plan, train)
+            if self.bilinear_rank > 0:
+                d = self.node_dim
+                scale = nn.initializers.normal(stddev=1.0 / jnp.sqrt(d))
+                a = self.param("bilinear_u", scale, (d, self.bilinear_rank))
+                b = self.param("bilinear_l", scale, (d, self.bilinear_rank))
+                term = jnp.sum(
+                    take_p(x_p_nodes @ a) * take_l(x_l_nodes @ b),
+                    axis=-1, keepdims=True,
+                )
+                out = out + term.astype(out.dtype)
+            return out
+
         x = nn.relu(take_p(proj_p) + take_l(proj_l))
         x = nn.Dropout(
             rate=self.dropout, deterministic=not train, rng_collection="edge_dropout"
@@ -199,6 +231,39 @@ class FactoredEdgeHead(nn.Module):
             )
             out = out + term.astype(out.dtype)
         return out
+
+    def _fused_mlp(self, proj_p, proj_l, l_idx, plan, train: bool) -> jax.Array:
+        """Run dense_1 + dense_out through the fused pair kernel (params are
+        read from the modules the unfused init pass created — same tree)."""
+        import jax as _jax
+
+        from multi_modal_gnn_tpu.ops.pallas_pairhead import fused_pair_head
+
+        d1 = make_dense(
+            self.hidden_dims[1], self.hidden_dims[0], dtype=self.dtype, name="dense_1"
+        )
+        dout = make_dense(
+            self.output_dim, self.hidden_dims[1], dtype=self.dtype, name="dense_out"
+        )
+        dt = proj_p.dtype  # params stay f32 in the tree; compute at proj dtype
+        w1 = d1.variables["params"]["kernel"].astype(dt)
+        b1 = d1.variables["params"]["bias"].astype(dt)
+        w2 = dout.variables["params"]["kernel"][:, 0].astype(dt)
+        b2 = dout.variables["params"]["bias"][0].astype(dt)
+        rate = float(self.dropout) if train else 0.0
+        if rate > 0.0:
+            seed = _jax.random.key_data(self.make_rng("edge_dropout")).astype(
+                jnp.uint32
+            ).reshape(-1)[:2]
+        else:
+            seed = jnp.zeros(2, jnp.uint32)
+        out = fused_pair_head(
+            proj_p, proj_l, w1, b1, w2, b2,
+            l_idx, plan.win_local, plan.win_tile_map, seed,
+            plan.num_windows, rate,
+            _jax.default_backend() != "tpu",
+        )
+        return out[:, None]
 
 
 class PatientEncoder(nn.Module):

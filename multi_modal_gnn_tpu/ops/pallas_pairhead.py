@@ -1,0 +1,344 @@
+"""Fused pair-head kernel: the factored edge head without HBM intermediates.
+
+Device tracing (PERFORMANCE.md "Device trace") showed the scale epoch
+dominated by the head pair path: every stage of
+
+    h0 = dropout(relu(proj_p[p_idx] + proj_l[l_idx]))      # [B, H0]
+    h1 = dropout(relu(h0 @ W1 + b1))                       # [B, H1]
+    out = h1 @ w2 + b2                                     # [B]
+
+materializes a B x H0 (~1 GB at B=3.5M) array in HBM, and the backward
+re-reads each.  With slot-major train batches (training/masker.py) the
+structure collapses into VMEM tiles:
+
+  * each TILE_E-slot tile's patients live in ONE 128-row window of the
+    (window-padded) ``proj_p`` — a (WINDOW, H0) block streamed per window;
+  * the whole ``proj_l`` table (num_labs x H0) is VMEM-resident via a
+    constant index map (EHR lab vocabularies are a few hundred rows);
+  * the MLP runs tile-at-a-time on the MXU; only the scalar outputs [E_win]
+    ever touch HBM;
+  * dropout draws from the in-kernel PRNG (pltpu.prng_*), seeded
+    (seed, tile) — the backward re-seeds identically and recomputes the
+    masks, so nothing is stored;
+  * backward accumulates d_proj_p per window block, d_proj_l / dW1 / db1 /
+    dw2 / db2 VMEM-resident across the whole grid (same revisit pattern as
+    ops/pallas_segment.py), and emits NO B-sized arrays at all.
+
+Traffic per epoch drops from ~6 passes of B x H0 to: indices (B x 8 bytes)
++ one pass of proj_p windows + outputs.  Numerical parity with the unfused
+path (dropout off) is pinned by tests/test_pairhead_kernel.py.
+
+No reference analogue: the reference's head is a plain torch MLP over
+gathered pairs (src/model.py:342-396).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multi_modal_gnn_tpu.graph.hetero import TILE_E, WINDOW
+
+_LAB_PAD = 128  # pad the lab table's row count to a multiple of this
+
+
+def _dropout(x, bits, rate):
+    """Inverted dropout from raw uint32 bits (VPU compare, no HBM mask)."""
+    threshold = np.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
+    keep = bits >= threshold
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _gather_rows(table, idx, dtype):
+    """table[idx] as an indicator matmul (Mosaic's gather rule requires
+    128-aligned row widths; the indicator form always lowers and rides the
+    MXU).  Out-of-range idx rows (padding) come out all-zero."""
+    n_rows = table.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, n_rows), 1)
+    p = (idx.reshape(TILE_E, 1) == cols).astype(dtype)
+    return jnp.dot(p, table.astype(dtype), preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(
+    tm_ref, seed_ref, local_ref, lab_ref,
+    projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    out_ref,
+    *, rate: float,
+):
+    t = pl.program_id(0)
+    valid = local_ref[:].reshape(TILE_E, 1) < WINDOW  # i32 reshape, then compare (i1 reshape won't lower)
+    dt = projp_ref.dtype
+    # in-window patient gather: [TILE_E, H0] rows of the (WINDOW, H0) block;
+    # padding slots (local == WINDOW) match no indicator column -> zero rows
+    p_rows = _gather_rows(projp_ref[:], local_ref[:], dt)
+    l_rows = _gather_rows(projl_ref[:], lab_ref[:], dt)
+    pre0 = p_rows + l_rows
+    h0 = jnp.maximum(pre0, 0.0)
+    if rate > 0.0:
+        pltpu.prng_seed(
+            seed_ref[0] ^ (jnp.uint32(t) * jnp.uint32(2654435761)), seed_ref[1]
+        )
+        h0 = _dropout(h0, pltpu.prng_random_bits(h0.shape), rate)
+    pre1 = (
+        jnp.dot(h0.astype(projp_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[:]
+    )
+    h1 = jnp.maximum(pre1, 0.0)
+    if rate > 0.0:
+        h1 = _dropout(h1, pltpu.prng_random_bits(h1.shape), rate)
+    out = jnp.sum(h1 * w2_ref[:].astype(jnp.float32), axis=1, keepdims=True) + b2_ref[0, 0]
+    # 1-D block: dropping the size-1 minor dim is a no-op relayout
+    out_ref[:] = jnp.where(valid, out, 0.0).reshape(TILE_E)
+
+
+def _bwd_kernel(
+    tm_ref, seed_ref, local_ref, lab_ref, go_ref,
+    projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    dprojp_ref, dprojl_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, rate: float,
+):
+    t = pl.program_id(0)
+
+    # window-block output: zero on first tile of each window
+    prev_same = jnp.where(t > 0, tm_ref[jnp.maximum(t - 1, 0)], -1)
+
+    @pl.when(jnp.logical_or(t == 0, prev_same != tm_ref[t]))
+    def _():
+        dprojp_ref[:] = jnp.zeros_like(dprojp_ref)
+
+    # grid-wide accumulators: zero once
+    @pl.when(t == 0)
+    def _():
+        dprojl_ref[:] = jnp.zeros_like(dprojl_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    valid = local_ref[:].reshape(TILE_E, 1) < WINDOW  # i32 reshape, then compare (i1 reshape won't lower)
+    in_dt = projp_ref.dtype
+    # --- recompute forward (same PRNG stream as _fwd_kernel) ---
+    p_rows = _gather_rows(projp_ref[:], local_ref[:], in_dt)
+    l_rows = _gather_rows(projl_ref[:], lab_ref[:], in_dt)
+    pre0 = p_rows + l_rows
+    h0 = jnp.maximum(pre0, 0.0)
+    if rate > 0.0:
+        pltpu.prng_seed(
+            seed_ref[0] ^ (jnp.uint32(t) * jnp.uint32(2654435761)), seed_ref[1]
+        )
+        bits0 = pltpu.prng_random_bits(h0.shape)
+        h0 = _dropout(h0, bits0, rate)
+    pre1 = (
+        jnp.dot(h0.astype(in_dt), w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[:]
+    )
+    h1 = jnp.maximum(pre1, 0.0)
+    if rate > 0.0:
+        bits1 = pltpu.prng_random_bits(h1.shape)
+        h1_d = _dropout(h1, bits1, rate)
+    else:
+        h1_d = h1
+
+    # --- backward ---
+    # (TILE_E,) block; adding a size-1 minor dim is the supported 32-bit no-op
+    go = jnp.where(valid, go_ref[:].reshape(TILE_E, 1), 0.0)  # [TILE_E, 1] f32
+    db2_ref[:] += jnp.sum(go).reshape(1, 1)
+    # dw2[h] = sum_e go[e] * h1_d[e, h] — contract over the slot axis
+    dw2_ref[:] += jax.lax.dot_general(
+        go.astype(in_dt), h1_d.astype(in_dt),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dh1 = go * w2_ref[:].astype(jnp.float32)  # [TILE_E, H1] broadcast of [1, H1]
+    if rate > 0.0:
+        dh1 = _dropout(dh1, bits1, rate)
+    dpre1 = jnp.where(pre1 > 0.0, dh1, 0.0)
+    db1_ref[:] += jnp.sum(dpre1, axis=0, keepdims=True)
+    dw1_ref[:] += jax.lax.dot_general(  # h0^T @ dpre1 without materializing h0^T
+        h0.astype(in_dt), dpre1.astype(in_dt),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dh0 = jax.lax.dot_general(  # dpre1 @ W1^T: contract both on the H1 axis
+        dpre1.astype(in_dt), w1_ref[:],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        dh0 = _dropout(dh0, bits0, rate)
+    dpre0 = jnp.where(pre0 > 0.0, dh0, 0.0)
+    dpre0 = jnp.where(valid, dpre0, 0.0).astype(in_dt)
+
+    # d_proj_p: segment-sum into this tile's window block (rows by win_local)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
+    s_local = (local_ref[:].reshape(1, TILE_E) == rows).astype(in_dt)
+    dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
+
+    # d_proj_l: scatter-by-lab into the VMEM-resident table accumulator
+    s_pad = dprojl_ref.shape[0]
+    p_lab_t = (
+        lab_ref[:].reshape(1, TILE_E)
+        == jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_E), 0)
+    ).astype(in_dt)
+    dprojl_ref[:] += jnp.dot(p_lab_t, dpre0, preferred_element_type=jnp.float32)
+
+
+def _pad_rows(x, rows):
+    return x if x.shape[0] == rows else jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_windows", "rate", "interpret")
+)
+def _fused_fwd(
+    proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
+    num_windows, rate, interpret,
+):
+    e_win = win_local.shape[0]
+    num_tiles = e_win // TILE_E
+    h0 = proj_p.shape[1]
+    h1 = w1.shape[1]
+    labs_pad = ((proj_l.shape[0] + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
+    proj_p = _pad_rows(proj_p, num_windows * WINDOW)
+    proj_l = _pad_rows(proj_l, labs_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # win_tile_map, seed
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd: (tm[t], 0)),
+            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((h0, h1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, rate=rate),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e_win,), jnp.float32),
+        interpret=interpret,
+    )(
+        win_tile_map, seed, win_local, lab_idx,
+        proj_p, proj_l, w1, b1.reshape(1, -1), w2.reshape(1, -1),
+        b2.reshape(1, 1),
+    )
+    return out.reshape(e_win)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_windows", "rate", "interpret")
+)
+def _fused_bwd(
+    proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
+    g_out, num_windows, rate, interpret,
+):
+    e_win = win_local.shape[0]
+    num_tiles = e_win // TILE_E
+    h0 = proj_p.shape[1]
+    h1 = w1.shape[1]
+    num_p = proj_p.shape[0]
+    num_l = proj_l.shape[0]
+    labs_pad = ((num_l + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
+    proj_p_pad = _pad_rows(proj_p, num_windows * WINDOW)
+    proj_l_pad = _pad_rows(proj_l, labs_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd: (tm[t], 0)),
+            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((h0, h1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd: (tm[t], 0)),
+            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((h0, h1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd: (0, 0)),
+        ],
+    )
+    douts = pl.pallas_call(
+        functools.partial(_bwd_kernel, rate=rate),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_windows * WINDOW, h0), jnp.float32),
+            jax.ShapeDtypeStruct((labs_pad, h0), jnp.float32),
+            jax.ShapeDtypeStruct((h0, h1), jnp.float32),
+            jax.ShapeDtypeStruct((1, h1), jnp.float32),
+            jax.ShapeDtypeStruct((1, h1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        win_tile_map, seed, win_local, lab_idx,
+        g_out,
+        proj_p_pad, proj_l_pad, w1, b1.reshape(1, -1), w2.reshape(1, -1),
+        b2.reshape(1, 1),
+    )
+    d_projp, d_projl, dw1, db1, dw2, db2 = douts
+    dt = proj_p.dtype
+    return (
+        d_projp[:num_p].astype(dt),
+        d_projl[:num_l].astype(dt),
+        dw1.astype(w1.dtype),
+        db1.reshape(b1.shape).astype(b1.dtype),
+        dw2.reshape(w2.shape).astype(w2.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def fused_pair_head(
+    proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
+    num_windows, rate=0.0, interpret=False,
+):
+    """out[slot] = MLP(relu(proj_p[patient(slot)] + proj_l[lab(slot)])).
+
+    Slot-major contract: slot ``e`` of tile ``t`` addresses patient
+    ``win_tile_map[t] * 128 + win_local[e]`` (padding slots carry
+    ``win_local == 128`` and output 0).  ``seed`` (uint32[2]) drives the
+    in-kernel dropout PRNG; rate=0 disables dropout (eval / parity tests).
+    """
+    return _fused_fwd(
+        proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
+        num_windows, rate, interpret,
+    )
+
+
+def _fph_fwd(
+    proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
+    num_windows, rate, interpret,
+):
+    out = _fused_fwd(
+        proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
+        num_windows, rate, interpret,
+    )
+    return out, (proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed)
+
+
+def _fph_bwd(num_windows, rate, interpret, res, g_out):
+    proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed = res
+    grads = _fused_bwd(
+        proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
+        g_out, num_windows, rate, interpret,
+    )
+    zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
+    return (*grads, zero_i(lab_idx), zero_i(win_local), zero_i(win_tile_map), zero_i(seed))
+
+
+fused_pair_head.defvjp(_fph_fwd, _fph_bwd)

@@ -1,0 +1,78 @@
+"""Fused pair-head kernel (ops/pallas_pairhead.py): forward + all six
+gradients match an unfused jnp reference in interpret mode (dropout off —
+the in-kernel PRNG only lowers on real TPU; the TPU-side training parity is
+exercised by bench/diagnostics and the slot-major integration tests)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multi_modal_gnn_tpu.graph.hetero import WINDOW, build_gather_plan
+from multi_modal_gnn_tpu.ops.pallas_pairhead import fused_pair_head
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    num_p, num_l, H0, H1, B = 300, 37, 64, 32, 2000
+    p_idx = rng.integers(0, num_p, B).astype(np.int32)
+    l_idx = rng.integers(0, num_l, B).astype(np.int32)
+    plan = build_gather_plan(p_idx, num_p)
+    win_src = np.asarray(plan.win_src)
+    win_local = np.asarray(plan.win_local)
+    real = win_local < WINDOW
+    l_s = np.where(real, l_idx[win_src], 0).astype(np.int32)
+    p_s = np.where(real, p_idx[win_src], 0).astype(np.int32)
+    params = dict(
+        proj_p=rng.standard_normal((num_p, H0)).astype(np.float32),
+        proj_l=rng.standard_normal((num_l, H0)).astype(np.float32),
+        w1=(rng.standard_normal((H0, H1)) * 0.1).astype(np.float32),
+        b1=(rng.standard_normal(H1) * 0.1).astype(np.float32),
+        w2=(rng.standard_normal(H1) * 0.1).astype(np.float32),
+        b2=np.float32(0.3),
+    )
+    return plan, p_s, l_s, real, params
+
+
+def _ref(plan, p_s, l_s, real, proj_p, proj_l, w1, b1, w2, b2):
+    h0 = jnp.maximum(proj_p[p_s] + proj_l[l_s], 0.0)
+    h1 = jnp.maximum(h0 @ w1 + b1, 0.0)
+    return jnp.where(jnp.asarray(real), h1 @ w2 + b2, 0.0)
+
+
+def _fused(plan, p_s, l_s, real, proj_p, proj_l, w1, b1, w2, b2):
+    seed = jnp.zeros(2, jnp.uint32)
+    return fused_pair_head(
+        proj_p, proj_l, w1, b1, w2, b2, jnp.asarray(l_s),
+        plan.win_local, plan.win_tile_map, seed, plan.num_windows, 0.0, True,
+    )
+
+
+def test_forward_parity(problem):
+    plan, p_s, l_s, real, params = problem
+    args = tuple(map(jnp.asarray, params.values()))
+    np.testing.assert_allclose(
+        _fused(plan, p_s, l_s, real, *args),
+        _ref(plan, p_s, l_s, real, *args),
+        atol=1e-5,
+    )
+
+
+def test_gradient_parity(problem):
+    plan, p_s, l_s, real, params = problem
+    args = tuple(map(jnp.asarray, params.values()))
+    g = jnp.asarray(
+        np.random.default_rng(1).standard_normal(plan.win_local.shape[0]).astype(np.float32)
+    )
+    argnums = tuple(range(6))
+    gr_ref = jax.grad(
+        lambda *a: jnp.sum(_ref(plan, p_s, l_s, real, *a) * g), argnums=argnums
+    )(*args)
+    gr_f = jax.grad(
+        lambda *a: jnp.sum(_fused(plan, p_s, l_s, real, *a) * g), argnums=argnums
+    )(*args)
+    for name, a, b in zip(params.keys(), gr_ref, gr_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=f"grad({name})"
+        )
