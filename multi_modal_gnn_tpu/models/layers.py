@@ -245,11 +245,13 @@ class FactoredEdgeHead(nn.Module):
         dout = make_dense(
             self.output_dim, self.hidden_dims[1], dtype=self.dtype, name="dense_out"
         )
-        dt = proj_p.dtype  # params stay f32 in the tree; compute at proj dtype
+        dt = proj_p.dtype  # compute dtype for the big matmul operand
         w1 = d1.variables["params"]["kernel"].astype(dt)
-        b1 = d1.variables["params"]["bias"].astype(dt)
-        w2 = dout.variables["params"]["kernel"][:, 0].astype(dt)
-        b2 = dout.variables["params"]["bias"][0].astype(dt)
+        # biases / w2 / b2 stay f32: they join f32 accumulators in-kernel,
+        # and Mosaic only supports 32-bit scalar extracts (b2[0, 0])
+        b1 = d1.variables["params"]["bias"].astype(jnp.float32)
+        w2 = dout.variables["params"]["kernel"][:, 0].astype(jnp.float32)
+        b2 = dout.variables["params"]["bias"][0].astype(jnp.float32)
         rate = float(self.dropout) if train else 0.0
         if rate > 0.0:
             seed = _jax.random.key_data(self.make_rng("edge_dropout")).astype(
