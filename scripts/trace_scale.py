@@ -53,7 +53,10 @@ def main() -> None:
         cfg = cfg.replace(graph=dataclasses.replace(cfg.graph, dense_adjacency_max_bytes=0))
     spec = SyntheticSpec.eicu_demo() if args.eicu else SyntheticSpec.scale_100k()
     bundle = make_synthetic_bundle(spec, cfg)
-    masker = EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
+    masker = EdgeMasker(
+        bundle.graph, seed=0, host_edges=bundle.patient_lab_host(),
+        slot_major_train=use_pallas,
+    )
     trainer = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
 
     # compile + warm
