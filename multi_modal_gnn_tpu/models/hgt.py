@@ -156,6 +156,7 @@ class HeteroGT(nn.Module):
         train: bool = False,
         patient_plan=None,  # accepted for Trainer interface parity; unused
         lab_plan=None,
+        degrees=None,  # HGT has no degree gate; accepted for interface parity
     ) -> jax.Array:
         x_dict = self(graph, train=train)
         pair = jnp.concatenate(

@@ -382,6 +382,7 @@ class HeteroRGCN(nn.Module):
         train: bool = False,
         patient_plan=None,
         lab_plan=None,
+        degrees: jax.Array | None = None,
     ) -> jax.Array:
         """Degree-gated dual-head prediction for (patient, lab) pairs.
 
@@ -426,7 +427,11 @@ class HeteroRGCN(nn.Module):
             tab_pred = self.tabular_mlp(pre, train=train)[..., 0]
             gnn_pred = self.edge_predictor(post, train=train)[..., 0]
 
-        degrees = graph.patient_lab_degree[patient_indices]
+        if degrees is None:
+            # per-pair gather; at 3.96M rows this is ~34 ms of latency-bound
+            # random rows — callers on the hot path precompute it once
+            # (SplitBatch.degrees) since it never changes across epochs
+            degrees = graph.patient_lab_degree[patient_indices]
         pred = jnp.where(degrees < self.degree_threshold, tab_pred, gnn_pred)
         if self.bilinear_rank > 0 and self.bilinear_source == "embedding":
             # shared MF term over the raw ID tables (see bilinear_source doc)

@@ -71,7 +71,7 @@ class DataParallelTrainer(Trainer):
         self._axis_name = DATA_AXIS  # set before tracing (super().__init__ order)
         mesh = self.mesh
         gspec = graph_pspecs(self.graph)
-        train_bspec = batch_pspec(self.masker.get_split("train"))
+        train_bspec = batch_pspec(self._get_batch("train"))
 
         sharded_train = jax.shard_map(
             self._train_step_impl,
@@ -126,10 +126,10 @@ class DataParallelTrainer(Trainer):
 
         mesh = self.mesh
         gspec = graph_pspecs(self.graph)
-        train_batch = self.masker.get_split("train")
+        train_batch = self._get_batch("train")
         train_bspec = batch_pspec(train_batch)
         vbspec = (
-            batch_pspec(self.masker.get_split("val")) if with_val else train_bspec
+            batch_pspec(self._get_batch("val")) if with_val else train_bspec
         )
         mf = self._mask_fraction
         n_global = train_batch.valid.shape[0]

@@ -177,7 +177,7 @@ class TwoDTrainer(Trainer):
         self._axis_name = DATA_AXIS
         mesh = self.mesh
         gspec = graph_pspecs(self.graph)
-        train_bspec = batch_pspec(self.masker.get_split("train"))
+        train_bspec = batch_pspec(self._get_batch("train"))
         state_spec = self._state_pspecs(self.state)
 
         sharded_train = jax.shard_map(

@@ -111,7 +111,7 @@ class GSPMDTrainer(Trainer):
         if not hasattr(self, "_sharded_batches"):
             self._sharded_batches = {}
         if split not in self._sharded_batches:
-            batch = self.masker.get_split(split)
+            batch = self._augment_batch(split, self.masker.get_split(split))
             spec = batch_pspec(batch, DATA_AXIS)
             self._sharded_batches[split] = jax.tree_util.tree_map(
                 lambda x, s: (

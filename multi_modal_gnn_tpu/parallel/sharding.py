@@ -66,6 +66,8 @@ def batch_pspec(batch: SplitBatch, axis: str = DATA_AXIS) -> SplitBatch:
         valid=P(axis),
         patient_plan=_plan_spec(batch.patient_plan),
         lab_plan=_plan_spec(batch.lab_plan),
+        degrees=None if batch.degrees is None else P(axis),
+        sample_weights=None if batch.sample_weights is None else P(axis),
         num_valid=batch.num_valid,
     )
 

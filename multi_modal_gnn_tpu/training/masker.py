@@ -54,6 +54,13 @@ class SplitBatch(struct.PyTreeNode):
     valid: jax.Array  # float32 [B_pad] 1.0 = real edge, 0.0 = padding
     patient_plan: Optional[object] = None  # GatherPlan
     lab_plan: Optional[object] = None  # GatherPlan
+    # per-slot precomputes (Trainer._augment_batch): the degree-gate and
+    # lab-weight gathers are loop-invariant across epochs, but as in-step
+    # gathers they cost ~73 ms per scan dispatch at the 3.96M-row scale
+    # (random row gathers are latency-bound — PERFORMANCE.md device trace).
+    # Hoisting them to batch-build time removes them from the step entirely.
+    degrees: Optional[jax.Array] = None  # int32 [B_pad] patient lab-degree
+    sample_weights: Optional[jax.Array] = None  # f32 [B_pad] lab inv-var weight
     num_valid: int = struct.field(pytree_node=False, default=0)
 
 

@@ -124,6 +124,7 @@ class Trainer:
         self.lab_weights = jnp.asarray(
             compute_lab_weights(train_values, train_lab_idx, graph.num_nodes(LAB))
         )
+        self._aug_batches: dict = {}  # split -> (masker batch, augmented batch)
 
         self._loss_type = tc.loss
         self._mask_fraction = tc.mask_fraction
@@ -205,6 +206,7 @@ class Trainer:
             rngs={"dropout": dropout_key, "edge_dropout": edge_key},
             patient_plan=batch.patient_plan,
             lab_plan=batch.lab_plan,
+            degrees=batch.degrees,
             **kwargs,
         )
         if mutable:
@@ -248,7 +250,11 @@ class Trainer:
             # the reference applies lab-wise weights only for mae/mse and falls
             # back to the unweighted loss for anything else (src/train.py:374-381)
             if self._loss_type in ("mae", "mse"):
-                w = lab_weights[batch.lab_idx]
+                w = (
+                    batch.sample_weights
+                    if batch.sample_weights is not None
+                    else lab_weights[batch.lab_idx]
+                )
             else:
                 w = jnp.ones_like(batch.values)
             loss = weighted_regression_loss(
@@ -284,6 +290,7 @@ class Trainer:
             method=self.model.predict_lab_values,
             patient_plan=batch.patient_plan,
             lab_plan=batch.lab_plan,
+            degrees=batch.degrees,
         )
         loss = masked_mean_loss(
             preds, batch.values, batch.valid,
@@ -297,7 +304,24 @@ class Trainer:
         """Device batch for a split.  Subclasses re-place the arrays (e.g.
         GSPMDTrainer shards them over its mesh) WITHOUT mutating the shared
         masker — a masker instance may be reused across trainers."""
-        return self.masker.get_split(split)
+        return self._augment_batch(split, self.masker.get_split(split))
+
+    def _augment_batch(self, split: str, base: SplitBatch) -> SplitBatch:
+        """Attach the loop-invariant per-slot precomputes (degree gate, lab
+        loss weights) ONCE per batch object.  Done here rather than in the
+        masker so the gathers read this trainer's graph/weights, and cached
+        on object identity so a masker that rebuilds a split re-augments."""
+        if base.degrees is not None:
+            return base
+        cached = self._aug_batches.get(split)
+        if cached is not None and cached[0] is base:
+            return cached[1]
+        aug = base.replace(
+            degrees=jnp.take(self.graph.patient_lab_degree, base.patient_idx),
+            sample_weights=jnp.take(self.lab_weights, base.lab_idx).astype(jnp.float32),
+        )
+        self._aug_batches[split] = (base, aug)
+        return aug
 
     def train_epoch(self) -> float:
         if self.eval_only:
