@@ -153,6 +153,7 @@ class FactoredEdgeHead(nn.Module):
         train: bool = False,
         patient_plan=None,  # GatherPlan — batch-gather backward on the MXU
         lab_plan=None,
+        tile_mask=None,  # int32[num_tiles] degree-predication (fused path only)
     ) -> jax.Array:
         # with plans, the row-gather backwards (scatter-adds of B pair
         # gradients into the node matrices — the dominant head cost at the
@@ -194,7 +195,7 @@ class FactoredEdgeHead(nn.Module):
             and (not train or self.dropout == 0.0 or _jax.default_backend() == "tpu")
         )
         if use_fused:
-            out = self._fused_mlp(proj_p, proj_l, l_idx, patient_plan, train)
+            out = self._fused_mlp(proj_p, proj_l, l_idx, patient_plan, train, tile_mask)
             if self.bilinear_rank > 0:
                 d = self.node_dim
                 scale = nn.initializers.normal(stddev=1.0 / jnp.sqrt(d))
@@ -232,7 +233,9 @@ class FactoredEdgeHead(nn.Module):
             out = out + term.astype(out.dtype)
         return out
 
-    def _fused_mlp(self, proj_p, proj_l, l_idx, plan, train: bool) -> jax.Array:
+    def _fused_mlp(
+        self, proj_p, proj_l, l_idx, plan, train: bool, tile_mask=None
+    ) -> jax.Array:
         """Run dense_1 + dense_out through the fused pair kernel (params are
         read from the modules the unfused init pass created — same tree)."""
         import jax as _jax
@@ -261,7 +264,7 @@ class FactoredEdgeHead(nn.Module):
             seed = jnp.zeros(2, jnp.uint32)
         out = fused_pair_head(
             proj_p, proj_l, w1, b1, w2, b2,
-            l_idx, plan.win_local, plan.win_tile_map, seed,
+            l_idx, plan.win_local, plan.win_tile_map, seed, tile_mask,
             plan.num_windows, rate,
             _jax.default_backend() != "tpu",
         )

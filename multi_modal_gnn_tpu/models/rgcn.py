@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
+from multi_modal_gnn_tpu.graph.hetero import TILE_E, HeteroGraph
 from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey, PATIENT, LAB, PATIENT_LAB
 from multi_modal_gnn_tpu.models.layers import (
     EdgeRegressionHead,
@@ -405,13 +405,29 @@ class HeteroRGCN(nn.Module):
             use_plans = self.impl == "pallas" and self.axis_name is None
             pp = patient_plan if use_plans else None
             lp = lab_plan if use_plans else None
+            # degree-predicated head tiles: with a slot-major batch, a tile
+            # whose real slots are ALL >= threshold never contributes its
+            # tabular prediction (the gate below discards it), so the fused
+            # kernel skips the whole tile; symmetrically, all-low tiles skip
+            # the GNN head.  Exact by the gate; at the 5M-edge scale ~98.5%
+            # of patients are high-degree and ~70% of tab-head tiles skip.
+            tab_mask = gnn_mask = None
+            if (
+                pp is not None
+                and getattr(pp, "identity", False)
+                and degrees is not None
+                and degrees.shape[0] % TILE_E == 0
+            ):
+                low_t = (degrees < self.degree_threshold).reshape(-1, TILE_E)
+                tab_mask = jnp.any(low_t, axis=1).astype(jnp.int32)
+                gnn_mask = jnp.any(~low_t, axis=1).astype(jnp.int32)
             tab_pred = self.tabular_mlp(
                 initial[PATIENT], initial[LAB], patient_indices, lab_indices,
-                train=train, patient_plan=pp, lab_plan=lp,
+                train=train, patient_plan=pp, lab_plan=lp, tile_mask=tab_mask,
             )[..., 0]
             gnn_pred = self.edge_predictor(
                 final[PATIENT], final[LAB], patient_indices, lab_indices,
-                train=train, patient_plan=pp, lab_plan=lp,
+                train=train, patient_plan=pp, lab_plan=lp, tile_mask=gnn_mask,
             )[..., 0]
         else:
             if self.impl == "pallas" and patient_plan is not None and self.axis_name is None:

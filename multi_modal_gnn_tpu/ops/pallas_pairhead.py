@@ -65,46 +65,58 @@ def _gather_rows(table, idx, dtype):
 
 
 def _fwd_kernel(
-    tm_ref, seed_ref, local_ref, lab_ref,
+    tm_ref, seed_ref, mask_ref, local_ref, lab_ref,
     projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref,
     *, rate: float,
 ):
     t = pl.program_id(0)
-    valid = local_ref[:].reshape(TILE_E, 1) < WINDOW  # i32 reshape, then compare (i1 reshape won't lower)
-    dt = projp_ref.dtype
-    # in-window patient gather: [TILE_E, H0] rows of the (WINDOW, H0) block;
-    # padding slots (local == WINDOW) match no indicator column -> zero rows
-    p_rows = _gather_rows(projp_ref[:], local_ref[:], dt)
-    l_rows = _gather_rows(projl_ref[:], lab_ref[:], dt)
-    pre0 = p_rows + l_rows
-    h0 = jnp.maximum(pre0, 0.0)
-    if rate > 0.0:
-        pltpu.prng_seed(
-            seed_ref[0] ^ (jnp.uint32(t) * jnp.uint32(2654435761)), seed_ref[1]
+
+    # degree-predicated tiles (mask == 0): every real slot's gated prediction
+    # ignores this head, so the whole tile body is skipped — only the zero
+    # output is materialized.  Exactness argument in FactoredEdgeHead.
+    @pl.when(mask_ref[t] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(mask_ref[t] != 0)
+    def _():
+        valid = local_ref[:].reshape(TILE_E, 1) < WINDOW  # i32 reshape, then compare (i1 reshape won't lower)
+        dt = projp_ref.dtype
+        # in-window patient gather: [TILE_E, H0] rows of the (WINDOW, H0) block;
+        # padding slots (local == WINDOW) match no indicator column -> zero rows
+        p_rows = _gather_rows(projp_ref[:], local_ref[:], dt)
+        l_rows = _gather_rows(projl_ref[:], lab_ref[:], dt)
+        pre0 = p_rows + l_rows
+        h0 = jnp.maximum(pre0, 0.0)
+        if rate > 0.0:
+            pltpu.prng_seed(
+                seed_ref[0] ^ (jnp.uint32(t) * jnp.uint32(2654435761)), seed_ref[1]
+            )
+            h0 = _dropout(h0, pltpu.prng_random_bits(h0.shape), rate)
+        pre1 = (
+            jnp.dot(h0.astype(projp_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32)
+            + b1_ref[:]
         )
-        h0 = _dropout(h0, pltpu.prng_random_bits(h0.shape), rate)
-    pre1 = (
-        jnp.dot(h0.astype(projp_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32)
-        + b1_ref[:]
-    )
-    h1 = jnp.maximum(pre1, 0.0)
-    if rate > 0.0:
-        h1 = _dropout(h1, pltpu.prng_random_bits(h1.shape), rate)
-    out = jnp.sum(h1 * w2_ref[:].astype(jnp.float32), axis=1, keepdims=True) + b2_ref[0, 0]
-    # 1-D block: dropping the size-1 minor dim is a no-op relayout
-    out_ref[:] = jnp.where(valid, out, 0.0).reshape(TILE_E)
+        h1 = jnp.maximum(pre1, 0.0)
+        if rate > 0.0:
+            h1 = _dropout(h1, pltpu.prng_random_bits(h1.shape), rate)
+        out = jnp.sum(h1 * w2_ref[:].astype(jnp.float32), axis=1, keepdims=True) + b2_ref[0, 0]
+        # 1-D block: dropping the size-1 minor dim is a no-op relayout
+        out_ref[:] = jnp.where(valid, out, 0.0).reshape(TILE_E)
 
 
 def _bwd_kernel(
-    tm_ref, seed_ref, local_ref, lab_ref, go_ref,
+    tm_ref, seed_ref, mask_ref, local_ref, lab_ref, go_ref,
     projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dprojp_ref, dprojl_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, rate: float,
 ):
     t = pl.program_id(0)
 
-    # window-block output: zero on first tile of each window
+    # window-block output: zero on first tile of each window.  This (and the
+    # grid-wide zeroing below) must run even for predicated tiles, so skipped
+    # tiles leave exact zeros rather than garbage in their output blocks.
     prev_same = jnp.where(t > 0, tm_ref[jnp.maximum(t - 1, 0)], -1)
 
     @pl.when(jnp.logical_or(t == 0, prev_same != tm_ref[t]))
@@ -120,69 +132,73 @@ def _bwd_kernel(
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
-    valid = local_ref[:].reshape(TILE_E, 1) < WINDOW  # i32 reshape, then compare (i1 reshape won't lower)
-    in_dt = projp_ref.dtype
-    # --- recompute forward (same PRNG stream as _fwd_kernel) ---
-    p_rows = _gather_rows(projp_ref[:], local_ref[:], in_dt)
-    l_rows = _gather_rows(projl_ref[:], lab_ref[:], in_dt)
-    pre0 = p_rows + l_rows
-    h0 = jnp.maximum(pre0, 0.0)
-    if rate > 0.0:
-        pltpu.prng_seed(
-            seed_ref[0] ^ (jnp.uint32(t) * jnp.uint32(2654435761)), seed_ref[1]
+    # degree-predicated tiles contribute exactly zero gradient (their real
+    # slots' cotangents are zero through the gate), so the body is skipped
+    @pl.when(mask_ref[t] != 0)
+    def _():
+        valid = local_ref[:].reshape(TILE_E, 1) < WINDOW  # i32 reshape, then compare (i1 reshape won't lower)
+        in_dt = projp_ref.dtype
+        # --- recompute forward (same PRNG stream as _fwd_kernel) ---
+        p_rows = _gather_rows(projp_ref[:], local_ref[:], in_dt)
+        l_rows = _gather_rows(projl_ref[:], lab_ref[:], in_dt)
+        pre0 = p_rows + l_rows
+        h0 = jnp.maximum(pre0, 0.0)
+        if rate > 0.0:
+            pltpu.prng_seed(
+                seed_ref[0] ^ (jnp.uint32(t) * jnp.uint32(2654435761)), seed_ref[1]
+            )
+            bits0 = pltpu.prng_random_bits(h0.shape)
+            h0 = _dropout(h0, bits0, rate)
+        pre1 = (
+            jnp.dot(h0.astype(in_dt), w1_ref[:], preferred_element_type=jnp.float32)
+            + b1_ref[:]
         )
-        bits0 = pltpu.prng_random_bits(h0.shape)
-        h0 = _dropout(h0, bits0, rate)
-    pre1 = (
-        jnp.dot(h0.astype(in_dt), w1_ref[:], preferred_element_type=jnp.float32)
-        + b1_ref[:]
-    )
-    h1 = jnp.maximum(pre1, 0.0)
-    if rate > 0.0:
-        bits1 = pltpu.prng_random_bits(h1.shape)
-        h1_d = _dropout(h1, bits1, rate)
-    else:
-        h1_d = h1
+        h1 = jnp.maximum(pre1, 0.0)
+        if rate > 0.0:
+            bits1 = pltpu.prng_random_bits(h1.shape)
+            h1_d = _dropout(h1, bits1, rate)
+        else:
+            h1_d = h1
 
-    # --- backward ---
-    # (TILE_E,) block; adding a size-1 minor dim is the supported 32-bit no-op
-    go = jnp.where(valid, go_ref[:].reshape(TILE_E, 1), 0.0)  # [TILE_E, 1] f32
-    db2_ref[:] += jnp.sum(go).reshape(1, 1)
-    # dw2[h] = sum_e go[e] * h1_d[e, h] — contract over the slot axis
-    dw2_ref[:] += jax.lax.dot_general(
-        go.astype(in_dt), h1_d.astype(in_dt),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    dh1 = go * w2_ref[:].astype(jnp.float32)  # [TILE_E, H1] broadcast of [1, H1]
-    if rate > 0.0:
-        dh1 = _dropout(dh1, bits1, rate)
-    dpre1 = jnp.where(pre1 > 0.0, dh1, 0.0)
-    db1_ref[:] += jnp.sum(dpre1, axis=0, keepdims=True)
-    dw1_ref[:] += jax.lax.dot_general(  # h0^T @ dpre1 without materializing h0^T
-        h0.astype(in_dt), dpre1.astype(in_dt),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    dh0 = jax.lax.dot_general(  # dpre1 @ W1^T: contract both on the H1 axis
-        dpre1.astype(in_dt), w1_ref[:],
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    if rate > 0.0:
-        dh0 = _dropout(dh0, bits0, rate)
-    dpre0 = jnp.where(pre0 > 0.0, dh0, 0.0)
-    dpre0 = jnp.where(valid, dpre0, 0.0).astype(in_dt)
+        # --- backward ---
+        # (TILE_E,) block; adding a size-1 minor dim is the supported 32-bit no-op
+        go = jnp.where(valid, go_ref[:].reshape(TILE_E, 1), 0.0)  # [TILE_E, 1] f32
+        db2_ref[:] += jnp.sum(go).reshape(1, 1)
+        # dw2[h] = sum_e go[e] * h1_d[e, h] — contract over the slot axis
+        dw2_ref[:] += jax.lax.dot_general(
+            go.astype(in_dt), h1_d.astype(in_dt),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dh1 = go * w2_ref[:].astype(jnp.float32)  # [TILE_E, H1] broadcast of [1, H1]
+        if rate > 0.0:
+            dh1 = _dropout(dh1, bits1, rate)
+        dpre1 = jnp.where(pre1 > 0.0, dh1, 0.0)
+        db1_ref[:] += jnp.sum(dpre1, axis=0, keepdims=True)
+        dw1_ref[:] += jax.lax.dot_general(  # h0^T @ dpre1 without materializing h0^T
+            h0.astype(in_dt), dpre1.astype(in_dt),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dh0 = jax.lax.dot_general(  # dpre1 @ W1^T: contract both on the H1 axis
+            dpre1.astype(in_dt), w1_ref[:],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dh0 = _dropout(dh0, bits0, rate)
+        dpre0 = jnp.where(pre0 > 0.0, dh0, 0.0)
+        dpre0 = jnp.where(valid, dpre0, 0.0).astype(in_dt)
 
-    # d_proj_p: segment-sum into this tile's window block (rows by win_local)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
-    s_local = (local_ref[:].reshape(1, TILE_E) == rows).astype(in_dt)
-    dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
+        # d_proj_p: segment-sum into this tile's window block (rows by win_local)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
+        s_local = (local_ref[:].reshape(1, TILE_E) == rows).astype(in_dt)
+        dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
 
-    # d_proj_l: scatter-by-lab into the VMEM-resident table accumulator
-    s_pad = dprojl_ref.shape[0]
-    p_lab_t = (
-        lab_ref[:].reshape(1, TILE_E)
-        == jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_E), 0)
-    ).astype(in_dt)
-    dprojl_ref[:] += jnp.dot(p_lab_t, dpre0, preferred_element_type=jnp.float32)
+        # d_proj_l: scatter-by-lab into the VMEM-resident table accumulator
+        s_pad = dprojl_ref.shape[0]
+        p_lab_t = (
+            lab_ref[:].reshape(1, TILE_E)
+            == jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_E), 0)
+        ).astype(in_dt)
+        dprojl_ref[:] += jnp.dot(p_lab_t, dpre0, preferred_element_type=jnp.float32)
 
 
 def _pad_rows(x, rows):
@@ -194,10 +210,12 @@ def _pad_rows(x, rows):
 )
 def _fused_fwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    num_windows, rate, interpret,
+    tile_mask, num_windows, rate, interpret,
 ):
     e_win = win_local.shape[0]
     num_tiles = e_win // TILE_E
+    if tile_mask is None:
+        tile_mask = jnp.ones((num_tiles,), jnp.int32)
     h0 = proj_p.shape[1]
     h1 = w1.shape[1]
     labs_pad = ((proj_l.shape[0] + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
@@ -205,19 +223,19 @@ def _fused_fwd(
     proj_l = _pad_rows(proj_l, labs_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # win_tile_map, seed
+        num_scalar_prefetch=3,  # win_tile_map, seed, tile_mask
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
-            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd: (tm[t], 0)),
-            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((h0, h1), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk: (tm[t], 0)),
+            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd, mk: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
+        out_specs=pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, rate=rate),
@@ -225,7 +243,7 @@ def _fused_fwd(
         out_shape=jax.ShapeDtypeStruct((e_win,), jnp.float32),
         interpret=interpret,
     )(
-        win_tile_map, seed, win_local, lab_idx,
+        win_tile_map, seed, tile_mask, win_local, lab_idx,
         proj_p, proj_l, w1, b1.reshape(1, -1), w2.reshape(1, -1),
         b2.reshape(1, 1),
     )
@@ -237,10 +255,12 @@ def _fused_fwd(
 )
 def _fused_bwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    g_out, num_windows, rate, interpret,
+    tile_mask, g_out, num_windows, rate, interpret,
 ):
     e_win = win_local.shape[0]
     num_tiles = e_win // TILE_E
+    if tile_mask is None:
+        tile_mask = jnp.ones((num_tiles,), jnp.int32)
     h0 = proj_p.shape[1]
     h1 = w1.shape[1]
     num_p = proj_p.shape[0]
@@ -250,26 +270,26 @@ def _fused_bwd(
     proj_l_pad = _pad_rows(proj_l, labs_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd: (t,)),
-            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd: (tm[t], 0)),
-            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((h0, h1), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk: (tm[t], 0)),
+            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd, mk: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd: (tm[t], 0)),
-            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((h0, h1), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, tm, sd: (0, 0)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk: (tm[t], 0)),
+            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd, mk: (0, 0)),
         ],
     )
     douts = pl.pallas_call(
@@ -285,7 +305,7 @@ def _fused_bwd(
         ],
         interpret=interpret,
     )(
-        win_tile_map, seed, win_local, lab_idx,
+        win_tile_map, seed, tile_mask, win_local, lab_idx,
         g_out,
         proj_p_pad, proj_l_pad, w1, b1.reshape(1, -1), w2.reshape(1, -1),
         b2.reshape(1, 1),
@@ -302,10 +322,10 @@ def _fused_bwd(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def fused_pair_head(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    num_windows, rate=0.0, interpret=False,
+    tile_mask, num_windows, rate=0.0, interpret=False,
 ):
     """out[slot] = MLP(relu(proj_p[patient(slot)] + proj_l[lab(slot)])).
 
@@ -313,32 +333,45 @@ def fused_pair_head(
     ``win_tile_map[t] * 128 + win_local[e]`` (padding slots carry
     ``win_local == 128`` and output 0).  ``seed`` (uint32[2]) drives the
     in-kernel dropout PRNG; rate=0 disables dropout (eval / parity tests).
+
+    ``tile_mask`` (int32[num_tiles] or None): degree-predication.  Tiles with
+    mask 0 skip the whole body — output 0, gradient 0.  CALLER CONTRACT: a
+    masked tile must contain only slots whose downstream consumer ignores
+    this head's value (the degree gate in HeteroRGCN.predict_lab_values) or
+    padding slots; the kernel does not check this.
     """
     return _fused_fwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-        num_windows, rate, interpret,
+        tile_mask, num_windows, rate, interpret,
     )
 
 
 def _fph_fwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    num_windows, rate, interpret,
+    tile_mask, num_windows, rate, interpret,
 ):
     out = _fused_fwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-        num_windows, rate, interpret,
+        tile_mask, num_windows, rate, interpret,
     )
-    return out, (proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed)
+    return out, (
+        proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
+        tile_mask,
+    )
 
 
 def _fph_bwd(num_windows, rate, interpret, res, g_out):
-    proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed = res
+    (proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
+     tile_mask) = res
     grads = _fused_bwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-        g_out, num_windows, rate, interpret,
+        tile_mask, g_out, num_windows, rate, interpret,
     )
     zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
-    return (*grads, zero_i(lab_idx), zero_i(win_local), zero_i(win_tile_map), zero_i(seed))
+    return (
+        *grads, zero_i(lab_idx), zero_i(win_local), zero_i(win_tile_map),
+        zero_i(seed), None if tile_mask is None else zero_i(tile_mask),
+    )
 
 
 fused_pair_head.defvjp(_fph_fwd, _fph_bwd)

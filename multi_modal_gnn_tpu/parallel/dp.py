@@ -54,14 +54,10 @@ class DataParallelTrainer(Trainer):
         variables = init_model_variables(init_model, graph, rngs.next("init"))
 
         model = build_model(config, graph, axis_name=DATA_AXIS)
-        if getattr(model, "value_context", False):
-            raise NotImplementedError(
-                "model.extras.value_context under the explicit shard_map "
-                "trainer is not yet supported (the per-epoch visibility "
-                "knockout scatters over the GLOBAL edge array, but shard_map "
-                "bodies see only their local chunk); use GSPMDTrainer for "
-                "multi-chip value-context training"
-            )
+        # value_context is supported: the visibility base rides the graph
+        # (sharded with the edge arrays) and the per-epoch knockout runs
+        # shard-locally after an all_gather of the supervision mask — see
+        # Trainer._visible_graph's shard_map branch
         graph = shard_graph(graph, self.mesh)
         super().__init__(model, graph, masker, config, variables=variables, rngs=rngs)
         self._axis_name = DATA_AXIS

@@ -99,14 +99,10 @@ class TwoDTrainer(Trainer):
         variables = init_model_variables(init_model, graph, rngs.next("init"))
 
         model = build_model(config, graph, axis_name=DATA_AXIS)
-        if getattr(model, "value_context", False):
-            raise NotImplementedError(
-                "model.extras.value_context under the explicit shard_map "
-                "trainer is not yet supported (the per-epoch visibility "
-                "knockout scatters over the GLOBAL edge array, but shard_map "
-                "bodies see only their local chunk); use GSPMDTrainer for "
-                "multi-chip value-context training"
-            )
+        # value_context works here exactly as in DataParallelTrainer: edges
+        # (and the attached visibility base) are sharded over DATA_AXIS and
+        # the knockout runs shard-locally (Trainer._visible_graph); the
+        # supervision draw is replicated across MODEL_AXIS
         super().__init__(model, graph, masker, config, variables=variables, rngs=rngs)
         self._axis_name = DATA_AXIS
         self._place_state()

@@ -142,6 +142,15 @@ class Trainer:
             self._vis_train_pos = (
                 None if self.eval_only else jnp.asarray(masker.train_positions())
             )
+            # attach the base template to the graph itself: it is an
+            # edge-length array, so every parallel layout shards it exactly
+            # like the edge arrays (parallel/sharding.py EdgeSet val_vis
+            # spec) and _visible_graph sees the correct LOCAL chunk inside
+            # shard_map bodies
+            from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB as _PL
+
+            es = self.graph.edges[_PL].replace(val_vis=self._vis_base)
+            self.graph = self.graph.replace(edges={**self.graph.edges, _PL: es})
 
         self._build_steps()
 
@@ -224,14 +233,34 @@ class Trainer:
         all train observations, none of val/test)."""
         if not self._value_context:
             return graph
-        vis = self._vis_base
-        if sup_mask is not None:
-            # unique train positions; batch-padding rows point at 0 with
-            # sup=0 -> multiplier 1.0 (no-op)
-            vis = vis.at[self._vis_train_pos].multiply(1.0 - sup_mask)
         from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
 
-        es = graph.edges[PATIENT_LAB].replace(val_vis=vis)
+        es = graph.edges[PATIENT_LAB]
+        # base template travels ON the graph (attached in __init__), so under
+        # shard_map this is already the local edge chunk
+        vis = es.val_vis if es.val_vis is not None else self._vis_base
+        if sup_mask is not None:
+            if self._axis_name is not None and es.val_vis is not None and (
+                vis.shape[0] < self._vis_base.shape[0]
+            ):
+                # explicit shard_map body: vis is the local chunk
+                # [d*S, (d+1)*S) of the global edge array while sup_mask is
+                # the local batch shard.  Gather the GLOBAL supervision mask
+                # (cheap: B bits), map global train positions into this
+                # chunk, and clamp out-of-range rows to index 0 with factor
+                # 1.0 — an exact no-op under scatter-multiply.
+                sup = jax.lax.all_gather(sup_mask, self._axis_name, tiled=True)
+                shard = vis.shape[0]
+                start = jax.lax.axis_index(self._axis_name) * shard
+                lpos = self._vis_train_pos - start
+                ok = (lpos >= 0) & (lpos < shard)
+                factor = jnp.where(ok, 1.0 - sup, 1.0)
+                vis = vis.at[jnp.clip(lpos, 0, shard - 1)].multiply(factor)
+            else:
+                # single-chip / GSPMD: global view.  Unique train positions;
+                # batch-padding rows point at 0 with sup=0 -> multiplier 1.0
+                vis = vis.at[self._vis_train_pos].multiply(1.0 - sup_mask)
+        es = es.replace(val_vis=vis)
         return graph.replace(edges={**graph.edges, PATIENT_LAB: es})
 
     def _train_step_impl(

@@ -41,11 +41,12 @@ def _ref(plan, p_s, l_s, real, proj_p, proj_l, w1, b1, w2, b2):
     return jnp.where(jnp.asarray(real), h1 @ w2 + b2, 0.0)
 
 
-def _fused(plan, p_s, l_s, real, proj_p, proj_l, w1, b1, w2, b2):
+def _fused(plan, p_s, l_s, real, proj_p, proj_l, w1, b1, w2, b2, tile_mask=None):
     seed = jnp.zeros(2, jnp.uint32)
     return fused_pair_head(
         proj_p, proj_l, w1, b1, w2, b2, jnp.asarray(l_s),
-        plan.win_local, plan.win_tile_map, seed, plan.num_windows, 0.0, True,
+        plan.win_local, plan.win_tile_map, seed, tile_mask,
+        plan.num_windows, 0.0, True,
     )
 
 
@@ -75,4 +76,36 @@ def test_gradient_parity(problem):
     for name, a, b in zip(params.keys(), gr_ref, gr_f):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=f"grad({name})"
+        )
+
+
+def test_tile_mask_predication(problem):
+    """Masked tiles output zero and contribute zero gradient; unmasked tiles
+    are bit-identical to the unmasked call (the degree-predication fast
+    path: HeteroRGCN skips whole head tiles the gate provably discards)."""
+    plan, p_s, l_s, real, params = problem
+    args = tuple(map(jnp.asarray, params.values()))
+    num_tiles = plan.win_local.shape[0] // 1024
+    rng = np.random.default_rng(7)
+    mask = jnp.asarray(rng.integers(0, 2, num_tiles).astype(np.int32))
+    slot_keep = jnp.repeat(mask, 1024).astype(jnp.float32)
+
+    full = _fused(plan, p_s, l_s, real, *args)
+    masked = _fused(plan, p_s, l_s, real, *args, tile_mask=mask)
+    np.testing.assert_array_equal(np.asarray(masked), np.asarray(full * slot_keep))
+
+    # gradients: a loss that only reads unmasked slots must match exactly
+    g = jnp.asarray(rng.standard_normal(plan.win_local.shape[0]).astype(np.float32))
+    g_kept = g * slot_keep
+    argnums = tuple(range(6))
+    gr_full = jax.grad(
+        lambda *a: jnp.sum(_fused(plan, p_s, l_s, real, *a) * g_kept), argnums=argnums
+    )(*args)
+    gr_mask = jax.grad(
+        lambda *a: jnp.sum(_fused(plan, p_s, l_s, real, *a, tile_mask=mask) * g_kept),
+        argnums=argnums,
+    )(*args)
+    for name, a, b in zip(params.keys(), gr_full, gr_mask):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5, err_msg=f"grad({name})"
         )

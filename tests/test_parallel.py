@@ -245,3 +245,58 @@ class TestGSPMD:
         bad = make_synthetic_bundle(spec_bad, cfg)
         with pytest.raises(ValueError, match="not divisible"):
             GSPMDTrainer(bad.graph, EdgeMasker(bad.graph, seed=0), cfg, mesh=mesh)
+
+
+def test_dp_value_context_matches_single_device():
+    """value_context under the explicit shard_map trainer: the visibility
+    base rides the graph (sharded with the edge arrays) and the per-epoch
+    knockout runs shard-locally after an all_gather of the supervision mask
+    (Trainer._visible_graph).  Must reproduce single-device numerics."""
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, hidden_dim=32, dropout=0.0, extras={"value_context": True}
+        ),
+        train=dataclasses.replace(cfg.train, donate_state=False),
+    )
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=5), cfg)
+    graph = bundle.graph
+
+    single = Trainer(
+        build_model(cfg, graph), graph,
+        EdgeMasker(graph, seed=42, host_edges=bundle.patient_lab_host()), cfg,
+    )
+    dp = DataParallelTrainer(
+        graph, EdgeMasker(graph, seed=42, host_edges=bundle.patient_lab_host()),
+        cfg, mesh=make_mesh(),
+    )
+
+    losses_s, losses_d = [], []
+    for _ in range(4):
+        losses_s.append(single.train_epoch())
+        single.epoch += 1
+        losses_d.append(dp.train_epoch())
+        dp.epoch += 1
+    np.testing.assert_allclose(losses_s, losses_d, rtol=2e-4)
+    np.testing.assert_allclose(single.validate("val"), dp.validate("val"), rtol=2e-4)
+
+    # the scanned path agrees too
+    scan = DataParallelTrainer(
+        graph, EdgeMasker(graph, seed=42, host_edges=bundle.patient_lab_host()),
+        cfg, mesh=make_mesh(),
+    )
+    losses_scan, _ = scan.train_epochs_scanned(4)
+    np.testing.assert_allclose(np.asarray(losses_scan), losses_s, rtol=2e-4)
+
+    # and the explicit 2-D (edges x patient-table) trainer
+    from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer, make_2d_mesh
+
+    two_d = TwoDTrainer(
+        graph, EdgeMasker(graph, seed=42, host_edges=bundle.patient_lab_host()),
+        cfg, mesh=make_2d_mesh(model_parallel=2),
+    )
+    losses_2d = []
+    for _ in range(4):
+        losses_2d.append(two_d.train_epoch())
+        two_d.epoch += 1
+    np.testing.assert_allclose(losses_2d, losses_s, rtol=2e-4)
