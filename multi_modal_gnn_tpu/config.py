@@ -151,6 +151,12 @@ class GraphConfig:
     # mean-normalized adjacency (one MXU matmul beats sparse gather+segment
     # at EHR densities); 0 disables.  256 MB covers 100k x 500 relations.
     dense_adjacency_max_bytes: int = 268_435_456
+    # TPU-specific layout knob (no semantic effect): index patients in
+    # ascending lab-degree order so low-degree patients cluster into a few
+    # leading windows — the degree-predicated head kernel then skips nearly
+    # every tabular-head tile instead of ~70% (PERFORMANCE.md).  Off matches
+    # the reference's first-seen order exactly.
+    cluster_patients_by_degree: bool = True
     extras: Dict[str, Any] = field(default_factory=dict)
 
     @staticmethod

@@ -144,6 +144,16 @@ def build_heterogeneous_graph(
         DIAGNOSIS: NodeIndexer(DIAGNOSIS),
         MEDICATION: NodeIndexer(MEDICATION),
     }
+    if config.graph.cluster_patients_by_degree and len(cohort):
+        # ascending-lab-degree patient indexing: a pure layout choice (node
+        # indices are internal; every artifact keys on entity IDs) that
+        # clusters the gate's low-degree patients into the leading windows,
+        # so degree-predicated head tiles skip almost everything the gate
+        # discards (models/rgcn.py predict_lab_values).  Stable sort keeps
+        # determinism; ties preserve first-seen (reference) order.
+        deg = labs["SUBJECT_ID"].value_counts()
+        key = cohort["SUBJECT_ID"].map(deg).fillna(0).to_numpy()
+        cohort = cohort.iloc[np.argsort(key, kind="stable")]
     indexers[PATIENT].add_many(cohort["SUBJECT_ID"].to_numpy())
     indexers[LAB].add_many(labs["ITEMID"].to_numpy())
     if len(diagnoses):

@@ -111,6 +111,40 @@ class TestBuildGraph:
         labitems = pd.DataFrame({"ITEMID": [50, 51, 52], "LABEL": ["glucose", "wbc", "cpk"]})
         return labs, dx, rx, cohort, labitems
 
+    def test_degree_clustering_is_pure_relabeling(self, config):
+        """cluster_patients_by_degree changes only the index layout: the
+        (patient_id, lab_id, value) edge set read back through index_to_id
+        is identical with it on or off, and off reproduces first-seen
+        (reference) order."""
+        import dataclasses as _dc
+
+        labs, dx, rx, cohort, labitems = self._tables()
+        off = config.replace(
+            graph=_dc.replace(config.graph, cluster_patients_by_degree=False)
+        )
+
+        def id_edges(bundle):
+            es = bundle.graph.edges[PATIENT_LAB]
+            n = es.num_valid
+            src = np.asarray(es.src)[:n]
+            dst = np.asarray(es.dst)[:n]
+            val = np.asarray(es.val)[:n]
+            pids = bundle.meta.indexers["patient"].index_to_id
+            lids = bundle.meta.indexers["lab"].index_to_id
+            return sorted(
+                (pids[s_], lids[d], round(float(v), 5))
+                for s_, d, v in zip(src, dst, val)
+            )
+
+        b_on = build_heterogeneous_graph(labs, dx, rx, cohort, labitems, config)
+        b_off = build_heterogeneous_graph(labs, dx, rx, cohort, labitems, off)
+        assert id_edges(b_on) == id_edges(b_off)
+        assert b_off.meta.indexers["patient"].index_to_id == [1, 2, 3]  # first-seen
+        assert b_on.meta.indexers["patient"].index_to_id == [2, 1, 3]  # by degree
+        # degrees ascending under clustering
+        deg = np.asarray(b_on.graph.patient_lab_degree)
+        assert (np.diff(deg) >= 0).all()
+
     def test_build_and_validate(self, config):
         labs, dx, rx, cohort, labitems = self._tables()
         bundle = build_heterogeneous_graph(labs, dx, rx, cohort, labitems, config)
@@ -125,8 +159,11 @@ class TestBuildGraph:
         assert rev.num_src == 3 and rev.num_dst == 3
         assert g.edges[reverse_edge_type(PATIENT_DIAGNOSIS)].num_valid == 2
         assert g.edges[reverse_edge_type(PATIENT_MEDICATION)].num_valid == 2
-        # degree: patient 0 has 2 labs, patient 2 has 3
-        np.testing.assert_array_equal(np.asarray(g.patient_lab_degree), [2, 1, 3])
+        # patients are indexed in ascending lab-degree order by default
+        # (graph.cluster_patients_by_degree — a pure layout choice that lets
+        # the degree-predicated head kernel skip whole windows), so degrees
+        # come out sorted: the 1-lab patient first, the 3-lab patient last
+        np.testing.assert_array_equal(np.asarray(g.patient_lab_degree), [1, 2, 3])
         # lab names resolved through labitems
         assert bundle.meta.lab_names[0] == "glucose"
         # raw-value stats present for denormalization
