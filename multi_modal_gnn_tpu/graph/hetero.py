@@ -299,6 +299,11 @@ class HeteroGraph(struct.PyTreeNode):
 
     edges: Dict[EdgeTypeKey, EdgeSet]
     patient_lab_degree: jax.Array  # int32[num_patients]
+    # mini-batch (cluster) subgraphs only (training/minibatch.py): global
+    # patient index of this subgraph's local patient 0.  The model's patient
+    # embedding/feature lookups add this offset so one GLOBAL table serves
+    # every cluster.  None for full graphs.
+    patient_id_base: Optional[jax.Array] = None  # int32 scalar
     node_counts: Tuple[Tuple[str, int], ...] = struct.field(
         pytree_node=False, default=()
     )

@@ -279,13 +279,31 @@ class HeteroRGCN(nn.Module):
             )
         self.inter_layer_dropout = nn.Dropout(rate=self.dropout)
 
-    def encode_nodes(self, train: bool = False) -> Dict[str, jax.Array]:
-        """Initial (pre-GNN) embeddings; patient table goes through the MLP."""
+    def encode_nodes(
+        self, train: bool = False, graph: HeteroGraph | None = None
+    ) -> Dict[str, jax.Array]:
+        """Initial (pre-GNN) embeddings; patient table goes through the MLP.
+
+        With a cluster subgraph (``graph.patient_id_base`` set,
+        training/minibatch.py) the patient lookup reads the LOCAL window
+        ``[base, base + local_count)`` of the global embedding table, so one
+        table (and one optimizer state) serves every cluster; pad patients
+        past the global count clamp to the last row (edge-free, loss-masked).
+        """
         counts = dict(self.node_counts)
-        x_dict = {
-            nt: self.embeddings[nt](jnp.arange(counts[nt], dtype=jnp.int32))
-            for nt in self.node_types
-        }
+        x_dict = {}
+        for nt in self.node_types:
+            n = counts[nt]
+            idx = None
+            if nt == PATIENT and graph is not None and graph.patient_id_base is not None:
+                n_local = graph.num_nodes(PATIENT)
+                idx = jnp.minimum(
+                    jnp.arange(n_local, dtype=jnp.int32) + graph.patient_id_base,
+                    counts[PATIENT] - 1,
+                )
+            if idx is None:
+                idx = jnp.arange(n, dtype=jnp.int32)
+            x_dict[nt] = self.embeddings[nt](idx)
         if PATIENT in x_dict:
             x_dict[PATIENT] = self.patient_encoder(x_dict[PATIENT], train=train)
         return x_dict
@@ -372,7 +390,7 @@ class HeteroRGCN(nn.Module):
         return x_dict
 
     def __call__(self, graph: HeteroGraph, train: bool = False) -> Dict[str, jax.Array]:
-        return self.propagate(self.encode_nodes(train=train), graph, train=train)
+        return self.propagate(self.encode_nodes(train=train, graph=graph), graph, train=train)
 
     def predict_lab_values(
         self,
@@ -394,7 +412,7 @@ class HeteroRGCN(nn.Module):
         Pallas backend they move the batch-gather backward (a scatter-add
         into the node matrices) onto the MXU segment kernel.
         """
-        initial = self.encode_nodes(train=train)
+        initial = self.encode_nodes(train=train, graph=graph)
         final = self.propagate(initial, graph, train=train)
 
         if self.head_style == "factored":

@@ -47,6 +47,7 @@ def graph_pspecs(graph: HeteroGraph, axis: str = DATA_AXIS) -> HeteroGraph:
     return HeteroGraph(
         edges={et: _edge_set_pspec(es, axis) for et, es in graph.edges.items()},
         patient_lab_degree=P(),
+        patient_id_base=None if graph.patient_id_base is None else P(),
         node_counts=graph.node_counts,
     )
 

@@ -1,0 +1,286 @@
+"""Cluster-partitioned mini-batch training (beyond reference parity).
+
+The reference is full-batch only — its ``batch_size`` config knob is
+unimplemented (src/train.py:214-260 trains the whole graph every epoch).
+This module adds a TPU-native mini-batch mode for models/graphs whose
+*activations* exceed HBM: every relation in this schema is patient-centric
+(patient-lab / patient-diagnosis / patient-medication and their reverses),
+so a partition of the PATIENTS induces an exact, loss-free partition of the
+EDGES — the Cluster-GCN recipe without Cluster-GCN's dropped cross-cluster
+edges.  Design:
+
+  * patients are split into ``num_clusters`` contiguous, window-aligned,
+    equal-size index ranges (static shapes; one compiled step per cluster
+    shape).  Combined with ``graph.cluster_patients_by_degree`` the ranges
+    are also degree-homogeneous;
+  * each cluster's subgraph keeps the full (small) lab/dx/rx node spaces and
+    only its own patients: per-step activation memory drops by ~K;
+  * ONE global patient embedding table (and optimizer state) serves every
+    cluster — the subgraph carries ``patient_id_base`` and the model's
+    encode path reads the local window (models/rgcn.py encode_nodes);
+  * per epoch the clusters are visited in a seeded random permutation; the
+    supervision mask is drawn per (epoch, cluster) from the same RngSequence
+    streams as full-batch training (bit-reproducible);
+  * evaluation runs per cluster and reassembles predictions into split
+    order, so metrics are computed exactly as in full-batch mode.
+
+Semantics vs full-batch: within a step, lab/diagnosis/medication node
+embeddings aggregate only from the cluster's patients (the standard
+Cluster-GCN approximation); with ``num_clusters=1`` training is equivalent
+to the full-batch Trainer.  ``value_context`` needs a global observation
+view and is not supported here yet.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.graph.build import GraphBundle
+from multi_modal_gnn_tpu.graph.hetero import WINDOW, HeteroGraph, pad_edge_set
+from multi_modal_gnn_tpu.graph.schema import (
+    LAB,
+    PATIENT,
+    PATIENT_LAB,
+    reverse_edge_type,
+)
+from multi_modal_gnn_tpu.training.masker import EdgeMasker, SplitBatch, _pad_batch
+from multi_modal_gnn_tpu.training.trainer import Trainer
+
+
+@dataclasses.dataclass
+class ClusterData:
+    """Host-side product of the partition: K subgraphs + per-split batches."""
+
+    subgraphs: List[HeteroGraph]
+    bases: List[int]
+    local_size: int
+    # split -> per-cluster (batch or None, original-split-row positions)
+    batches: Dict[str, List[Tuple[Optional[SplitBatch], Optional[np.ndarray]]]]
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+def build_patient_clusters(
+    bundle: GraphBundle,
+    masker: EdgeMasker,
+    config: Config,
+    num_clusters: int,
+    lab_weights: Optional[np.ndarray] = None,
+) -> ClusterData:
+    """Partition the graph into ``num_clusters`` patient-range subgraphs.
+
+    All clusters share identical static shapes (edge arrays padded to the
+    max cluster size per relation), so one compiled train step serves every
+    cluster.  Patient indices past the global count (range padding in the
+    last cluster) are edge-free and clamp in the embedding lookup.
+    """
+    graph = bundle.graph
+    counts = graph.node_count_map
+    num_p = counts[PATIENT]
+    size = _round_up(-(-num_p // num_clusters), WINDOW)
+    bases = [k * size for k in range(num_clusters)]
+
+    if not bundle.host_edges:
+        raise ValueError("bundle.host_edges required for cluster partitioning")
+
+    # ---- per-relation cluster edge lists (patient is src of every forward
+    # relation) + shared padded sizes ---------------------------------------
+    per_rel: Dict = {}
+    for et, (src, dst, val) in bundle.host_edges.items():
+        if et[0] != PATIENT:
+            raise ValueError(f"non-patient-centric relation {et} cannot be clustered")
+        cid = np.minimum(np.asarray(src) // size, num_clusters - 1)
+        rows = [np.nonzero(cid == k)[0] for k in range(num_clusters)]
+        pad_to = _round_up(max((len(r) for r in rows), default=0), 1024)
+        per_rel[et] = (src, dst, val, rows, pad_to)
+
+    dense_budget = config.graph.dense_adjacency_max_bytes
+    subgraphs: List[HeteroGraph] = []
+    for k in range(num_clusters):
+        base = bases[k]
+        edges = {}
+        for et, (src, dst, val, rows, pad_to) in per_rel.items():
+            r = rows[k]
+            s_loc = (np.asarray(src)[r] - base).astype(np.int32)
+            d = np.asarray(dst)[r].astype(np.int32)
+            v = None if val is None else np.asarray(val)[r]
+            d_count = counts[et[2]]
+            edges[et] = pad_edge_set(
+                s_loc, d, num_src=size, num_dst=d_count, val=v,
+                pad_multiple=pad_to, dense_max_bytes=dense_budget,
+            )
+            edges[reverse_edge_type(et)] = pad_edge_set(
+                d, s_loc, num_src=d_count, num_dst=size, val=None,
+                pad_multiple=pad_to, dense_max_bytes=dense_budget,
+            )
+        pl_rows = per_rel[PATIENT_LAB][3][k]
+        pl_src_loc = np.asarray(per_rel[PATIENT_LAB][0])[pl_rows] - base
+        degree = np.bincount(pl_src_loc, minlength=size).astype(np.int32)
+        node_counts = dict(counts)
+        node_counts[PATIENT] = size
+        subgraphs.append(
+            HeteroGraph(
+                edges=edges,
+                patient_lab_degree=jnp.asarray(degree),
+                patient_id_base=jnp.asarray(base, jnp.int32),
+                node_counts=tuple(sorted(node_counts.items())),
+            )
+        )
+
+    # ---- per-split, per-cluster supervised batches -------------------------
+    batches: Dict[str, List[Tuple[Optional[SplitBatch], Optional[np.ndarray]]]] = {}
+    for split in ("train", "val", "test"):
+        p, l, v = masker.split_arrays(split)
+        cid = np.minimum(np.asarray(p) // size, num_clusters - 1)
+        pad_to = _round_up(
+            max((int((cid == k).sum()) for k in range(num_clusters)), default=0), 256
+        )
+        split_list = []
+        for k in range(num_clusters):
+            pos = np.nonzero(cid == k)[0]
+            if len(pos) == 0:
+                split_list.append((None, None))
+                continue
+            batch, _ = _pad_batch(
+                (p[pos] - bases[k]).astype(np.int32),
+                l[pos].astype(np.int32),
+                v[pos].astype(np.float32),
+                pad_multiple=pad_to,
+                num_patients=size,
+                num_labs=counts[LAB],
+            )
+            deg = np.asarray(subgraphs[k].patient_lab_degree)[
+                np.asarray(batch.patient_idx)
+            ]
+            sw = (
+                None
+                if lab_weights is None
+                else np.asarray(lab_weights)[np.asarray(batch.lab_idx)].astype(
+                    np.float32
+                )
+            )
+            batch = batch.replace(
+                degrees=jnp.asarray(deg),
+                sample_weights=None if sw is None else jnp.asarray(sw),
+            )
+            split_list.append((batch, pos))
+        batches[split] = split_list
+
+    return ClusterData(
+        subgraphs=subgraphs, bases=bases, local_size=size, batches=batches
+    )
+
+
+class MiniBatchTrainer(Trainer):
+    """Trainer that steps one patient cluster at a time.
+
+    Drop-in for :class:`Trainer` on memory-bound graphs; reuses its compiled
+    train/eval steps (the subgraph is an ordinary step argument).  See the
+    module docstring for semantics.
+    """
+
+    def __init__(
+        self,
+        model,
+        bundle: GraphBundle,
+        masker: EdgeMasker,
+        config: Config,
+        num_clusters: int,
+        **kw,
+    ):
+        if num_clusters < 1:
+            raise ValueError("num_clusters must be >= 1")
+        if getattr(model, "value_context", False):
+            raise NotImplementedError(
+                "value_context needs a global observation view; use the "
+                "full-batch Trainer (or GSPMDTrainer) for value-context models"
+            )
+        self.num_clusters = num_clusters
+        self._bundle = bundle
+        self._cluster_data: Optional[ClusterData] = None
+        super().__init__(model, bundle.graph, masker, config, **kw)
+
+    def _ensure_clusters(self) -> ClusterData:
+        if self._cluster_data is None:
+            self._cluster_data = build_patient_clusters(
+                self._bundle, self.masker, self.config, self.num_clusters,
+                lab_weights=np.asarray(self.lab_weights),
+            )
+        return self._cluster_data
+
+    # -- training ------------------------------------------------------------
+
+    def train_epoch(self) -> float:
+        if self.eval_only:
+            raise RuntimeError("Trainer was built with eval_only=True; cannot train")
+        cd = self._ensure_clusters()
+        perm = np.asarray(
+            jax.random.permutation(
+                self.rngs.key_for("cluster_order", self.epoch), self.num_clusters
+            )
+        )
+        sup_key = self.rngs.key_for("supervision", self.epoch)
+        drop_key = self.rngs.key_for("dropout", self.epoch)
+        tot = 0.0
+        n = 0
+        for k in perm:
+            batch, _ = cd.batches["train"][int(k)]
+            if batch is None:
+                continue
+            sup = self._draw_sup_mask(
+                jax.random.fold_in(sup_key, int(k)), batch.valid
+            )
+            self.state, loss = self._train_step(
+                self.state, cd.subgraphs[int(k)], batch, self.lab_weights,
+                sup, jax.random.fold_in(drop_key, int(k)),
+            )
+            tot += float(loss) * batch.num_valid
+            n += batch.num_valid
+        return tot / max(n, 1)
+
+    def train_epochs_scanned(self, k: int, with_val: bool = False):
+        # cluster stepping is already one dispatch per cluster; the scan
+        # fusion of the full-batch path does not apply
+        tl = []
+        vl = []
+        for _ in range(k):
+            tl.append(self.train_epoch())
+            if with_val:
+                vl.append(self.validate("val"))
+            self.epoch += 1
+        return np.asarray(tl), (np.asarray(vl) if with_val else None)
+
+    # -- evaluation ----------------------------------------------------------
+
+    def validate(self, split: str = "val", state=None) -> float:
+        cd = self._ensure_clusters()
+        tot = 0.0
+        n = 0
+        for k in range(self.num_clusters):
+            batch, _ = cd.batches[split][k]
+            if batch is None:
+                continue
+            loss, _ = self._eval_step(state or self.state, cd.subgraphs[k], batch)
+            tot += float(loss) * batch.num_valid
+            n += batch.num_valid
+        return tot / max(n, 1)
+
+    def predict(self, split: str, state=None) -> np.ndarray:
+        cd = self._ensure_clusters()
+        p, _, _ = self.masker.split_arrays(split)
+        out = np.zeros(len(p), dtype=np.float32)
+        for k in range(self.num_clusters):
+            batch, pos = cd.batches[split][k]
+            if batch is None:
+                continue
+            _, preds = self._eval_step(state or self.state, cd.subgraphs[k], batch)
+            out[pos] = np.asarray(preds)[: batch.num_valid]
+        return out

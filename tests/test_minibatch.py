@@ -1,0 +1,137 @@
+"""Cluster-partitioned mini-batch training (training/minibatch.py).
+
+Beyond-reference capability: the reference is full-batch only (its
+batch_size knob is unimplemented, src/train.py:214-260).  Pins: the patient
+partition is exact (every edge lands in exactly one cluster), K=1 matches
+the full-batch Trainer, K>1 trains and evaluates coherently.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from multi_modal_gnn_tpu.config import Config
+from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
+from multi_modal_gnn_tpu.graph.schema import PATIENT, PATIENT_LAB
+from multi_modal_gnn_tpu.models.factory import build_model
+from multi_modal_gnn_tpu.training.masker import EdgeMasker
+from multi_modal_gnn_tpu.training.minibatch import (
+    MiniBatchTrainer,
+    build_patient_clusters,
+)
+from multi_modal_gnn_tpu.training.trainer import Trainer
+
+
+def _setup(num_patients=128, mask_fraction=None, dropout=0.2):
+    cfg = Config()
+    train_kw = {"donate_state": False}
+    if mask_fraction is not None:
+        train_kw["mask_fraction"] = mask_fraction
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, hidden_dim=32, dropout=dropout),
+        train=dataclasses.replace(cfg.train, **train_kw),
+    )
+    spec = SyntheticSpec(
+        num_patients=num_patients, num_labs=12, num_diagnoses=8,
+        num_medications=6, mean_labs_per_patient=8.0, seed=7,
+    )
+    bundle = make_synthetic_bundle(spec, cfg)
+    return cfg, bundle
+
+
+def test_partition_is_exact():
+    """Every patient-lab edge and every split row lands in exactly one
+    cluster, with consistent local indices."""
+    cfg, bundle = _setup(num_patients=300)
+    masker = EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
+    cd = build_patient_clusters(bundle, masker, cfg, num_clusters=3)
+    assert len(cd.subgraphs) == 3
+    assert cd.local_size % 128 == 0
+
+    total_edges = 0
+    for k, g in enumerate(cd.subgraphs):
+        es = g.edges[PATIENT_LAB]
+        total_edges += es.num_valid
+        n = es.num_valid
+        src = np.asarray(es.src)[:n]
+        assert (src >= 0).all() and (src < cd.local_size).all()
+        # local degree equals global degree for this cluster's patients
+        lo, hi = cd.bases[k], cd.bases[k] + cd.local_size
+        glob = np.asarray(bundle.graph.patient_lab_degree)
+        want = glob[lo : min(hi, len(glob))]
+        got = np.asarray(g.patient_lab_degree)[: len(want)]
+        np.testing.assert_array_equal(got, want)
+    assert total_edges == bundle.graph.edges[PATIENT_LAB].num_valid
+
+    for split in ("train", "val", "test"):
+        p, _, _ = masker.split_arrays(split)
+        covered = sum(
+            b.num_valid for b, _ in cd.batches[split] if b is not None
+        )
+        assert covered == len(p)
+
+
+def test_k1_matches_full_batch():
+    """num_clusters=1 on a window-aligned cohort reproduces the full-batch
+    Trainer (mask_fraction=0 and dropout=0 remove the per-cluster RNG
+    stream difference)."""
+    cfg, bundle = _setup(num_patients=128, mask_fraction=0.0, dropout=0.0)
+    graph = bundle.graph
+
+    full = Trainer(
+        build_model(cfg, graph), graph,
+        EdgeMasker(graph, seed=3, host_edges=bundle.patient_lab_host()), cfg,
+    )
+    mini = MiniBatchTrainer(
+        build_model(cfg, graph), bundle,
+        EdgeMasker(graph, seed=3, host_edges=bundle.patient_lab_host()), cfg,
+        num_clusters=1,
+    )
+    for _ in range(3):
+        lf = full.train_epoch()
+        full.epoch += 1
+        lm = mini.train_epoch()
+        mini.epoch += 1
+        np.testing.assert_allclose(lm, lf, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        mini.validate("val"), full.validate("val"), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        mini.predict("test"), full.predict("test"), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_k4_trains_and_evaluates():
+    cfg, bundle = _setup(num_patients=600)
+    mini = MiniBatchTrainer(
+        build_model(cfg, bundle.graph), bundle,
+        EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host()),
+        cfg, num_clusters=4,
+    )
+    losses = []
+    for _ in range(15):
+        losses.append(mini.train_epoch())
+        mini.epoch += 1
+    assert np.isfinite(losses).all()
+    assert min(losses[5:]) < losses[0]
+    v = mini.validate("val")
+    assert np.isfinite(v)
+    p, _, _ = mini.masker.split_arrays("test")
+    preds = mini.predict("test")
+    assert preds.shape == (len(p),)
+    assert np.isfinite(preds).all()
+
+
+def test_value_context_rejected():
+    cfg, bundle = _setup()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, extras={"value_context": True})
+    )
+    with pytest.raises(NotImplementedError, match="value_context"):
+        MiniBatchTrainer(
+            build_model(cfg, bundle.graph), bundle,
+            EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host()),
+            cfg, num_clusters=2,
+        )
