@@ -13,6 +13,7 @@ import logging
 from pathlib import Path
 from typing import Optional, Tuple, Union
 
+import numpy as np
 import pandas as pd
 
 logger = logging.getLogger(__name__)
@@ -97,8 +98,16 @@ class MIMICLoader:
     ) -> pd.DataFrame:
         """Stream LABEVENTS in chunks, keeping only numeric events of cohort
         patients — bounds peak memory to one chunk instead of the whole 27M-row
-        table (reference's chunked path, src/io_mimic.py:205-250)."""
+        table (reference's chunked path, src/io_mimic.py:205-250).
+
+        With the native library built (``make -C native``) and a CSV source,
+        the whole scan runs in C++ (zlib-streamed, quote-aware, cohort- and
+        notna-filtered in one pass) and only the kept rows ever materialize.
+        """
         ids = set(int(s) for s in cohort_subject_ids)
+        native_df = self._native_labevents_scan(ids) if self.source == "csv" else None
+        if native_df is not None:
+            return native_df
         kept = []
         total = 0
         for chunk in self.load_labevents(chunksize=chunksize):
@@ -115,6 +124,55 @@ class MIMICLoader:
         logger.info(
             "Chunked LABEVENTS ingest: kept %d/%d rows for %d cohort patients",
             len(out), total, len(ids),
+        )
+        return out
+
+    def _native_labevents_scan(self, ids) -> Optional[pd.DataFrame]:
+        """C++ one-pass LABEVENTS scan (native/graphcore.cpp labevents_scan);
+        None when the library or the file is unavailable (pandas fallback)."""
+        from multi_modal_gnn_tpu import native
+
+        if not native.available():
+            return None
+        path = None
+        for candidate in ("LABEVENTS", "labevents"):
+            for suffix in (".csv", ".csv.gz"):
+                p = self.data_dir / f"{candidate}{suffix}"
+                if p.exists():
+                    path = p
+                    break
+            if path:
+                break
+        if path is None:
+            return None
+        import gzip
+
+        opener = gzip.open if path.suffix == ".gz" else open
+        with opener(path, "rt") as f:
+            header = [c.strip().strip('"').upper() for c in f.readline().strip().split(",")]
+        try:
+            cols = {c: header.index(c) for c in ("SUBJECT_ID", "ITEMID", "VALUENUM")}
+        except ValueError:
+            return None  # unexpected schema; let pandas handle it
+        col_time = header.index("CHARTTIME") if "CHARTTIME" in header else -1
+        res = native.labevents_scan(
+            path, cols["SUBJECT_ID"], cols["ITEMID"], cols["VALUENUM"],
+            col_time, np.fromiter(ids, dtype=np.int64, count=len(ids)),
+        )
+        if res is None:
+            return None
+        subj, item, val, time_s = res
+        out = pd.DataFrame(
+            {"SUBJECT_ID": subj, "ITEMID": item, "VALUENUM": val}
+        )
+        if col_time >= 0:
+            out["CHARTTIME"] = pd.to_datetime(
+                np.where(time_s >= 0, time_s, 0), unit="s"
+            )
+            out.loc[time_s < 0, "CHARTTIME"] = pd.NaT
+        logger.info(
+            "Native LABEVENTS scan: kept %d rows for %d cohort patients (%s)",
+            len(out), len(ids), path.name,
         )
         return out
 

@@ -54,6 +54,19 @@ def _load() -> Optional[ctypes.CDLL]:
             _i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, _i32p, _i32p, _i32p,
         ]
+        lib.labevents_scan.restype = ctypes.c_void_p
+        lib.labevents_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, _i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.labevents_fetch.restype = None
+        lib.labevents_fetch.argtypes = [
+            ctypes.c_void_p, _i32p, _i32p,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"), _i64p,
+        ]
+        lib.labevents_free.restype = None
+        lib.labevents_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         logger.info("Loaded native graphcore from %s", _LIB_PATH)
     except OSError as exc:  # pragma: no cover - load failure fallback
@@ -144,3 +157,35 @@ def window_plan(
         return None
     num_windows = max((num_dst + window - 1) // window, 1)
     return win_src, win_local, tile_map[:n_tiles], num_windows
+
+
+def labevents_scan(path, col_subj: int, col_item: int, col_val: int,
+                   col_time: int, ids) -> Optional[tuple]:
+    """Single-pass native scan of a LABEVENTS CSV(.gz): rows with numeric
+    VALUENUM and SUBJECT_ID in ``ids`` (empty = all).  Returns
+    (subject int32, item int32, value float64, charttime_epoch_s int64 with
+    -1 = missing), or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(np.sort(np.asarray(ids, dtype=np.int64)))
+    n_out = ctypes.c_int64()
+    handle = lib.labevents_scan(
+        str(path).encode(), col_subj, col_item, col_val, col_time,
+        ids, len(ids), ctypes.byref(n_out),
+    )
+    n = n_out.value
+    if handle is None or n < 0:
+        if handle is not None:
+            lib.labevents_free(handle)
+        return None
+    try:
+        subj = np.empty(n, dtype=np.int32)
+        item = np.empty(n, dtype=np.int32)
+        val = np.empty(n, dtype=np.float64)
+        time = np.empty(n, dtype=np.int64)
+        if n:
+            lib.labevents_fetch(handle, subj, item, val, time)
+    finally:
+        lib.labevents_free(handle)
+    return subj, item, val, time

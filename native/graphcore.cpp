@@ -13,8 +13,13 @@
 // Build: make -C native   (produces libgraphcore.so)
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
+
+#include <zlib.h>
 
 extern "C" {
 
@@ -160,5 +165,137 @@ int window_plan(
     }
     return static_cast<int>(tile);
 }
+
+// ---------------------------------------------------------------------------
+// Streaming LABEVENTS CSV scanner (plain or gzip via zlib; gzopen reads both
+// transparently).  One pass over a 27M-row table extracting only the columns
+// the preprocessing pipeline consumes — SUBJECT_ID, ITEMID, VALUENUM,
+// CHARTTIME — filtered to a cohort id set and to numeric VALUENUM, replacing
+// the pandas chunk loop (reference behavior: src/io_mimic.py:205-250).
+// Quote-aware field splitting; CHARTTIME parsed as epoch seconds (-1 = NaT).
+// ---------------------------------------------------------------------------
+
+struct LabScan {
+    std::vector<int32_t> subj, item;
+    std::vector<double> val;
+    std::vector<int64_t> time;
+};
+
+static inline int64_t days_from_civil(int64_t y, int64_t m, int64_t d) {
+    y -= m <= 2;
+    const int64_t era = (y >= 0 ? y : y - 399) / 400;
+    const int64_t yoe = y - era * 400;
+    const int64_t doy = (153 * (m + (m > 2 ? -3 : 9)) + 2) / 5 + d - 1;
+    const int64_t doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
+    return era * 146097 + doe - 719468;
+}
+
+static inline int64_t parse_charttime(const char* s, int64_t len) {
+    // fixed "YYYY-MM-DD HH:MM:SS" (MIMIC export format); anything else -> -1
+    if (len < 19) return -1;
+    int y, mo, d, h, mi, se;
+    if (std::sscanf(s, "%4d-%2d-%2d %2d:%2d:%2d", &y, &mo, &d, &h, &mi, &se) != 6)
+        return -1;
+    return days_from_civil(y, mo, d) * 86400 + h * 3600 + mi * 60 + se;
+}
+
+static inline bool id_member(const int64_t* ids, int64_t n, int64_t x) {
+    if (n == 0) return true;  // empty set = keep all
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (ids[mid] < x) lo = mid + 1; else hi = mid;
+    }
+    return lo < n && ids[lo] == x;
+}
+
+void* labevents_scan(
+    const char* path,
+    int col_subj, int col_item, int col_val, int col_time,  // 0-based; time < 0 ok
+    const int64_t* ids_sorted, int64_t n_ids,
+    int64_t* n_out
+) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) { *n_out = -1; return nullptr; }
+    auto* out = new LabScan();
+    std::string line;
+    char buf[1 << 16];
+    int maxcol = col_subj;
+    if (col_item > maxcol) maxcol = col_item;
+    if (col_val > maxcol) maxcol = col_val;
+    if (col_time > maxcol) maxcol = col_time;
+    bool first = true;
+    const char* starts[256];
+    int64_t lens[256];
+    while (gzgets(f, buf, sizeof(buf)) != nullptr) {
+        line += buf;
+        if (line.empty() || line.back() != '\n') {
+            if (!gzeof(f)) continue;  // long line: keep accumulating
+        }
+        if (first) { first = false; line.clear(); continue; }  // header
+        // quote-aware split into fields 0..maxcol
+        int col = 0;
+        bool inq = false;
+        const char* p = line.c_str();
+        const char* field = p;
+        starts[0] = p;
+        for (;; ++p) {
+            char c = *p;
+            if (c == '"') { inq = !inq; continue; }
+            if ((c == ',' && !inq) || c == '\n' || c == '\r' || c == '\0') {
+                if (col <= maxcol && col < 256) lens[col] = p - field;
+                ++col;
+                if (c != ',' || col > maxcol + 1) break;
+                field = p + 1;
+                if (col < 256) starts[col] = field;
+            }
+        }
+        if (col > maxcol) {
+            char tmp[64];
+            // SUBJECT_ID
+            int64_t sl = lens[col_subj] < 63 ? lens[col_subj] : 63;
+            std::memcpy(tmp, starts[col_subj], sl); tmp[sl] = 0;
+            char* end;
+            long long sid = std::strtoll(tmp, &end, 10);
+            if (end != tmp && id_member(ids_sorted, n_ids, sid)) {
+                // VALUENUM: must parse fully as a number (notna filter)
+                int64_t vl = lens[col_val] < 63 ? lens[col_val] : 63;
+                std::memcpy(tmp, starts[col_val], vl); tmp[vl] = 0;
+                double v = std::strtod(tmp, &end);
+                if (vl > 0 && end == tmp + vl) {
+                    int64_t il = lens[col_item] < 63 ? lens[col_item] : 63;
+                    std::memcpy(tmp, starts[col_item], il); tmp[il] = 0;
+                    long long iid = std::strtoll(tmp, &end, 10);
+                    if (end != tmp) {
+                        out->subj.push_back(static_cast<int32_t>(sid));
+                        out->item.push_back(static_cast<int32_t>(iid));
+                        out->val.push_back(v);
+                        out->time.push_back(
+                            col_time >= 0
+                                ? parse_charttime(starts[col_time], lens[col_time])
+                                : -1
+                        );
+                    }
+                }
+            }
+        }
+        line.clear();
+    }
+    gzclose(f);
+    *n_out = static_cast<int64_t>(out->subj.size());
+    return out;
+}
+
+void labevents_fetch(
+    void* handle, int32_t* subj, int32_t* item, double* val, int64_t* time_out
+) {
+    auto* s = static_cast<LabScan*>(handle);
+    std::memcpy(subj, s->subj.data(), s->subj.size() * sizeof(int32_t));
+    std::memcpy(item, s->item.data(), s->item.size() * sizeof(int32_t));
+    std::memcpy(val, s->val.data(), s->val.size() * sizeof(double));
+    std::memcpy(time_out, s->time.data(), s->time.size() * sizeof(int64_t));
+}
+
+void labevents_free(void* handle) { delete static_cast<LabScan*>(handle); }
 
 }  // extern "C"

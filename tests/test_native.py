@@ -116,3 +116,60 @@ def test_native_sort_faster_at_scale(rng):
     numpy_t = time.perf_counter() - t0
     # counting sort should comfortably beat comparison sort at this size
     assert native_t < numpy_t, (native_t, numpy_t)
+
+
+class TestLabeventsScan:
+    """Native one-pass LABEVENTS CSV scanner vs the pandas chunk path."""
+
+    def _write_csv(self, path, gz=False):
+        import gzip
+
+        rows = [
+            "ROW_ID,SUBJECT_ID,HADM_ID,ITEMID,CHARTTIME,VALUE,VALUENUM,VALUEUOM,FLAG",
+            '1,10,100,50,2101-03-02 08:15:30,"7.4",7.4,pH,',
+            '2,10,100,51,2101-03-02 09:00:00,"GREATER, THAN 50",,mg/dL,abnormal',
+            "3,11,101,50,2101-03-03 10:30:00,5.5,5.5,pH,",
+            "4,99,102,52,2101-03-04 11:00:00,3.3,3.3,,",
+            "5,11,101,52,,2.2,2.2,,",
+            "6,10,100,50,2101-03-05 01:02:03,8.1,8.1,pH,",
+        ]
+        data = ("\n".join(rows) + "\n").encode()
+        if gz:
+            with gzip.open(path, "wb") as f:
+                f.write(data)
+        else:
+            path.write_bytes(data)
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_matches_pandas_path(self, tmp_path, gz):
+        if not native.available():
+            pytest.skip("native library not built")
+        import pandas as pd
+
+        from multi_modal_gnn_tpu.data.mimic import MIMICLoader
+
+        name = "LABEVENTS.csv.gz" if gz else "LABEVENTS.csv"
+        self._write_csv(tmp_path / name, gz=gz)
+        loader = MIMICLoader(data_dir=tmp_path)
+        cohort = [10, 11]
+
+        got = loader.load_labevents_for_cohort(cohort)
+        # force the pandas fallback for comparison
+        import unittest.mock as mock
+
+        with mock.patch.object(loader, "_native_labevents_scan", return_value=None):
+            want = loader.load_labevents_for_cohort(cohort, chunksize=2)
+
+        assert len(got) == 4  # row 2 dropped (empty VALUENUM), row 4 (id 99)
+        for col in ("SUBJECT_ID", "ITEMID"):
+            np.testing.assert_array_equal(
+                got[col].to_numpy(), want[col].to_numpy().astype(np.int64)
+            )
+        np.testing.assert_allclose(
+            got["VALUENUM"].to_numpy(), want["VALUENUM"].to_numpy()
+        )
+        # CHARTTIME parsed to the same instants (NaT where missing)
+        w = pd.to_datetime(want["CHARTTIME"])
+        assert got["CHARTTIME"].isna().tolist() == w.isna().tolist()
+        ok = ~w.isna()
+        assert (got["CHARTTIME"][ok] == w[ok]).all()
