@@ -697,7 +697,20 @@ def train_pipeline(
     logger.info("Edge splits: %s", masker.split_sizes())
 
     model = build_model(config, graph)
-    trainer = Trainer(model, graph, masker, config)
+    # mini-batch (cluster-partitioned) training: explicit train.num_clusters,
+    # or derived from the reference's batch_size knob (which the reference
+    # itself never implemented — src/train.py trains full-batch regardless)
+    n_clusters = max(int(tc.extras.get("num_clusters", 1) or 1), 1)
+    if tc.batch_size:
+        n_train = masker.split_sizes()["train"]
+        n_clusters = max(n_clusters, -(-n_train // int(tc.batch_size)))
+    if n_clusters > 1:
+        from multi_modal_gnn_tpu.training.minibatch import MiniBatchTrainer
+
+        logger.info("Mini-batch training over %d patient clusters", n_clusters)
+        trainer = MiniBatchTrainer(model, bundle, masker, config, num_clusters=n_clusters)
+    else:
+        trainer = Trainer(model, graph, masker, config)
     trainer.fit(
         output_dir=output_dir,
         resume_from=resume_from,

@@ -135,3 +135,19 @@ def test_value_context_rejected():
             EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host()),
             cfg, num_clusters=2,
         )
+
+
+def test_pipeline_batch_size_routes_to_minibatch(tmp_path):
+    """train_pipeline honors the reference's batch_size knob (which the
+    reference itself never implemented) by deriving a cluster count."""
+    from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
+    cfg, bundle = _setup(num_patients=300)
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, epochs=4, batch_size=400)
+    )
+    trainer, results = train_pipeline(cfg, bundle, tmp_path)
+    assert isinstance(trainer, MiniBatchTrainer)
+    assert trainer.num_clusters >= 2
+    assert np.isfinite(results["test_loss"])
+    assert (tmp_path / "training_history.json").exists()
