@@ -97,6 +97,7 @@ def pad_edge_set(
     sort_by_dst: bool = True,
     return_host: bool = False,
     dense_max_bytes: int = 0,
+    as_numpy: bool = False,
 ):
     """Build an :class:`EdgeSet` from host COO arrays (vectorized, no loops).
 
@@ -151,17 +152,21 @@ def pad_edge_set(
         src, dst, num_dst, row_ptr=row_ptr
     )
     dense = build_dense_adjacency(src, dst, num_src, num_dst, counts, dense_max_bytes)
+    # as_numpy: leave leaves host-resident (numpy) — jit transfers them per
+    # call.  Used by the mini-batch trainer's host_resident mode so only the
+    # in-flight cluster's edge arrays ever occupy HBM.
+    place = np.ascontiguousarray if as_numpy else jnp.asarray
     es = EdgeSet(
-        src=jnp.asarray(src_p),
-        dst=jnp.asarray(dst_p),
-        mask=jnp.asarray(mask_p),
-        val=jnp.asarray(val_p) if val_p is not None else None,
-        dst_count=jnp.asarray(counts),
-        row_ptr=jnp.asarray(row_ptr),
-        win_src=jnp.asarray(win_src),
-        win_local=jnp.asarray(win_local),
-        win_tile_map=jnp.asarray(win_tile_map),
-        dense_adj=jnp.asarray(dense) if dense is not None else None,
+        src=place(src_p),
+        dst=place(dst_p),
+        mask=place(mask_p),
+        val=place(val_p) if val_p is not None else None,
+        dst_count=place(counts),
+        row_ptr=place(row_ptr),
+        win_src=place(win_src),
+        win_local=place(win_local),
+        win_tile_map=place(win_tile_map),
+        dense_adj=place(dense) if dense is not None else None,
         num_valid=e,
         num_src=int(num_src),
         num_dst=int(num_dst),

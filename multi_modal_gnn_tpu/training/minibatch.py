@@ -74,6 +74,7 @@ def build_patient_clusters(
     config: Config,
     num_clusters: int,
     lab_weights: Optional[np.ndarray] = None,
+    host_resident: bool = False,
 ) -> ClusterData:
     """Partition the graph into ``num_clusters`` patient-range subgraphs.
 
@@ -81,6 +82,12 @@ def build_patient_clusters(
     max cluster size per relation), so one compiled train step serves every
     cluster.  Patient indices past the global count (range padding in the
     last cluster) are edge-free and clamp in the embedding lookup.
+
+    ``host_resident``: keep every cluster's edge arrays as numpy — jit
+    transfers the in-flight cluster per step, so device memory holds ONE
+    cluster's graph (plus the global node tables) instead of all K.  This is
+    the mode for edge sets that exceed HBM; the transfer overlaps with the
+    previous step's compute under JAX's async dispatch.
     """
     graph = bundle.graph
     counts = graph.node_count_map
@@ -116,21 +123,26 @@ def build_patient_clusters(
             edges[et] = pad_edge_set(
                 s_loc, d, num_src=size, num_dst=d_count, val=v,
                 pad_multiple=pad_to, dense_max_bytes=dense_budget,
+                as_numpy=host_resident,
             )
             edges[reverse_edge_type(et)] = pad_edge_set(
                 d, s_loc, num_src=d_count, num_dst=size, val=None,
                 pad_multiple=pad_to, dense_max_bytes=dense_budget,
+                as_numpy=host_resident,
             )
         pl_rows = per_rel[PATIENT_LAB][3][k]
         pl_src_loc = np.asarray(per_rel[PATIENT_LAB][0])[pl_rows] - base
         degree = np.bincount(pl_src_loc, minlength=size).astype(np.int32)
         node_counts = dict(counts)
         node_counts[PATIENT] = size
+        arr = (lambda x, dt=None: np.asarray(x, dt)) if host_resident else (
+            lambda x, dt=None: jnp.asarray(x, dt)
+        )
         subgraphs.append(
             HeteroGraph(
                 edges=edges,
-                patient_lab_degree=jnp.asarray(degree),
-                patient_id_base=jnp.asarray(base, jnp.int32),
+                patient_lab_degree=arr(degree),
+                patient_id_base=arr(base, np.int32 if host_resident else jnp.int32),
                 node_counts=tuple(sorted(node_counts.items())),
             )
         )
@@ -194,6 +206,7 @@ class MiniBatchTrainer(Trainer):
         masker: EdgeMasker,
         config: Config,
         num_clusters: int,
+        host_resident: bool = False,
         **kw,
     ):
         if num_clusters < 1:
@@ -204,6 +217,7 @@ class MiniBatchTrainer(Trainer):
                 "full-batch Trainer (or GSPMDTrainer) for value-context models"
             )
         self.num_clusters = num_clusters
+        self.host_resident = host_resident
         self._bundle = bundle
         self._cluster_data: Optional[ClusterData] = None
         super().__init__(model, bundle.graph, masker, config, **kw)
@@ -213,6 +227,7 @@ class MiniBatchTrainer(Trainer):
             self._cluster_data = build_patient_clusters(
                 self._bundle, self.masker, self.config, self.num_clusters,
                 lab_weights=np.asarray(self.lab_weights),
+                host_resident=self.host_resident,
             )
         return self._cluster_data
 

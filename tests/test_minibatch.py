@@ -151,3 +151,32 @@ def test_pipeline_batch_size_routes_to_minibatch(tmp_path):
     assert trainer.num_clusters >= 2
     assert np.isfinite(results["test_loss"])
     assert (tmp_path / "training_history.json").exists()
+
+
+def test_host_resident_matches_device_resident():
+    """host_resident keeps cluster arrays as numpy (jit transfers per step);
+    numerics must be identical to device-resident clusters."""
+    cfg, bundle = _setup(num_patients=300, mask_fraction=0.0, dropout=0.0)
+
+    def run(host):
+        mini = MiniBatchTrainer(
+            build_model(cfg, bundle.graph), bundle,
+            EdgeMasker(bundle.graph, seed=1, host_edges=bundle.patient_lab_host()),
+            cfg, num_clusters=3, host_resident=host,
+        )
+        losses = [mini.train_epoch() for _ in range(2)]
+        return losses, mini.validate("val")
+
+    (l_dev, v_dev) = run(False)
+    (l_host, v_host) = run(True)
+    np.testing.assert_allclose(l_host, l_dev, rtol=1e-6)
+    np.testing.assert_allclose(v_host, v_dev, rtol=1e-6)
+    # and the host-resident subgraphs really are numpy
+    mini = MiniBatchTrainer(
+        build_model(cfg, bundle.graph), bundle,
+        EdgeMasker(bundle.graph, seed=1, host_edges=bundle.patient_lab_host()),
+        cfg, num_clusters=3, host_resident=True,
+    )
+    cd = mini._ensure_clusters()
+    assert isinstance(np.asarray(cd.subgraphs[0].edges[PATIENT_LAB].src), np.ndarray)
+    assert type(cd.subgraphs[0].edges[PATIENT_LAB].src) is np.ndarray
