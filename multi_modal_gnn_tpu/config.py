@@ -157,6 +157,12 @@ class GraphConfig:
     # every tabular-head tile instead of ~70% (PERFORMANCE.md).  Off matches
     # the reference's first-seen order exactly.
     cluster_patients_by_degree: bool = True
+    # TPU-specific layout knob (no semantic effect): index labs in DESCENDING
+    # edge-frequency order so popular labs share the leading table blocks.
+    # Only useful together with the opt-in span-bounded lab tiles
+    # (EdgeMasker lab_block_rows; PERFORMANCE.md "negative results") — off by
+    # default so the default layout matches first-seen (reference) order.
+    cluster_labs_by_frequency: bool = False
     extras: Dict[str, Any] = field(default_factory=dict)
 
     @staticmethod

@@ -155,6 +155,14 @@ def build_heterogeneous_graph(
         key = cohort["SUBJECT_ID"].map(deg).fillna(0).to_numpy()
         cohort = cohort.iloc[np.argsort(key, kind="stable")]
     indexers[PATIENT].add_many(cohort["SUBJECT_ID"].to_numpy())
+    if config.graph.cluster_labs_by_frequency and len(labs):
+        # same layout trick for LABS: index by DESCENDING edge frequency so
+        # the popular labs share the leading 128-row table blocks — with
+        # slots lab-sorted per window (graph/hetero.py slot-major regroup)
+        # most kernel tiles then address one narrow lab block instead of the
+        # whole table.  Pure relabeling, like the patient ordering above.
+        freq = labs["ITEMID"].value_counts()  # sorted descending by count
+        indexers[LAB].add_many(freq.index.to_numpy())
     indexers[LAB].add_many(labs["ITEMID"].to_numpy())
     if len(diagnoses):
         indexers[DIAGNOSIS].add_many(diagnoses["ICD3_CODE"].to_numpy())

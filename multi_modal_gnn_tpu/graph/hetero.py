@@ -274,6 +274,14 @@ class GatherPlan(struct.PyTreeNode):
     # trace-measured at ~45 ms per 3.9M x 64 random gather — disappears and
     # the cotangent feeds the segment kernel directly.
     identity: bool = struct.field(pytree_node=False, default=False)
+    # span-bounded lab tiles (regroup_slots_by_lab_block): every tile's labs
+    # live in ONE lab_block_rows-row block of the lab table, so the pair-head
+    # kernel's dominant [TILE_E, num_labs] one-hot gather narrows to
+    # [TILE_E, lab_block_rows].  lab_block_map[t] = that tile's block;
+    # lab_block_zero[t] = 1 on each block's first visit (accumulator zeroing).
+    lab_block_map: Optional[jax.Array] = None  # int32 [E_win / TILE_E]
+    lab_block_zero: Optional[jax.Array] = None  # int32 [E_win / TILE_E]
+    lab_block_rows: int = struct.field(pytree_node=False, default=0)
 
 
 def build_gather_plan(idx: np.ndarray, num_rows: int) -> "GatherPlan":
@@ -290,6 +298,115 @@ def build_gather_plan(idx: np.ndarray, num_rows: int) -> "GatherPlan":
         num_windows=num_windows,
         num_rows=int(num_rows),
     )
+
+
+def regroup_slots_by_lab_block(
+    win_local: np.ndarray,
+    win_tile_map: np.ndarray,
+    lab_idx: np.ndarray,
+    num_labs: int,
+    block_rows: int = WINDOW,
+):
+    """Split each patient window's slot run into per-lab-block tile groups.
+
+    Input: a slot-major layout (arrays in GatherPlan slot order).  Output: a
+    slot permutation-with-padding such that every TILE_E tile's REAL slots
+    address labs inside ONE ``block_rows``-row aligned block of the lab
+    table — the contract the pair-head kernel's narrow lab path needs.  With
+    labs indexed by descending frequency (graph build) the inflation is
+    small: most of a window's mass lands in block 0.
+
+    Returns (slot_moves, new_len, local2, tile_map2, lab_block_map,
+    lab_block_zero): ``slot_moves[old_slot]`` is the new slot of each REAL
+    old slot (-1 for old padding); callers re-lay their per-slot arrays with
+    it (new padding slots carry local == WINDOW / zeros).
+    """
+    win_local = np.asarray(win_local)
+    win_tile_map = np.asarray(win_tile_map)
+    lab_idx = np.asarray(lab_idx)
+    e_win = len(win_local)
+    num_tiles = e_win // TILE_E
+    real = win_local < WINDOW
+
+    # window boundaries: tiles of one window are contiguous
+    slot_window = np.repeat(win_tile_map, TILE_E)
+    # groups keyed by (window, lab block) — order within a window: by block
+    blocks = lab_idx // block_rows
+    # count group sizes to lay out the output
+    starts = {}
+    out_len = 0
+    tile_blocks = []
+    tile_windows = []
+    order = np.lexsort((np.arange(e_win), blocks, slot_window))  # stable
+    order = order[real[order]]  # real slots, grouped by (window, block)
+    g_win = slot_window[order]
+    g_blk = blocks[order]
+    # group boundaries
+    if len(order):
+        cut = np.nonzero((np.diff(g_win) != 0) | (np.diff(g_blk) != 0))[0] + 1
+        bounds = np.concatenate([[0], cut, [len(order)]])
+    else:
+        bounds = np.array([0, 0])
+    slot_moves = np.full(e_win, -1, dtype=np.int64)
+    seg_list = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        if hi == lo:
+            continue
+        n = hi - lo
+        padded = -(-n // TILE_E) * TILE_E
+        slot_moves[order[lo:hi]] = out_len + np.arange(n)
+        seg_list.append((out_len, n, padded))
+        tile_blocks += [int(g_blk[lo])] * (padded // TILE_E)
+        tile_windows += [int(g_win[lo])] * (padded // TILE_E)
+        out_len += padded
+    # windows with no real slots still need their (padding) tiles so the
+    # window sequence stays monotone for the dprojp first-tile zeroing
+    seen_windows = set(tile_windows)
+    for w in range(int(win_tile_map.max()) + 1 if num_tiles else 0):
+        if w not in seen_windows:
+            tile_blocks.append(0)
+            tile_windows.append(w)
+            out_len += TILE_E
+    # re-sort tiles by window (insertions above appended at the end)
+    t_order = np.argsort(np.asarray(tile_windows), kind="stable")
+    if not np.array_equal(t_order, np.arange(len(t_order))):
+        # remap slot_moves through the tile permutation
+        tile_new_pos = np.empty(len(t_order), dtype=np.int64)
+        tile_new_pos[t_order] = np.arange(len(t_order))
+        old_tile = slot_moves // TILE_E
+        off = slot_moves % TILE_E
+        m = slot_moves >= 0
+        slot_moves[m] = tile_new_pos[old_tile[m]] * TILE_E + off[m]
+        tile_blocks = list(np.asarray(tile_blocks)[t_order])
+        tile_windows = list(np.asarray(tile_windows)[t_order])
+
+    # every lab-table block must be visited at least once, or its rows of
+    # the kernel's block-revisited gradient accumulator would never be
+    # zeroed.  Append one all-padding tile per missing block, carrying the
+    # LAST window id so the window-first dprojp zeroing sees no new window.
+    labs_pad = -(-max(num_labs, 1) // 128) * 128
+    blocks_total = -(-labs_pad // block_rows)
+    present = set(int(b) for b in tile_blocks)
+    last_w = int(tile_windows[-1]) if tile_windows else 0
+    for b in range(blocks_total):
+        if b not in present:
+            tile_blocks = list(tile_blocks) + [b]
+            tile_windows = list(tile_windows) + [last_w]
+            out_len += TILE_E
+
+    lab_block_map = np.asarray(tile_blocks, dtype=np.int32)
+    tile_map2 = np.asarray(tile_windows, dtype=np.int32)
+    first = np.zeros(len(lab_block_map), dtype=np.int32)
+    seen = set()
+    for t, b in enumerate(lab_block_map):
+        if int(b) not in seen:
+            seen.add(int(b))
+            first[t] = 1
+    local2 = np.full(out_len, WINDOW, dtype=np.int32)
+    m = slot_moves >= 0
+    local2[slot_moves[m]] = win_local[m]
+    return slot_moves, out_len, local2, tile_map2, lab_block_map, first
 
 
 class HeteroGraph(struct.PyTreeNode):

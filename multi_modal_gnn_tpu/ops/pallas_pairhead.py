@@ -65,10 +65,10 @@ def _gather_rows(table, idx, dtype):
 
 
 def _fwd_kernel(
-    tm_ref, seed_ref, mask_ref, local_ref, lab_ref,
+    tm_ref, seed_ref, mask_ref, lb_ref, local_ref, lab_ref,
     projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref,
-    *, rate: float,
+    *, rate: float, lbr: int,
 ):
     t = pl.program_id(0)
 
@@ -86,7 +86,12 @@ def _fwd_kernel(
         # in-window patient gather: [TILE_E, H0] rows of the (WINDOW, H0) block;
         # padding slots (local == WINDOW) match no indicator column -> zero rows
         p_rows = _gather_rows(projp_ref[:], local_ref[:], dt)
-        l_rows = _gather_rows(projl_ref[:], lab_ref[:], dt)
+        # span-bounded lab tiles (lbr > 0): projl_ref is this tile's single
+        # lbr-row block of the lab table; gather by block-local id.  Ids
+        # outside the block (only padding slots, by the regroup contract)
+        # match no indicator column -> zero rows.
+        lab_local = lab_ref[:] - lb_ref[t] * lbr if lbr else lab_ref[:]
+        l_rows = _gather_rows(projl_ref[:], lab_local, dt)
         pre0 = p_rows + l_rows
         h0 = jnp.maximum(pre0, 0.0)
         if rate > 0.0:
@@ -107,10 +112,10 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    tm_ref, seed_ref, mask_ref, local_ref, lab_ref, go_ref,
+    tm_ref, seed_ref, mask_ref, lb_ref, zb_ref, local_ref, lab_ref, go_ref,
     projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dprojp_ref, dprojl_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-    *, rate: float,
+    *, rate: float, lbr: int,
 ):
     t = pl.program_id(0)
 
@@ -126,11 +131,21 @@ def _bwd_kernel(
     # grid-wide accumulators: zero once
     @pl.when(t == 0)
     def _():
-        dprojl_ref[:] = jnp.zeros_like(dprojl_ref)
         dw1_ref[:] = jnp.zeros_like(dw1_ref)
         db1_ref[:] = jnp.zeros_like(db1_ref)
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
         db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    if lbr:
+        # block-revisited lab-grad accumulator: zero each block on its FIRST
+        # visit across the grid (lab_block_zero, computed at plan build)
+        @pl.when(zb_ref[t] == 1)
+        def _():
+            dprojl_ref[:] = jnp.zeros_like(dprojl_ref)
+    else:
+        @pl.when(t == 0)
+        def _():
+            dprojl_ref[:] = jnp.zeros_like(dprojl_ref)
 
     # degree-predicated tiles contribute exactly zero gradient (their real
     # slots' cotangents are zero through the gate), so the body is skipped
@@ -140,7 +155,8 @@ def _bwd_kernel(
         in_dt = projp_ref.dtype
         # --- recompute forward (same PRNG stream as _fwd_kernel) ---
         p_rows = _gather_rows(projp_ref[:], local_ref[:], in_dt)
-        l_rows = _gather_rows(projl_ref[:], lab_ref[:], in_dt)
+        lab_local = lab_ref[:] - lb_ref[t] * lbr if lbr else lab_ref[:]
+        l_rows = _gather_rows(projl_ref[:], lab_local, in_dt)
         pre0 = p_rows + l_rows
         h0 = jnp.maximum(pre0, 0.0)
         if rate > 0.0:
@@ -192,10 +208,10 @@ def _bwd_kernel(
         s_local = (local_ref[:].reshape(1, TILE_E) == rows).astype(in_dt)
         dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
 
-        # d_proj_l: scatter-by-lab into the VMEM-resident table accumulator
+        # d_proj_l: scatter-by-lab into the (block or full) table accumulator
         s_pad = dprojl_ref.shape[0]
         p_lab_t = (
-            lab_ref[:].reshape(1, TILE_E)
+            lab_local.reshape(1, TILE_E)
             == jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_E), 0)
         ).astype(in_dt)
         dprojl_ref[:] += jnp.dot(p_lab_t, dpre0, preferred_element_type=jnp.float32)
@@ -206,44 +222,54 @@ def _pad_rows(x, rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_windows", "rate", "interpret")
+    jax.jit, static_argnames=("num_windows", "rate", "interpret", "lbr")
 )
 def _fused_fwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    tile_mask, num_windows, rate, interpret,
+    tile_mask, lab_block_map, num_windows, rate, interpret, lbr,
 ):
     e_win = win_local.shape[0]
     num_tiles = e_win // TILE_E
     if tile_mask is None:
         tile_mask = jnp.ones((num_tiles,), jnp.int32)
+    if lab_block_map is None:
+        lab_block_map = jnp.zeros((num_tiles,), jnp.int32)
     h0 = proj_p.shape[1]
     h1 = w1.shape[1]
     labs_pad = ((proj_l.shape[0] + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
     proj_p = _pad_rows(proj_p, num_windows * WINDOW)
     proj_l = _pad_rows(proj_l, labs_pad)
+    # lbr > 0: per-tile narrow lab-table block (span-bounded tiles) instead
+    # of the whole table — cuts the dominant one-hot gather FLOPs by
+    # labs_pad / lbr
+    l_rows_spec = (
+        pl.BlockSpec((lbr, h0), lambda t, tm, sd, mk, lb: (lb[t], 0))
+        if lbr
+        else pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk, lb: (0, 0))
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # win_tile_map, seed, tile_mask
+        num_scalar_prefetch=4,  # win_tile_map, seed, tile_mask, lab_block_map
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
-            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk: (tm[t], 0)),
-            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb: (t,)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk, lb: (tm[t], 0)),
+            l_rows_spec,
+            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd, mk, lb: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
+        out_specs=pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb: (t,)),
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, rate=rate),
+        functools.partial(_fwd_kernel, rate=rate, lbr=lbr),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((e_win,), jnp.float32),
         interpret=interpret,
     )(
-        win_tile_map, seed, tile_mask, win_local, lab_idx,
+        win_tile_map, seed, tile_mask, lab_block_map, win_local, lab_idx,
         proj_p, proj_l, w1, b1.reshape(1, -1), w2.reshape(1, -1),
         b2.reshape(1, 1),
     )
@@ -251,16 +277,21 @@ def _fused_fwd(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_windows", "rate", "interpret")
+    jax.jit, static_argnames=("num_windows", "rate", "interpret", "lbr")
 )
 def _fused_bwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    tile_mask, g_out, num_windows, rate, interpret,
+    tile_mask, lab_block_map, lab_block_zero, g_out,
+    num_windows, rate, interpret, lbr,
 ):
     e_win = win_local.shape[0]
     num_tiles = e_win // TILE_E
     if tile_mask is None:
         tile_mask = jnp.ones((num_tiles,), jnp.int32)
+    if lab_block_map is None:
+        lab_block_map = jnp.zeros((num_tiles,), jnp.int32)
+    if lab_block_zero is None:
+        lab_block_zero = jnp.zeros((num_tiles,), jnp.int32)
     h0 = proj_p.shape[1]
     h1 = w1.shape[1]
     num_p = proj_p.shape[0]
@@ -268,32 +299,37 @@ def _fused_bwd(
     labs_pad = ((num_l + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
     proj_p_pad = _pad_rows(proj_p, num_windows * WINDOW)
     proj_l_pad = _pad_rows(proj_l, labs_pad)
+    l_in_spec = (
+        pl.BlockSpec((lbr, h0), lambda t, tm, sd, mk, lb, zb: (lb[t], 0))
+        if lbr
+        else pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk, lb, zb: (0, 0))
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk: (t,)),
-            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk: (tm[t], 0)),
-            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb, zb: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb, zb: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb, zb: (t,)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk, lb, zb: (tm[t], 0)),
+            l_in_spec,
+            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk: (tm[t], 0)),
-            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, tm, sd, mk: (0, 0)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk, lb, zb: (tm[t], 0)),
+            l_in_spec,
+            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
         ],
     )
     douts = pl.pallas_call(
-        functools.partial(_bwd_kernel, rate=rate),
+        functools.partial(_bwd_kernel, rate=rate, lbr=lbr),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_windows * WINDOW, h0), jnp.float32),
@@ -305,7 +341,8 @@ def _fused_bwd(
         ],
         interpret=interpret,
     )(
-        win_tile_map, seed, tile_mask, win_local, lab_idx,
+        win_tile_map, seed, tile_mask, lab_block_map, lab_block_zero,
+        win_local, lab_idx,
         g_out,
         proj_p_pad, proj_l_pad, w1, b1.reshape(1, -1), w2.reshape(1, -1),
         b2.reshape(1, 1),
@@ -322,10 +359,11 @@ def _fused_bwd(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
 def fused_pair_head(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    tile_mask, num_windows, rate=0.0, interpret=False,
+    tile_mask, lab_block_map, lab_block_zero,
+    num_windows, rate=0.0, interpret=False, lab_block_rows=0,
 ):
     """out[slot] = MLP(relu(proj_p[patient(slot)] + proj_l[lab(slot)])).
 
@@ -339,38 +377,47 @@ def fused_pair_head(
     masked tile must contain only slots whose downstream consumer ignores
     this head's value (the degree gate in HeteroRGCN.predict_lab_values) or
     padding slots; the kernel does not check this.
+
+    ``lab_block_rows > 0`` (with ``lab_block_map`` / ``lab_block_zero`` from
+    the span-bounded plan, graph/hetero.py regroup_slots_by_lab_block):
+    every tile's real labs live in lab-table block ``lab_block_map[t]``, so
+    the dominant one-hot lab gather narrows from [TILE_E, labs_pad] to
+    [TILE_E, lab_block_rows] — num_labs/lab_block_rows x fewer MXU FLOPs.
     """
     return _fused_fwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-        tile_mask, num_windows, rate, interpret,
+        tile_mask, lab_block_map, num_windows, rate, interpret, lab_block_rows,
     )
 
 
 def _fph_fwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    tile_mask, num_windows, rate, interpret,
+    tile_mask, lab_block_map, lab_block_zero,
+    num_windows, rate, interpret, lab_block_rows,
 ):
     out = _fused_fwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-        tile_mask, num_windows, rate, interpret,
+        tile_mask, lab_block_map, num_windows, rate, interpret, lab_block_rows,
     )
     return out, (
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-        tile_mask,
+        tile_mask, lab_block_map, lab_block_zero,
     )
 
 
-def _fph_bwd(num_windows, rate, interpret, res, g_out):
+def _fph_bwd(num_windows, rate, interpret, lab_block_rows, res, g_out):
     (proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-     tile_mask) = res
+     tile_mask, lab_block_map, lab_block_zero) = res
     grads = _fused_bwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-        tile_mask, g_out, num_windows, rate, interpret,
+        tile_mask, lab_block_map, lab_block_zero, g_out,
+        num_windows, rate, interpret, lab_block_rows,
     )
     zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
+    zopt = lambda a: None if a is None else zero_i(a)  # noqa: E731
     return (
         *grads, zero_i(lab_idx), zero_i(win_local), zero_i(win_tile_map),
-        zero_i(seed), None if tile_mask is None else zero_i(tile_mask),
+        zero_i(seed), zopt(tile_mask), zopt(lab_block_map), zopt(lab_block_zero),
     )
 
 

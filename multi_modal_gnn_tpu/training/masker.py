@@ -72,6 +72,7 @@ def _pad_batch(
     num_patients: Optional[int] = None,
     num_labs: Optional[int] = None,
     slot_major: bool = False,
+    lab_block_rows: int = 0,
 ) -> Tuple[SplitBatch, Optional[np.ndarray]]:
     """Pad (and optionally slot-reorder) a supervised batch.
 
@@ -117,14 +118,51 @@ def _pad_batch(
             valid_pad = np.where(real_slot, valid_pad[win_src], 0.0).astype(np.float32)
             row_slots = np.zeros(n_pad, dtype=np.int32)
             row_slots[win_src[real_slot]] = np.nonzero(real_slot)[0]
-            patient_plan = GatherPlan(
-                win_src=patient_plan.win_src,  # unused under identity
-                win_local=patient_plan.win_local,
-                win_tile_map=patient_plan.win_tile_map,
-                num_windows=patient_plan.num_windows,
-                num_rows=patient_plan.num_rows,
-                identity=True,
-            )
+            if lab_block_rows:
+                # span-bounded lab tiles: regroup each window's slots by lab
+                # block so the pair-head kernel gathers from ONE narrow block
+                # of the lab table per tile (graph/hetero.py regroup doc)
+                from multi_modal_gnn_tpu.graph.hetero import (
+                    regroup_slots_by_lab_block,
+                )
+
+                wl = np.asarray(patient_plan.win_local)
+                wtm = np.asarray(patient_plan.win_tile_map)
+                moves, e2, local2, tmap2, lbm, lbz = regroup_slots_by_lab_block(
+                    wl, wtm, l_pad, num_labs, lab_block_rows
+                )
+
+                def _relay(a, fill, dtype):
+                    out = np.full(e2, fill, dtype=dtype)
+                    m = moves >= 0
+                    out[moves[m]] = a[m]
+                    return out
+
+                p_pad = _relay(p_pad, 0, np.int32)
+                l_pad = _relay(l_pad, 0, np.int32)
+                v_pad = _relay(v_pad, 0.0, np.float32)
+                valid_pad = _relay(valid_pad, 0.0, np.float32)
+                row_slots = moves[row_slots].astype(np.int32)
+                patient_plan = GatherPlan(
+                    win_src=jnp.zeros(e2, jnp.int32),  # unused under identity
+                    win_local=jnp.asarray(local2),
+                    win_tile_map=jnp.asarray(tmap2),
+                    num_windows=patient_plan.num_windows,
+                    num_rows=patient_plan.num_rows,
+                    identity=True,
+                    lab_block_map=jnp.asarray(lbm),
+                    lab_block_zero=jnp.asarray(lbz),
+                    lab_block_rows=int(lab_block_rows),
+                )
+            else:
+                patient_plan = GatherPlan(
+                    win_src=patient_plan.win_src,  # unused under identity
+                    win_local=patient_plan.win_local,
+                    win_tile_map=patient_plan.win_tile_map,
+                    num_windows=patient_plan.num_windows,
+                    num_rows=patient_plan.num_rows,
+                    identity=True,
+                )
             # lab_plan stays None -> plain take, XLA scatter backward
         else:
             lab_plan = build_gather_plan(l_pad, num_labs)
@@ -154,6 +192,7 @@ class EdgeMasker:
         host_edges: Optional[tuple] = None,
         slot_major_train: bool = False,
         slot_major_min_rows: int = SLOT_MAJOR_MIN_ROWS,
+        lab_block_rows: int = 0,
     ):
         """``host_edges``: optional (src, dst, val) numpy arrays of the valid
         patient->lab edges in device order (GraphBundle.patient_lab_host()) —
@@ -177,6 +216,14 @@ class EdgeMasker:
         self.pad_multiple = int(pad_multiple)
         self.slot_major_train = bool(slot_major_train)
         self.slot_major_min_rows = int(slot_major_min_rows)
+        # span-bounded lab tiles for the slot-major layout (0 = off): every
+        # kernel tile's labs address one lab_block_rows-row table block.
+        # OFF by default: on the 500-lab scale config the narrowing is a
+        # measured net LOSS (64.3M -> 47.1M edges/s at 128 rows, 59.4M at
+        # 256 — the regroup's +10-33% slot inflation outweighs the indicator
+        # FLOP cut; PERFORMANCE.md "negative results").  Worth enabling for
+        # much larger lab vocabularies (narrowing factor labs_pad/rows).
+        self.lab_block_rows = int(lab_block_rows)
         self._row_slots: Dict[str, Optional[np.ndarray]] = {}
         counts = graph.node_count_map if graph is not None else {}
         self._num_patients = counts.get("patient")
@@ -229,6 +276,7 @@ class EdgeMasker:
                     and split == "train"
                     and len(idx) >= self.slot_major_min_rows
                 ),
+                lab_block_rows=self.lab_block_rows,
             )
         return self._batches[split]
 

@@ -46,7 +46,9 @@ def _fused(plan, p_s, l_s, real, proj_p, proj_l, w1, b1, w2, b2, tile_mask=None)
     return fused_pair_head(
         proj_p, proj_l, w1, b1, w2, b2, jnp.asarray(l_s),
         plan.win_local, plan.win_tile_map, seed, tile_mask,
+        getattr(plan, "lab_block_map", None), getattr(plan, "lab_block_zero", None),
         plan.num_windows, 0.0, True,
+        getattr(plan, "lab_block_rows", 0),
     )
 
 
@@ -108,4 +110,103 @@ def test_tile_mask_predication(problem):
     for name, a, b in zip(params.keys(), gr_full, gr_mask):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5, err_msg=f"grad({name})"
+        )
+
+
+def _block_problem():
+    """A slot-major + lab-block-regrouped problem (the production layout)."""
+    from multi_modal_gnn_tpu.graph.hetero import (
+        GatherPlan,
+        regroup_slots_by_lab_block,
+    )
+
+    rng = np.random.default_rng(3)
+    num_p, num_l, H0, H1, B = 300, 300, 64, 32, 4000
+    p_idx = rng.integers(0, num_p, B).astype(np.int32)
+    l_idx = rng.integers(0, num_l, B).astype(np.int32)
+    plan = build_gather_plan(p_idx, num_p)
+    win_src = np.asarray(plan.win_src)
+    win_local = np.asarray(plan.win_local)
+    real = win_local < WINDOW
+    l_s = np.where(real, l_idx[win_src], 0).astype(np.int32)
+    p_s = np.where(real, p_idx[win_src], 0).astype(np.int32)
+
+    moves, e2, local2, tmap2, lbm, lbz = regroup_slots_by_lab_block(
+        win_local, np.asarray(plan.win_tile_map), l_s, num_l, 128
+    )
+
+    def relay(a, fill):
+        out = np.full(e2, fill, a.dtype)
+        m = moves >= 0
+        out[moves[m]] = a[m]
+        return out
+
+    p2, l2 = relay(p_s, 0), relay(l_s, 0)
+    real2 = local2 < WINDOW
+    plan2 = GatherPlan(
+        win_src=jnp.zeros(e2, jnp.int32),
+        win_local=jnp.asarray(local2),
+        win_tile_map=jnp.asarray(tmap2),
+        num_windows=plan.num_windows,
+        num_rows=plan.num_rows,
+        identity=True,
+        lab_block_map=jnp.asarray(lbm),
+        lab_block_zero=jnp.asarray(lbz),
+        lab_block_rows=128,
+    )
+    params = dict(
+        proj_p=rng.standard_normal((num_p, 64)).astype(np.float32),
+        proj_l=rng.standard_normal((num_l, 64)).astype(np.float32),
+        w1=(rng.standard_normal((64, 32)) * 0.1).astype(np.float32),
+        b1=(rng.standard_normal(32) * 0.1).astype(np.float32),
+        w2=(rng.standard_normal(32) * 0.1).astype(np.float32),
+        b2=np.float32(0.3),
+    )
+    return plan2, p2, l2, real2, params
+
+
+def test_lab_block_regroup_contract():
+    """Every tile's REAL labs live in one 128-row block; every block of the
+    padded table is visited at least once; windows stay monotone."""
+    plan2, p2, l2, real2, _ = _block_problem()
+    lbm = np.asarray(plan2.lab_block_map)
+    tmap = np.asarray(plan2.win_tile_map)
+    local = np.asarray(plan2.win_local)
+    T = len(l2) // 1024
+    for t in range(T):
+        sl = slice(t * 1024, (t + 1) * 1024)
+        r = local[sl] < WINDOW
+        if r.any():
+            assert (l2[sl][r] // 128 == lbm[t]).all()
+    assert set(np.asarray(lbm)) >= set(range(3))  # 300 labs -> blocks 0..2
+    assert (np.diff(tmap) >= 0).all()
+    zb = np.asarray(plan2.lab_block_zero)
+    # first visit of each block flagged exactly once
+    for b in set(lbm.tolist()):
+        firsts = np.nonzero((lbm == b) & (zb == 1))[0]
+        assert len(firsts) == 1 and firsts[0] == np.nonzero(lbm == b)[0][0]
+
+
+def test_lab_block_mode_parity():
+    """Narrow-lab-block kernel == unfused reference, forward and all grads."""
+    plan2, p2, l2, real2, params = _block_problem()
+    args = tuple(map(jnp.asarray, params.values()))
+    ref = _ref(plan2, p2, l2, real2, *args)
+    got = _fused(plan2, p2, l2, real2, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    g = jnp.asarray(
+        np.random.default_rng(5).standard_normal(len(l2)).astype(np.float32)
+        * real2
+    )
+    argnums = tuple(range(6))
+    gr_ref = jax.grad(
+        lambda *a: jnp.sum(_ref(plan2, p2, l2, real2, *a) * g), argnums=argnums
+    )(*args)
+    gr_f = jax.grad(
+        lambda *a: jnp.sum(_fused(plan2, p2, l2, real2, *a) * g), argnums=argnums
+    )(*args)
+    for name, a, b in zip(params.keys(), gr_ref, gr_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=f"grad({name})"
         )
