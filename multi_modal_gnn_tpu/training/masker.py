@@ -61,6 +61,10 @@ class SplitBatch(struct.PyTreeNode):
     # Hoisting them to batch-build time removes them from the step entirely.
     degrees: Optional[jax.Array] = None  # int32 [B_pad] patient lab-degree
     sample_weights: Optional[jax.Array] = None  # f32 [B_pad] lab inv-var weight
+    # value-context knockout positions for THIS batch's rows: position of each
+    # row inside the edge array the step's graph carries (cluster-local for
+    # mini-batch training).  None -> the trainer's global train_positions().
+    vis_positions: Optional[jax.Array] = None  # int32 [B_pad]
     num_valid: int = struct.field(pytree_node=False, default=0)
 
 
@@ -290,6 +294,12 @@ class EdgeMasker:
         """Host (patient_idx, lab_idx, values) without padding — for metrics."""
         idx = self._split_indices[split]
         return self._p[idx], self._l[idx], self._v[idx]
+
+    def split_edge_positions(self, split: str) -> np.ndarray:
+        """Global edge-array position (device order, 0..num_edges-1) of each
+        of the split's rows — the key the mini-batch partitioner uses to map
+        supervised rows onto cluster-local edge arrays (value context)."""
+        return np.asarray(self._split_indices[split])
 
     def visibility_base(self, num_padded: int) -> np.ndarray:
         """float32[num_padded] value-visibility template over the padded

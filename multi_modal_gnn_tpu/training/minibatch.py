@@ -27,8 +27,15 @@ edges.  Design:
 Semantics vs full-batch: within a step, lab/diagnosis/medication node
 embeddings aggregate only from the cluster's patients (the standard
 Cluster-GCN approximation); with ``num_clusters=1`` training is equivalent
-to the full-batch Trainer.  ``value_context`` needs a global observation
-view and is not supported here yet.
+to the full-batch Trainer.  ``value_context`` models are supported: each
+cluster's patient->lab EdgeSet carries its own visibility template
+(train-edge positions mapped into the cluster-local edge array — valid
+because the global device order is dst-sorted and the local stable re-sort
+of a dst-sorted subsequence is the identity), and train batches carry
+``SplitBatch.vis_positions`` so the per-epoch supervision knockout lands on
+the correct local rows.  The observed-value channel then conditions on the
+cluster's own patients' train observations — the same locality
+approximation the message passing already makes.
 """
 
 from __future__ import annotations
@@ -47,6 +54,7 @@ from multi_modal_gnn_tpu.graph.schema import (
     LAB,
     PATIENT,
     PATIENT_LAB,
+    mirror_edge_type,
     reverse_edge_type,
 )
 from multi_modal_gnn_tpu.training.masker import EdgeMasker, SplitBatch, _pad_batch
@@ -75,6 +83,7 @@ def build_patient_clusters(
     num_clusters: int,
     lab_weights: Optional[np.ndarray] = None,
     host_resident: bool = False,
+    value_context: bool = False,
 ) -> ClusterData:
     """Partition the graph into ``num_clusters`` patient-range subgraphs.
 
@@ -103,11 +112,22 @@ def build_patient_clusters(
     per_rel: Dict = {}
     for et, (src, dst, val) in bundle.host_edges.items():
         if et[0] != PATIENT:
+            # loaded bundles (graph/serialize.py) carry host arrays for the
+            # reverse relations too — they are rebuilt from the forward ones
+            # below, so skip mirrors and only reject true non-patient edges
+            if mirror_edge_type(et) in bundle.host_edges:
+                continue
             raise ValueError(f"non-patient-centric relation {et} cannot be clustered")
         cid = np.minimum(np.asarray(src) // size, num_clusters - 1)
         rows = [np.nonzero(cid == k)[0] for k in range(num_clusters)]
         pad_to = _round_up(max((len(r) for r in rows), default=0), 1024)
         per_rel[et] = (src, dst, val, rows, pad_to)
+
+    # global device-order positions of the train split's edges — the key for
+    # cluster-local visibility templates (value_context)
+    train_pos_global = (
+        masker.split_edge_positions("train") if value_context else None
+    )
 
     dense_budget = config.graph.dense_adjacency_max_bytes
     subgraphs: List[HeteroGraph] = []
@@ -125,6 +145,18 @@ def build_patient_clusters(
                 pad_multiple=pad_to, dense_max_bytes=dense_budget,
                 as_numpy=host_resident,
             )
+            if value_context and et == PATIENT_LAB:
+                # cluster-local visibility base: 1.0 where the local edge is
+                # a TRAIN edge.  r is sorted global device order, so the
+                # local (stable dst re-sort) position of r[i] is i.
+                vis = np.isin(r, train_pos_global, assume_unique=True).astype(
+                    np.float32
+                )
+                vis_pad = np.zeros(edges[et].mask.shape[0], np.float32)
+                vis_pad[: len(vis)] = vis
+                edges[et] = edges[et].replace(
+                    val_vis=vis_pad if host_resident else jnp.asarray(vis_pad)
+                )
             edges[reverse_edge_type(et)] = pad_edge_set(
                 d, s_loc, num_src=d_count, num_dst=size, val=None,
                 pad_multiple=pad_to, dense_max_bytes=dense_budget,
@@ -148,9 +180,15 @@ def build_patient_clusters(
         )
 
     # ---- per-split, per-cluster supervised batches -------------------------
+    pl_rows_all = per_rel[PATIENT_LAB][3]
     batches: Dict[str, List[Tuple[Optional[SplitBatch], Optional[np.ndarray]]]] = {}
     for split in ("train", "val", "test"):
         p, l, v = masker.split_arrays(split)
+        split_pos_global = (
+            masker.split_edge_positions(split)
+            if value_context and split == "train"
+            else None
+        )
         cid = np.minimum(np.asarray(p) // size, num_clusters - 1)
         pad_to = _round_up(
             max((int((cid == k).sum()) for k in range(num_clusters)), default=0), 256
@@ -179,9 +217,18 @@ def build_patient_clusters(
                     np.float32
                 )
             )
+            vis_pos = None
+            if split_pos_global is not None:
+                # local edge-array position of each supervised row: rank of
+                # its global position within the cluster's (sorted) rows
+                lp = np.searchsorted(pl_rows_all[k], split_pos_global[pos])
+                vp = np.zeros(batch.valid.shape[0], np.int32)
+                vp[: len(lp)] = lp.astype(np.int32)
+                vis_pos = jnp.asarray(vp)
             batch = batch.replace(
                 degrees=jnp.asarray(deg),
                 sample_weights=None if sw is None else jnp.asarray(sw),
+                vis_positions=vis_pos,
             )
             split_list.append((batch, pos))
         batches[split] = split_list
@@ -211,11 +258,6 @@ class MiniBatchTrainer(Trainer):
     ):
         if num_clusters < 1:
             raise ValueError("num_clusters must be >= 1")
-        if getattr(model, "value_context", False):
-            raise NotImplementedError(
-                "value_context needs a global observation view; use the "
-                "full-batch Trainer (or GSPMDTrainer) for value-context models"
-            )
         self.num_clusters = num_clusters
         self.host_resident = host_resident
         self._bundle = bundle
@@ -228,6 +270,7 @@ class MiniBatchTrainer(Trainer):
                 self._bundle, self.masker, self.config, self.num_clusters,
                 lab_weights=np.asarray(self.lab_weights),
                 host_resident=self.host_resident,
+                value_context=self._value_context,
             )
         return self._cluster_data
 

@@ -224,13 +224,18 @@ class Trainer:
         return out, batch_stats
 
     def _visible_graph(
-        self, graph: HeteroGraph, sup_mask: Optional[jax.Array]
+        self,
+        graph: HeteroGraph,
+        sup_mask: Optional[jax.Array],
+        positions: Optional[jax.Array] = None,
     ) -> HeteroGraph:
         """Attach the step's value-visibility mask to the patient->lab
         EdgeSet (no-op unless the model's value_context channel is on).
         Train steps pass the epoch's supervision mask so supervised edges'
         values are hidden from the forward; eval passes None (condition on
-        all train observations, none of val/test)."""
+        all train observations, none of val/test).  ``positions`` overrides
+        the global train-row positions with batch-local ones (mini-batch
+        clusters carry them on the batch: SplitBatch.vis_positions)."""
         if not self._value_context:
             return graph
         from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
@@ -239,6 +244,8 @@ class Trainer:
         # base template travels ON the graph (attached in __init__), so under
         # shard_map this is already the local edge chunk
         vis = es.val_vis if es.val_vis is not None else self._vis_base
+        if positions is None:
+            positions = self._vis_train_pos
         if sup_mask is not None:
             if self._axis_name is not None and es.val_vis is not None and (
                 vis.shape[0] < self._vis_base.shape[0]
@@ -252,14 +259,14 @@ class Trainer:
                 sup = jax.lax.all_gather(sup_mask, self._axis_name, tiled=True)
                 shard = vis.shape[0]
                 start = jax.lax.axis_index(self._axis_name) * shard
-                lpos = self._vis_train_pos - start
+                lpos = positions - start
                 ok = (lpos >= 0) & (lpos < shard)
                 factor = jnp.where(ok, 1.0 - sup, 1.0)
                 vis = vis.at[jnp.clip(lpos, 0, shard - 1)].multiply(factor)
             else:
                 # single-chip / GSPMD: global view.  Unique train positions;
                 # batch-padding rows point at 0 with sup=0 -> multiplier 1.0
-                vis = vis.at[self._vis_train_pos].multiply(1.0 - sup_mask)
+                vis = vis.at[positions].multiply(1.0 - sup_mask)
         es = es.replace(val_vis=vis)
         return graph.replace(edges={**graph.edges, PATIENT_LAB: es})
 
@@ -272,7 +279,7 @@ class Trainer:
         sup_mask: jax.Array,
         dropout_key: jax.Array,
     ) -> Tuple[TrainState, jax.Array]:
-        graph = self._visible_graph(graph, sup_mask)
+        graph = self._visible_graph(graph, sup_mask, batch.vis_positions)
 
         def loss_fn(params):
             preds, new_bs = self._apply_train(params, state.batch_stats, graph, batch, dropout_key)

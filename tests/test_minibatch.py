@@ -124,17 +124,106 @@ def test_k4_trains_and_evaluates():
     assert np.isfinite(preds).all()
 
 
-def test_value_context_rejected():
-    cfg, bundle = _setup()
-    cfg = cfg.replace(
+def _vctx(cfg):
+    return cfg.replace(
         model=dataclasses.replace(cfg.model, extras={"value_context": True})
     )
-    with pytest.raises(NotImplementedError, match="value_context"):
-        MiniBatchTrainer(
-            build_model(cfg, bundle.graph), bundle,
-            EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host()),
-            cfg, num_clusters=2,
-        )
+
+
+def test_value_context_cluster_templates_are_consistent():
+    """Structural pins for cluster-local value-context plumbing: every
+    cluster's val_vis marks exactly its train edges, and each train batch
+    row's vis_position points at its own edge in the local edge array."""
+    cfg, bundle = _setup(num_patients=300)
+    cfg = _vctx(cfg)
+    masker = EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
+    cd = build_patient_clusters(bundle, masker, cfg, num_clusters=3, value_context=True)
+
+    n_train_marked = 0
+    for k, g in enumerate(cd.subgraphs):
+        es = g.edges[PATIENT_LAB]
+        vis = np.asarray(es.val_vis)
+        assert vis.shape == np.asarray(es.mask).shape
+        # visibility only on valid edges
+        assert (vis[es.num_valid :] == 0).all()
+        n_train_marked += int(vis.sum())
+
+        batch, pos = cd.batches["train"][k]
+        if batch is None:
+            continue
+        vp = np.asarray(batch.vis_positions)
+        n = batch.num_valid
+        src = np.asarray(es.src)
+        dst = np.asarray(es.dst)
+        val = np.asarray(es.val)
+        # each supervised row's position addresses ITS edge (same endpoint
+        # ids and value) and that edge is marked visible in the base
+        np.testing.assert_array_equal(src[vp[:n]], np.asarray(batch.patient_idx)[:n])
+        np.testing.assert_array_equal(dst[vp[:n]], np.asarray(batch.lab_idx)[:n])
+        np.testing.assert_allclose(val[vp[:n]], np.asarray(batch.values)[:n], rtol=1e-6)
+        assert (vis[vp[:n]] == 1.0).all()
+    # across clusters the marked edges are exactly the train split
+    assert n_train_marked == masker.split_sizes()["train"]
+
+
+def test_value_context_k1_matches_full_batch():
+    """num_clusters=1 with the observed-value channel reproduces the
+    full-batch value-context Trainer bit-close."""
+    cfg, bundle = _setup(num_patients=128, mask_fraction=0.0, dropout=0.0)
+    cfg = _vctx(cfg)
+    graph = bundle.graph
+
+    full = Trainer(
+        build_model(cfg, graph), graph,
+        EdgeMasker(graph, seed=3, host_edges=bundle.patient_lab_host()), cfg,
+    )
+    mini = MiniBatchTrainer(
+        build_model(cfg, graph), bundle,
+        EdgeMasker(graph, seed=3, host_edges=bundle.patient_lab_host()), cfg,
+        num_clusters=1,
+    )
+    for _ in range(3):
+        lf = full.train_epoch()
+        full.epoch += 1
+        lm = mini.train_epoch()
+        mini.epoch += 1
+        np.testing.assert_allclose(lm, lf, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        mini.validate("val"), full.validate("val"), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_value_context_k3_trains():
+    cfg, bundle = _setup(num_patients=300)
+    cfg = _vctx(cfg)
+    mini = MiniBatchTrainer(
+        build_model(cfg, bundle.graph), bundle,
+        EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host()),
+        cfg, num_clusters=3,
+    )
+    losses = []
+    for _ in range(12):
+        losses.append(mini.train_epoch())
+        mini.epoch += 1
+    assert np.isfinite(losses).all()
+    assert min(losses[4:]) < losses[0]
+    assert np.isfinite(mini.validate("val"))
+
+
+def test_clusters_from_loaded_bundle(tmp_path):
+    """A save/load round-tripped bundle carries host arrays for the REVERSE
+    relations too (graph/serialize.py); the partitioner must skip those
+    mirrors instead of rejecting the bundle."""
+    from multi_modal_gnn_tpu.graph.serialize import load_graph, save_graph
+
+    cfg, bundle = _setup(num_patients=300)
+    save_graph(bundle, tmp_path / "graph")
+    loaded = load_graph(tmp_path / "graph.npz")
+    masker = EdgeMasker(loaded.graph, seed=0, host_edges=loaded.patient_lab_host())
+    cd = build_patient_clusters(loaded, masker, cfg, num_clusters=3)
+    assert sum(
+        g.edges[PATIENT_LAB].num_valid for g in cd.subgraphs
+    ) == loaded.graph.edges[PATIENT_LAB].num_valid
 
 
 def test_pipeline_batch_size_routes_to_minibatch(tmp_path):
