@@ -39,6 +39,7 @@ def run_bench(
     import dataclasses
 
     import jax
+    import numpy as np
 
     # persistent compile cache: repeat runs skip the (slow) remote compile
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -87,7 +88,9 @@ def run_bench(
     model = build_model(cfg, graph)
     trainer = Trainer(model, graph, masker, cfg)
 
-    n_epochs = epochs or (10 if quick else (20 if scale else 100))
+    # default epoch counts: enough chunks that the pipeline's fill/drain
+    # (first dispatch + final sync, ~60 ms relay) amortizes to noise
+    n_epochs = epochs or (10 if quick else (30 if scale else 300))
     # one compiled scan(chunk), reused; large chunks amortize the dispatch
     # round-trip (which dominates small graphs on a remote-attached chip)
     # chunk sizes are compile-time-bounded: remote-relay compile scales with
@@ -104,13 +107,16 @@ def run_bench(
     jax.block_until_ready(trainer.state.params)
     warmup_s = time.perf_counter() - t0
 
+    # pipelined: no per-chunk host readback (a blocking relay round-trip that
+    # serializes dispatches — the readback alone costs ~0.7 ms/epoch at
+    # chunk 50 on the eICU config); losses convert once at the end
     t0 = time.perf_counter()
-    last_loss = 0.0
+    losses = None
     for _ in range(n_chunks):
-        losses, _ = trainer.train_epochs_scanned(chunk)
-        last_loss = losses[-1]
+        losses, _ = trainer.train_epochs_scanned(chunk, as_numpy=False)
     jax.block_until_ready(trainer.state.params)
     elapsed = time.perf_counter() - t0
+    last_loss = float(np.asarray(losses)[-1])
 
     edges_per_sec = n_train * n_epochs / elapsed
     return {

@@ -304,7 +304,9 @@ class MiniBatchTrainer(Trainer):
             n += batch.num_valid
         return tot / max(n, 1)
 
-    def train_epochs_scanned(self, k: int, with_val: bool = False):
+    def train_epochs_scanned(
+        self, k: int, with_val: bool = False, as_numpy: bool = True
+    ):
         # cluster stepping is already one dispatch per cluster; the scan
         # fusion of the full-batch path does not apply
         tl = []

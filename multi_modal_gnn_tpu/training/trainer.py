@@ -378,7 +378,9 @@ class Trainer:
 
     # -- fused multi-epoch stepping (lax.scan) -------------------------------
 
-    def train_epochs_scanned(self, k: int, with_val: bool = False):
+    def train_epochs_scanned(
+        self, k: int, with_val: bool = False, as_numpy: bool = True
+    ):
         """Run ``k`` epochs as ONE device dispatch via lax.scan.
 
         Per-epoch supervision/dropout keys are derived on-device from the
@@ -387,7 +389,11 @@ class Trainer:
         *not* applied inside the scan, so use this for fixed-LR stretches
         (benchmarking, or fit() chunks between scheduler decisions).
 
-        Returns (train_losses[k], val_losses[k] or None).
+        Returns (train_losses[k], val_losses[k] or None).  ``as_numpy=False``
+        skips the host conversion — on a remote-attached device the readback
+        is a blocking relay round-trip that serializes back-to-back chunk
+        dispatches; pipelined callers (bench.py) convert only the last
+        chunk's losses after ``block_until_ready``.
         """
         key = (int(k), bool(with_val))
         if not hasattr(self, "_scan_fns"):
@@ -408,6 +414,8 @@ class Trainer:
         )
         self.state = state
         self.epoch += k
+        if not as_numpy:
+            return tl, (vl if with_val else None)
         tl = np.asarray(tl)
         return tl, (np.asarray(vl) if with_val else None)
 
