@@ -66,6 +66,7 @@ def build_model(
             bilinear_rank=int(mc.edge_head.extras.get("bilinear_rank", 0)),
             bilinear_source=bl_source,
             value_context=value_context,
+            dual_head_fusion=str(mc.extras.get("dual_head_fusion", "auto")),
         )
     elif mc.architecture == "HGT":
         model = HeteroGT(**common, num_heads=mc.num_heads, axis_name=axis_name)

@@ -154,6 +154,7 @@ class FactoredEdgeHead(nn.Module):
         patient_plan=None,  # GatherPlan — batch-gather backward on the MXU
         lab_plan=None,
         tile_mask=None,  # int32[num_tiles] degree-predication (fused path only)
+        project_only: bool = False,  # return (proj_p, proj_l, w1, b1, w2, b2, seed)
     ) -> jax.Array:
         # with plans, the row-gather backwards (scatter-adds of B pair
         # gradients into the node matrices — the dominant head cost at the
@@ -176,6 +177,13 @@ class FactoredEdgeHead(nn.Module):
             h0, self.node_dim, use_bias=False, dtype=self.dtype, name="proj_lab",
             fan_in_override=fan,
         )(x_l_nodes)
+
+        if project_only:
+            # dual-head fusion (HeteroRGCN.predict_lab_values): hand the
+            # caller this head's node projections + MLP params + dropout
+            # seed so both heads run in ONE fused_pair_head_dual call.
+            # Same param tree as every other path (names match).
+            return (proj_p, proj_l) + self._mlp_pieces(train)
 
         # fused pair-head kernel: with a slot-major batch (identity patient
         # plan) and the reference's 2-hidden-layer head, the whole MLP runs
@@ -233,14 +241,13 @@ class FactoredEdgeHead(nn.Module):
             out = out + term.astype(out.dtype)
         return out
 
-    def _fused_mlp(
-        self, proj_p, proj_l, l_idx, plan, train: bool, tile_mask=None
-    ) -> jax.Array:
-        """Run dense_1 + dense_out through the fused pair kernel (params are
-        read from the modules the unfused init pass created — same tree)."""
+    def _mlp_pieces(self, train: bool):
+        """(w1, b1, w2, b2, seed) for the fused kernels, read from the
+        modules the unfused init pass created — same param tree.  Compute
+        dtype on w1 (the big matmul operand); biases / w2 / b2 stay f32:
+        they join f32 accumulators in-kernel, and Mosaic only supports
+        32-bit scalar extracts (b2[0, 0])."""
         import jax as _jax
-
-        from multi_modal_gnn_tpu.ops.pallas_pairhead import fused_pair_head
 
         d1 = make_dense(
             self.hidden_dims[1], self.hidden_dims[0], dtype=self.dtype, name="dense_1"
@@ -248,10 +255,8 @@ class FactoredEdgeHead(nn.Module):
         dout = make_dense(
             self.output_dim, self.hidden_dims[1], dtype=self.dtype, name="dense_out"
         )
-        dt = proj_p.dtype  # compute dtype for the big matmul operand
+        dt = self.dtype or jnp.float32
         w1 = d1.variables["params"]["kernel"].astype(dt)
-        # biases / w2 / b2 stay f32: they join f32 accumulators in-kernel,
-        # and Mosaic only supports 32-bit scalar extracts (b2[0, 0])
         b1 = d1.variables["params"]["bias"].astype(jnp.float32)
         w2 = dout.variables["params"]["kernel"][:, 0].astype(jnp.float32)
         b2 = dout.variables["params"]["bias"][0].astype(jnp.float32)
@@ -262,6 +267,19 @@ class FactoredEdgeHead(nn.Module):
             ).reshape(-1)[:2]
         else:
             seed = jnp.zeros(2, jnp.uint32)
+        return w1, b1, w2, b2, seed
+
+    def _fused_mlp(
+        self, proj_p, proj_l, l_idx, plan, train: bool, tile_mask=None
+    ) -> jax.Array:
+        """Run dense_1 + dense_out through the fused pair kernel."""
+        import jax as _jax
+
+        from multi_modal_gnn_tpu.ops.pallas_pairhead import fused_pair_head
+
+        w1, b1, w2, b2, seed = self._mlp_pieces(train)
+        w1 = w1.astype(proj_p.dtype)
+        rate = float(self.dropout) if train else 0.0
         out = fused_pair_head(
             proj_p, proj_l, w1, b1, w2, b2,
             l_idx, plan.win_local, plan.win_tile_map, seed, tile_mask,

@@ -176,6 +176,16 @@ class HeteroRGCN(nn.Module):
     # shrinkage the Bayes-optimal predictor needs (evaluation/ceiling.py);
     # raw embeddings can.
     bilinear_source: str = "head"
+    # dual-head kernel fusion (ops/pallas_pairhead.fused_pair_head_dual):
+    # "auto" fuses both heads into one kernel call ONLY when degree
+    # predication is unavailable (no per-tile masks) — with degree-clustered
+    # patient windows the two heads' active-tile sets are nearly disjoint,
+    # and predicated single-head calls measured FASTER than the fused call
+    # (scale config: 49.8 vs 52.2 ms/epoch; PERFORMANCE.md "Dual-head
+    # fusion").  "on" forces fusion (wins when the masks overlap heavily,
+    # e.g. unsorted windows or thresholds that mix within tiles); "off"
+    # never fuses.
+    dual_head_fusion: str = "auto"
     # beyond-reference opt-in (model.extras.value_context): condition on the
     # OBSERVED patient-lab values.  The reference's SAGEConv ignores
     # edge_attr entirely (src/model.py:116-131 — lab values ride the graph
@@ -439,14 +449,62 @@ class HeteroRGCN(nn.Module):
                 low_t = (degrees < self.degree_threshold).reshape(-1, TILE_E)
                 tab_mask = jnp.any(low_t, axis=1).astype(jnp.int32)
                 gnn_mask = jnp.any(~low_t, axis=1).astype(jnp.int32)
-            tab_pred = self.tabular_mlp(
-                initial[PATIENT], initial[LAB], patient_indices, lab_indices,
-                train=train, patient_plan=pp, lab_plan=lp, tile_mask=tab_mask,
-            )[..., 0]
-            gnn_pred = self.edge_predictor(
-                final[PATIENT], final[LAB], patient_indices, lab_indices,
-                train=train, patient_plan=pp, lab_plan=lp, tile_mask=gnn_mask,
-            )[..., 0]
+            # dual-head fusion: both heads share the slot layout / window
+            # map / lab ids, so one fused_pair_head_dual call runs them with
+            # shared one-hot gathers — at H0=64 the concatenated tables fill
+            # the 128-wide MXU passes the single-head calls leave half-empty
+            # (ops/pallas_pairhead.py "Dual-head fusion")
+            import jax as _jax
+
+            head_rank = self.bilinear_rank if self.bilinear_source == "head" else 0
+            want_dual = self.dual_head_fusion == "on" or (
+                self.dual_head_fusion == "auto" and tab_mask is None
+            )
+            use_dual = (
+                want_dual
+                and pp is not None
+                and getattr(pp, "identity", False)
+                and getattr(pp, "lab_block_rows", 0) in (0, None)
+                and len(self.head_hidden_dims) == 2
+                and head_rank == 0
+                and not self.is_initializing()
+                and (
+                    not train
+                    or self.dropout == 0.0
+                    or _jax.default_backend() == "tpu"
+                )
+            )
+            if use_dual:
+                from multi_modal_gnn_tpu.ops.pallas_pairhead import (
+                    fused_pair_head_dual,
+                )
+
+                pt_p, pt_l, w1_t, b1_t, w2_t, b2_t, seed_t = self.tabular_mlp(
+                    initial[PATIENT], initial[LAB], patient_indices, lab_indices,
+                    train=train, project_only=True,
+                )
+                pg_p, pg_l, w1_g, b1_g, w2_g, b2_g, seed_g = self.edge_predictor(
+                    final[PATIENT], final[LAB], patient_indices, lab_indices,
+                    train=train, project_only=True,
+                )
+                rate = float(self.dropout) if train else 0.0
+                tab_pred, gnn_pred = fused_pair_head_dual(
+                    pt_p, pt_l, w1_t, b1_t, w2_t, b2_t,
+                    pg_p, pg_l, w1_g, b1_g, w2_g, b2_g,
+                    lab_indices, pp.win_local, pp.win_tile_map,
+                    jnp.concatenate([seed_t, seed_g]), tab_mask, gnn_mask,
+                    pp.num_windows, rate,
+                    _jax.default_backend() != "tpu",
+                )
+            else:
+                tab_pred = self.tabular_mlp(
+                    initial[PATIENT], initial[LAB], patient_indices, lab_indices,
+                    train=train, patient_plan=pp, lab_plan=lp, tile_mask=tab_mask,
+                )[..., 0]
+                gnn_pred = self.edge_predictor(
+                    final[PATIENT], final[LAB], patient_indices, lab_indices,
+                    train=train, patient_plan=pp, lab_plan=lp, tile_mask=gnn_mask,
+                )[..., 0]
         else:
             if self.impl == "pallas" and patient_plan is not None and self.axis_name is None:
                 from multi_modal_gnn_tpu.ops.pallas_segment import take_with_plan

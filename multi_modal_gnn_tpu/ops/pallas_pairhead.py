@@ -422,3 +422,396 @@ def _fph_bwd(num_windows, rate, interpret, lab_block_rows, res, g_out):
 
 
 fused_pair_head.defvjp(_fph_fwd, _fph_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dual-head fusion: both degree-gated heads in ONE kernel call.
+#
+# The model's dual heads (HeteroRGCN.predict_lab_values: tabular head over
+# initial embeddings, GNN head over propagated features) share the SAME slot
+# layout, window map and lab ids — only the projection tables and MLP weights
+# differ.  With H0 = 64 the single-head gather matmuls
+# ([TILE_E, src] x [src, 64]) fill only HALF of each 128-wide MXU output
+# pass; concatenating the two heads' tables to [src, 128] makes the second
+# head's gathers ride the SAME passes — the dominant indicator FLOPs and the
+# one-hot construction are paid once for both heads.  The two MLPs run as one
+# block-diagonal [2*H0, 2*H1] matmul (off-diagonal zeros keep per-head
+# gradients exact), and the two scalar outputs separate by column masks —
+# no lane-slicing anywhere.
+#
+# Dropout note: the dual kernel draws ONE PRNG stream over the concatenated
+# [TILE_E, 2*H0] activations (seeded from both heads' seeds), so its dropout
+# realization differs from two single calls — same distribution, and the
+# backward recomputes identical masks.  Parity tests run rate=0.
+# ---------------------------------------------------------------------------
+
+
+def _dual_seed(seed_ref, t):
+    return (
+        seed_ref[0] ^ seed_ref[2] ^ (jnp.uint32(t) * jnp.uint32(2654435761)),
+        seed_ref[1] ^ seed_ref[3],
+    )
+
+
+def _dual_colmasks(h1):
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * h1), 1)
+    mt = (cols < h1).astype(jnp.float32)
+    return mt, 1.0 - mt
+
+
+def _dual_fwd_kernel(
+    tm_ref, seed_ref, tmask_ref, gmask_ref, local_ref, lab_ref,
+    projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    outt_ref, outg_ref,
+    *, rate: float,
+):
+    t = pl.program_id(0)
+    active = jnp.logical_or(tmask_ref[t] != 0, gmask_ref[t] != 0)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        outt_ref[:] = jnp.zeros_like(outt_ref)
+        outg_ref[:] = jnp.zeros_like(outg_ref)
+
+    @pl.when(active)
+    def _():
+        valid = local_ref[:].reshape(TILE_E, 1) < WINDOW
+        dt = projp_ref.dtype
+        h1 = w1_ref.shape[1] // 2
+        p2 = _gather_rows(projp_ref[:], local_ref[:], dt)  # [TILE_E, 2*H0]
+        l2 = _gather_rows(projl_ref[:], lab_ref[:], dt)
+        pre0 = p2 + l2
+        h0 = jnp.maximum(pre0, 0.0)
+        if rate > 0.0:
+            s0, s1 = _dual_seed(seed_ref, t)
+            pltpu.prng_seed(s0, s1)
+            h0 = _dropout(h0, pltpu.prng_random_bits(h0.shape), rate)
+        pre1 = (
+            jnp.dot(h0.astype(dt), w1_ref[:], preferred_element_type=jnp.float32)
+            + b1_ref[:]
+        )
+        h1v = jnp.maximum(pre1, 0.0)
+        if rate > 0.0:
+            h1v = _dropout(h1v, pltpu.prng_random_bits(h1v.shape), rate)
+        prod = h1v * w2_ref[:].astype(jnp.float32)  # [TILE_E, 2*H1]
+        mt, mg = _dual_colmasks(h1)
+        out_t = jnp.sum(prod * mt, axis=1, keepdims=True) + b2_ref[0, 0]
+        out_g = jnp.sum(prod * mg, axis=1, keepdims=True) + b2_ref[0, 1]
+        keep_t = jnp.logical_and(valid, tmask_ref[t] != 0)
+        keep_g = jnp.logical_and(valid, gmask_ref[t] != 0)
+        outt_ref[:] = jnp.where(keep_t, out_t, 0.0).reshape(TILE_E)
+        outg_ref[:] = jnp.where(keep_g, out_g, 0.0).reshape(TILE_E)
+
+
+def _dual_bwd_kernel(
+    tm_ref, seed_ref, tmask_ref, gmask_ref, local_ref, lab_ref,
+    got_ref, gog_ref,
+    projp_ref, projl_ref, w1_ref, b1_ref, w2_ref,
+    dprojp_ref, dprojl_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, rate: float,
+):
+    t = pl.program_id(0)
+    prev_same = jnp.where(t > 0, tm_ref[jnp.maximum(t - 1, 0)], -1)
+
+    @pl.when(jnp.logical_or(t == 0, prev_same != tm_ref[t]))
+    def _():
+        dprojp_ref[:] = jnp.zeros_like(dprojp_ref)
+
+    @pl.when(t == 0)
+    def _():
+        dprojl_ref[:] = jnp.zeros_like(dprojl_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    active = jnp.logical_or(tmask_ref[t] != 0, gmask_ref[t] != 0)
+
+    @pl.when(active)
+    def _():
+        valid = local_ref[:].reshape(TILE_E, 1) < WINDOW
+        dt = projp_ref.dtype
+        h1 = w1_ref.shape[1] // 2
+        # --- recompute forward (same PRNG stream as _dual_fwd_kernel) ---
+        p2 = _gather_rows(projp_ref[:], local_ref[:], dt)
+        l2 = _gather_rows(projl_ref[:], lab_ref[:], dt)
+        pre0 = p2 + l2
+        h0 = jnp.maximum(pre0, 0.0)
+        if rate > 0.0:
+            s0, s1 = _dual_seed(seed_ref, t)
+            pltpu.prng_seed(s0, s1)
+            bits0 = pltpu.prng_random_bits(h0.shape)
+            h0 = _dropout(h0, bits0, rate)
+        pre1 = (
+            jnp.dot(h0.astype(dt), w1_ref[:], preferred_element_type=jnp.float32)
+            + b1_ref[:]
+        )
+        h1v = jnp.maximum(pre1, 0.0)
+        if rate > 0.0:
+            bits1 = pltpu.prng_random_bits(h1v.shape)
+            h1_d = _dropout(h1v, bits1, rate)
+        else:
+            h1_d = h1v
+
+        # --- backward ---
+        keep_t = jnp.logical_and(valid, tmask_ref[t] != 0)
+        keep_g = jnp.logical_and(valid, gmask_ref[t] != 0)
+        go_t = jnp.where(keep_t, got_ref[:].reshape(TILE_E, 1), 0.0)
+        go_g = jnp.where(keep_g, gog_ref[:].reshape(TILE_E, 1), 0.0)
+        db2_ref[:] += jnp.concatenate(
+            [jnp.sum(go_t).reshape(1, 1), jnp.sum(go_g).reshape(1, 1)], axis=1
+        )
+        mt, mg = _dual_colmasks(h1)
+        # per-head output cotangent spread over the concatenated H1 columns
+        go_cols = go_t * mt + go_g * mg  # [TILE_E, 2*H1]
+        dw2_ref[:] += jnp.sum(go_cols * h1_d, axis=0, keepdims=True)
+        dh1 = go_cols * w2_ref[:].astype(jnp.float32)
+        if rate > 0.0:
+            dh1 = _dropout(dh1, bits1, rate)
+        dpre1 = jnp.where(pre1 > 0.0, dh1, 0.0)
+        db1_ref[:] += jnp.sum(dpre1, axis=0, keepdims=True)
+        dw1_ref[:] += jax.lax.dot_general(
+            h0.astype(dt), dpre1.astype(dt),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dh0 = jax.lax.dot_general(  # block-diagonal W1 keeps the halves exact
+            dpre1.astype(dt), w1_ref[:],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dh0 = _dropout(dh0, bits0, rate)
+        dpre0 = jnp.where(pre0 > 0.0, dh0, 0.0)
+        dpre0 = jnp.where(valid, dpre0, 0.0).astype(dt)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
+        s_local = (local_ref[:].reshape(1, TILE_E) == rows).astype(dt)
+        dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
+
+        s_pad = dprojl_ref.shape[0]
+        p_lab_t = (
+            lab_ref[:].reshape(1, TILE_E)
+            == jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_E), 0)
+        ).astype(dt)
+        dprojl_ref[:] += jnp.dot(p_lab_t, dpre0, preferred_element_type=jnp.float32)
+
+
+def _dual_pack(proj_p_t, proj_p_g, proj_l_t, proj_l_g, w1_t, w1_g,
+               b1_t, b1_g, w2_t, w2_g, b2_t, b2_g, num_windows):
+    """Concatenate the two heads' operands (features side-by-side; W1 block-
+    diagonal so each head's MLP half stays independent)."""
+    h0 = proj_p_t.shape[1]
+    h1 = w1_t.shape[1]
+    labs_pad = ((proj_l_t.shape[0] + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
+    projp2 = jnp.concatenate(
+        [_pad_rows(proj_p_t, num_windows * WINDOW),
+         _pad_rows(proj_p_g, num_windows * WINDOW)], axis=1
+    )
+    projl2 = jnp.concatenate(
+        [_pad_rows(proj_l_t, labs_pad), _pad_rows(proj_l_g, labs_pad)], axis=1
+    )
+    dt = projp2.dtype
+    w1bd = jnp.zeros((2 * h0, 2 * h1), dt)
+    w1bd = w1bd.at[:h0, :h1].set(w1_t.astype(dt)).at[h0:, h1:].set(w1_g.astype(dt))
+    b1cat = jnp.concatenate(
+        [b1_t.reshape(1, -1), b1_g.reshape(1, -1)], axis=1
+    ).astype(jnp.float32)
+    w2cat = jnp.concatenate(
+        [w2_t.reshape(1, -1), w2_g.reshape(1, -1)], axis=1
+    ).astype(jnp.float32)
+    b2pair = jnp.stack([b2_t, b2_g]).reshape(1, 2).astype(jnp.float32)
+    return projp2, projl2, w1bd, b1cat, w2cat, b2pair, h0, h1, labs_pad
+
+
+@functools.partial(jax.jit, static_argnames=("num_windows", "rate", "interpret"))
+def _dual_fused_fwd(
+    proj_p_t, proj_l_t, w1_t, b1_t, w2_t, b2_t,
+    proj_p_g, proj_l_g, w1_g, b1_g, w2_g, b2_g,
+    lab_idx, win_local, win_tile_map, seed4, tab_mask, gnn_mask,
+    num_windows, rate, interpret,
+):
+    e_win = win_local.shape[0]
+    num_tiles = e_win // TILE_E
+    if tab_mask is None:
+        tab_mask = jnp.ones((num_tiles,), jnp.int32)
+    if gnn_mask is None:
+        gnn_mask = jnp.ones((num_tiles,), jnp.int32)
+    projp2, projl2, w1bd, b1cat, w2cat, b2pair, h0, h1, labs_pad = _dual_pack(
+        proj_p_t, proj_p_g, proj_l_t, proj_l_g, w1_t, w1_g,
+        b1_t, b1_g, w2_t, w2_g, b2_t, b2_g, num_windows,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # win_tile_map, seed4, tab_mask, gnn_mask
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mt, mg: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mt, mg: (t,)),
+            pl.BlockSpec((WINDOW, 2 * h0), lambda t, tm, sd, mt, mg: (tm[t], 0)),
+            pl.BlockSpec((labs_pad, 2 * h0), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((2 * h0, 2 * h1), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((1, 2 * h1), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((1, 2 * h1), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((1, 2), lambda t, tm, sd, mt, mg: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mt, mg: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mt, mg: (t,)),
+        ],
+    )
+    out_t, out_g = pl.pallas_call(
+        functools.partial(_dual_fwd_kernel, rate=rate),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((e_win,), jnp.float32),
+            jax.ShapeDtypeStruct((e_win,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        win_tile_map, seed4, tab_mask, gnn_mask, win_local, lab_idx,
+        projp2, projl2, w1bd, b1cat, w2cat, b2pair,
+    )
+    return out_t, out_g
+
+
+@functools.partial(jax.jit, static_argnames=("num_windows", "rate", "interpret"))
+def _dual_fused_bwd(
+    proj_p_t, proj_l_t, w1_t, b1_t, w2_t, b2_t,
+    proj_p_g, proj_l_g, w1_g, b1_g, w2_g, b2_g,
+    lab_idx, win_local, win_tile_map, seed4, tab_mask, gnn_mask,
+    g_out_t, g_out_g,
+    num_windows, rate, interpret,
+):
+    e_win = win_local.shape[0]
+    num_tiles = e_win // TILE_E
+    if tab_mask is None:
+        tab_mask = jnp.ones((num_tiles,), jnp.int32)
+    if gnn_mask is None:
+        gnn_mask = jnp.ones((num_tiles,), jnp.int32)
+    projp2, projl2, w1bd, b1cat, w2cat, b2pair, h0, h1, labs_pad = _dual_pack(
+        proj_p_t, proj_p_g, proj_l_t, proj_l_g, w1_t, w1_g,
+        b1_t, b1_g, w2_t, w2_g, b2_t, b2_g, num_windows,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mt, mg: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mt, mg: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mt, mg: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mt, mg: (t,)),
+            pl.BlockSpec((WINDOW, 2 * h0), lambda t, tm, sd, mt, mg: (tm[t], 0)),
+            pl.BlockSpec((labs_pad, 2 * h0), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((2 * h0, 2 * h1), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((1, 2 * h1), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((1, 2 * h1), lambda t, tm, sd, mt, mg: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((WINDOW, 2 * h0), lambda t, tm, sd, mt, mg: (tm[t], 0)),
+            pl.BlockSpec((labs_pad, 2 * h0), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((2 * h0, 2 * h1), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((1, 2 * h1), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((1, 2 * h1), lambda t, tm, sd, mt, mg: (0, 0)),
+            pl.BlockSpec((1, 2), lambda t, tm, sd, mt, mg: (0, 0)),
+        ],
+    )
+    douts = pl.pallas_call(
+        functools.partial(_dual_bwd_kernel, rate=rate),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_windows * WINDOW, 2 * h0), jnp.float32),
+            jax.ShapeDtypeStruct((labs_pad, 2 * h0), jnp.float32),
+            jax.ShapeDtypeStruct((2 * h0, 2 * h1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * h1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * h1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        win_tile_map, seed4, tab_mask, gnn_mask, win_local, lab_idx,
+        g_out_t, g_out_g,
+        projp2, projl2, w1bd, b1cat, w2cat,
+    )
+    dprojp2, dprojl2, dw1bd, db1cat, dw2cat, db2pair = douts
+    num_p = proj_p_t.shape[0]
+    num_l = proj_l_t.shape[0]
+    dt = proj_p_t.dtype
+    return (
+        dprojp2[:num_p, :h0].astype(dt),
+        dprojl2[:num_l, :h0].astype(dt),
+        dw1bd[:h0, :h1].astype(w1_t.dtype),
+        db1cat[0, :h1].reshape(b1_t.shape).astype(b1_t.dtype),
+        dw2cat[0, :h1].reshape(w2_t.shape).astype(w2_t.dtype),
+        db2pair[0, 0].reshape(b2_t.shape).astype(b2_t.dtype),
+        dprojp2[:num_p, h0:].astype(dt),
+        dprojl2[:num_l, h0:].astype(dt),
+        dw1bd[h0:, h1:].astype(w1_g.dtype),
+        db1cat[0, h1:].reshape(b1_g.shape).astype(b1_g.dtype),
+        dw2cat[0, h1:].reshape(w2_g.shape).astype(w2_g.dtype),
+        db2pair[0, 1].reshape(b2_g.shape).astype(b2_g.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20))
+def fused_pair_head_dual(
+    proj_p_t, proj_l_t, w1_t, b1_t, w2_t, b2_t,
+    proj_p_g, proj_l_g, w1_g, b1_g, w2_g, b2_g,
+    lab_idx, win_local, win_tile_map, seed4, tab_mask, gnn_mask,
+    num_windows, rate=0.0, interpret=False,
+):
+    """Both degree-gated heads in one kernel call: returns (out_tab, out_gnn).
+
+    Same slot-major contract as :func:`fused_pair_head`.  ``seed4``
+    (uint32[4]) carries both heads' dropout seeds; the kernel draws one
+    stream over the concatenated activations (see module note).  ``tab_mask``
+    / ``gnn_mask`` predicate per head: a head's output is exact zero on its
+    masked tiles, and tiles masked for BOTH heads skip the body entirely.
+    Requires both heads to share (H0, H1) and no span-bounded lab blocks.
+    """
+    return _dual_fused_fwd(
+        proj_p_t, proj_l_t, w1_t, b1_t, w2_t, b2_t,
+        proj_p_g, proj_l_g, w1_g, b1_g, w2_g, b2_g,
+        lab_idx, win_local, win_tile_map, seed4, tab_mask, gnn_mask,
+        num_windows, rate, interpret,
+    )
+
+
+def _fphd_fwd(
+    proj_p_t, proj_l_t, w1_t, b1_t, w2_t, b2_t,
+    proj_p_g, proj_l_g, w1_g, b1_g, w2_g, b2_g,
+    lab_idx, win_local, win_tile_map, seed4, tab_mask, gnn_mask,
+    num_windows, rate, interpret,
+):
+    out = _dual_fused_fwd(
+        proj_p_t, proj_l_t, w1_t, b1_t, w2_t, b2_t,
+        proj_p_g, proj_l_g, w1_g, b1_g, w2_g, b2_g,
+        lab_idx, win_local, win_tile_map, seed4, tab_mask, gnn_mask,
+        num_windows, rate, interpret,
+    )
+    return out, (
+        proj_p_t, proj_l_t, w1_t, b1_t, w2_t, b2_t,
+        proj_p_g, proj_l_g, w1_g, b1_g, w2_g, b2_g,
+        lab_idx, win_local, win_tile_map, seed4, tab_mask, gnn_mask,
+    )
+
+
+def _fphd_bwd(num_windows, rate, interpret, res, g):
+    (proj_p_t, proj_l_t, w1_t, b1_t, w2_t, b2_t,
+     proj_p_g, proj_l_g, w1_g, b1_g, w2_g, b2_g,
+     lab_idx, win_local, win_tile_map, seed4, tab_mask, gnn_mask) = res
+    g_out_t, g_out_g = g
+    grads = _dual_fused_bwd(
+        proj_p_t, proj_l_t, w1_t, b1_t, w2_t, b2_t,
+        proj_p_g, proj_l_g, w1_g, b1_g, w2_g, b2_g,
+        lab_idx, win_local, win_tile_map, seed4, tab_mask, gnn_mask,
+        g_out_t, g_out_g,
+        num_windows, rate, interpret,
+    )
+    zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
+    zopt = lambda a: None if a is None else zero_i(a)  # noqa: E731
+    return (
+        *grads[:6], *grads[6:],
+        zero_i(lab_idx), zero_i(win_local), zero_i(win_tile_map),
+        zero_i(seed4), zopt(tab_mask), zopt(gnn_mask),
+    )
+
+
+fused_pair_head_dual.defvjp(_fphd_fwd, _fphd_bwd)

@@ -232,3 +232,54 @@ def test_factored_head_plan_gradient_parity():
     assert float(abs(l_plan - l_none)) < 1e-4
     for a, b in zip(jax.tree_util.tree_leaves(g_plan), jax.tree_util.tree_leaves(g_none)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_dual_head_fusion_model_parity():
+    """model.extras.dual_head_fusion='on' (one fused_pair_head_dual call for
+    both heads) must match the predicated single-head calls exactly — preds
+    and grads — on a slot-major batch with degree masks."""
+    from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+
+    def make(mode):
+        cfg = Config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model,
+                use_pallas=True,  # interpret-mode kernels on CPU
+                extras={"head_style": "factored", "dual_head_fusion": mode},
+            )
+        )
+        return cfg
+
+    cfg_on, cfg_off = make("on"), make("off")
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=2), cfg_on)
+    g = bundle.graph
+    masker = EdgeMasker(
+        g, seed=3, host_edges=bundle.patient_lab_host(),
+        slot_major_train=True, slot_major_min_rows=1,
+    )
+    batch = masker.get_split("train")
+    assert getattr(batch.patient_plan, "identity", False)
+    degrees = jnp.take(g.patient_lab_degree, batch.patient_idx)
+
+    model_on = build_model(cfg_on, g)
+    model_off = build_model(cfg_off, g)
+    variables = init_model_variables(model_on, g, jax.random.key(0))
+
+    def loss(model):
+        def f(vars_):
+            preds = model.apply(
+                vars_, g, batch.patient_idx, batch.lab_idx, train=False,
+                method=model.predict_lab_values,
+                patient_plan=batch.patient_plan, lab_plan=batch.lab_plan,
+                degrees=degrees,
+            )
+            return jnp.sum((preds - batch.values) ** 2 * batch.valid)
+        return f
+
+    l_on, g_on = jax.value_and_grad(loss(model_on))(variables)
+    l_off, g_off = jax.value_and_grad(loss(model_off))(variables)
+    assert float(abs(l_on - l_off)) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -210,3 +210,94 @@ def test_lab_block_mode_parity():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=f"grad({name})"
         )
+
+
+# ---------------------------------------------------------------------------
+# Dual-head fusion (fused_pair_head_dual): both degree-gated heads in one
+# call must match two independent single-head calls exactly (rate=0).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dual_problem(problem):
+    plan, p_s, l_s, real, params_t = problem
+    rng = np.random.default_rng(11)
+    num_p, num_l, H0, H1 = 300, 37, 64, 32
+    params_g = dict(
+        proj_p=rng.standard_normal((num_p, H0)).astype(np.float32),
+        proj_l=rng.standard_normal((num_l, H0)).astype(np.float32),
+        w1=(rng.standard_normal((H0, H1)) * 0.1).astype(np.float32),
+        b1=(rng.standard_normal(H1) * 0.1).astype(np.float32),
+        w2=(rng.standard_normal(H1) * 0.1).astype(np.float32),
+        b2=np.float32(-0.2),
+    )
+    return plan, p_s, l_s, real, params_t, params_g
+
+
+def _dual(plan, l_s, params_t, params_g, tab_mask=None, gnn_mask=None):
+    from multi_modal_gnn_tpu.ops.pallas_pairhead import fused_pair_head_dual
+
+    at = tuple(map(jnp.asarray, params_t.values()))
+    ag = tuple(map(jnp.asarray, params_g.values()))
+    return fused_pair_head_dual(
+        *at, *ag, jnp.asarray(l_s), plan.win_local, plan.win_tile_map,
+        jnp.zeros(4, jnp.uint32), tab_mask, gnn_mask,
+        plan.num_windows, 0.0, True,
+    )
+
+
+def test_dual_forward_matches_two_single_calls(dual_problem):
+    plan, p_s, l_s, real, params_t, params_g = dual_problem
+    out_t, out_g = _dual(plan, l_s, params_t, params_g)
+    ref_t = _fused(plan, p_s, l_s, real, *map(jnp.asarray, params_t.values()))
+    ref_g = _fused(plan, p_s, l_s, real, *map(jnp.asarray, params_g.values()))
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g), atol=1e-5)
+
+
+def test_dual_gradient_matches_two_single_calls(dual_problem):
+    plan, p_s, l_s, real, params_t, params_g = dual_problem
+    rng = np.random.default_rng(5)
+    g_t = jnp.asarray(rng.standard_normal(plan.win_local.shape[0]).astype(np.float32))
+    g_g = jnp.asarray(rng.standard_normal(plan.win_local.shape[0]).astype(np.float32))
+
+    def loss_dual(at, ag):
+        from multi_modal_gnn_tpu.ops.pallas_pairhead import fused_pair_head_dual
+
+        out_t, out_g = fused_pair_head_dual(
+            *at, *ag, jnp.asarray(l_s), plan.win_local, plan.win_tile_map,
+            jnp.zeros(4, jnp.uint32), None, None, plan.num_windows, 0.0, True,
+        )
+        return jnp.sum(out_t * g_t) + jnp.sum(out_g * g_g)
+
+    def loss_single(at, ag):
+        out_t = _fused(plan, p_s, l_s, real, *at)
+        out_g = _fused(plan, p_s, l_s, real, *ag)
+        return jnp.sum(out_t * g_t) + jnp.sum(out_g * g_g)
+
+    at = tuple(map(jnp.asarray, params_t.values()))
+    ag = tuple(map(jnp.asarray, params_g.values()))
+    gr_dual = jax.grad(loss_dual, argnums=(0, 1))(at, ag)
+    gr_single = jax.grad(loss_single, argnums=(0, 1))(at, ag)
+    for side, names in ((0, params_t.keys()), (1, params_g.keys())):
+        for name, a, b in zip(names, gr_single[side], gr_dual[side]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4,
+                err_msg=f"side {side} grad({name})",
+            )
+
+
+def test_dual_per_head_masks(dual_problem):
+    """Each head's mask zeroes its own output tiles independently."""
+    plan, p_s, l_s, real, params_t, params_g = dual_problem
+    num_tiles = plan.win_local.shape[0] // 1024
+    rng = np.random.default_rng(9)
+    m_t = jnp.asarray(rng.integers(0, 2, num_tiles).astype(np.int32))
+    m_g = jnp.asarray(rng.integers(0, 2, num_tiles).astype(np.int32))
+    keep_t = jnp.repeat(m_t, 1024).astype(jnp.float32)
+    keep_g = jnp.repeat(m_g, 1024).astype(jnp.float32)
+
+    full_t, full_g = _dual(plan, l_s, params_t, params_g)
+    out_t, out_g = _dual(plan, l_s, params_t, params_g, tab_mask=m_t, gnn_mask=m_g)
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(full_t * keep_t))
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(full_g * keep_g))
