@@ -162,8 +162,14 @@ class MIMICLoader:
         if res is None:
             return None
         subj, item, val, time_s = res
+        # int64 ids: match the pandas chunk path's dtypes exactly (callers
+        # merge on these columns; mixed int32/int64 keys silently upcast)
         out = pd.DataFrame(
-            {"SUBJECT_ID": subj, "ITEMID": item, "VALUENUM": val}
+            {
+                "SUBJECT_ID": subj.astype(np.int64),
+                "ITEMID": item.astype(np.int64),
+                "VALUENUM": val,
+            }
         )
         if col_time >= 0:
             out["CHARTTIME"] = pd.to_datetime(
