@@ -64,6 +64,10 @@ def _param_pspec(path_parts, leaf) -> P:
 class GSPMDTrainer(Trainer):
     """Trainer whose arrays are mesh-placed; XLA partitions the jitted step."""
 
+    # per-leaf optimizer state: the patient table's adam moments must
+    # inherit its row sharding, which a flattened single vector cannot
+    _flatten_optimizer = False
+
     def __init__(
         self,
         graph: HeteroGraph,

@@ -53,8 +53,26 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
 
 
-def build_optimizer(train_config) -> optax.GradientTransformation:
+def build_optimizer(train_config, flatten: bool = True) -> optax.GradientTransformation:
+    """Adam/SGD (+ weight decay) per the reference (src/train.py:251-269).
+
+    ``train.extras.flatten_optimizer: true`` wraps the chain in
+    ``optax.flatten``: the update runs on ONE raveled parameter vector
+    instead of ~30 per-leaf ops (elementwise math unchanged; parity pinned
+    in tests/test_training.py).  Measured on the v5e it is a NEGATIVE
+    result, kept as an opt-in: the ravel/unravel concats cost more than the
+    per-leaf fusions XLA already packs inside the scanned epoch — eICU
+    config 1.63 -> 1.84 ms/epoch, scale config neutral (50.3 vs 50.5 ms).
+    Auto-disabled when ``embedding_weight_decay`` is set (its mask needs
+    tree paths) and by GSPMDTrainer (a flat vector cannot inherit the
+    patient table's row sharding).
+    """
     oc = train_config.optimizer
+    flatten = (
+        flatten
+        and bool(train_config.extras.get("flatten_optimizer", False))
+        and not oc.embedding_weight_decay
+    )
 
     def embed_mask(params):
         return jax.tree_util.tree_map_with_path(
@@ -75,16 +93,23 @@ def build_optimizer(train_config) -> optax.GradientTransformation:
                 )
             )
         if oc.type.lower() == "adam":
-            return optax.chain(*decay, optax.adam(learning_rate))
-        if oc.type.lower() == "sgd":
-            return optax.chain(*decay, optax.sgd(learning_rate, momentum=oc.momentum))
-        raise ValueError(f"Unknown optimizer: {oc.type}")
+            tx = optax.chain(*decay, optax.adam(learning_rate))
+        elif oc.type.lower() == "sgd":
+            tx = optax.chain(*decay, optax.sgd(learning_rate, momentum=oc.momentum))
+        else:
+            raise ValueError(f"Unknown optimizer: {oc.type}")
+        return optax.flatten(tx) if flatten else tx
 
     return optax.inject_hyperparams(make)(learning_rate=oc.lr)
 
 
 class Trainer:
     """Drives the jitted train/eval steps over a static graph."""
+
+    # single-vector optimizer updates (see build_optimizer); GSPMDTrainer
+    # turns this off — its patient embedding table is row-sharded and a
+    # flat opt-state vector cannot inherit that sharding
+    _flatten_optimizer = True
 
     def __init__(
         self,
@@ -109,7 +134,7 @@ class Trainer:
 
         if variables is None:
             variables = init_model_variables(model, graph, self.rngs.next("init"))
-        self.tx = build_optimizer(tc)
+        self.tx = build_optimizer(tc, flatten=self._flatten_optimizer)
         self.state = TrainState(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),

@@ -181,3 +181,34 @@ def test_load_best_model(trained, tmp_path):
                  EdgeMasker(bundle.graph, seed=2), cfg5)
     t2.load_best_model(tmp_path)
     np.testing.assert_allclose(t2.validate("test"), t.validate("test", state=t.best_state), rtol=1e-5)
+
+
+def test_flatten_optimizer_matches_per_leaf(tiny_bundle):
+    """optax.flatten is an exact rewrite: adam/decay are elementwise, so the
+    single-vector update must reproduce the per-leaf trainer up to float
+    round-off.  XLA fuses the flat vector's decay+adam chain with different
+    FMA contraction, and adam's m/(sqrt(v)+eps) amplifies ulp-level noise on
+    near-zero-gradient params, so losses match to 1e-6 and params to 1e-3
+    after 4 epochs."""
+    def run(flatten: bool):
+        cfg = _small_cfg(epochs=4)
+        cfg = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train, extras={"flatten_optimizer": flatten}
+            )
+        )
+        masker = EdgeMasker(tiny_bundle.graph, seed=cfg.train.seed)
+        model = build_model(cfg, tiny_bundle.graph)
+        trainer = Trainer(model, tiny_bundle.graph, masker, cfg)
+        losses = [trainer.train_epoch() for _ in range(4)]
+        return losses, trainer.state.params
+
+    losses_flat, params_flat = run(True)
+    losses_leaf, params_leaf = run(False)
+    np.testing.assert_allclose(losses_flat, losses_leaf, rtol=0, atol=1e-6)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_flat), jax.tree_util.tree_leaves(params_leaf)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-3)
