@@ -163,3 +163,15 @@ class HeteroGT(nn.Module):
             [x_dict[PATIENT][patient_indices], x_dict[LAB][lab_indices]], axis=-1
         )
         return self.edge_predictor(pair, train=train)[..., 0]
+
+    # -- serving (cached node state) — see HeteroRGCN.compute_node_state -----
+
+    def compute_node_state(self, graph: HeteroGraph):
+        x_dict = self(graph, train=False)
+        return {"final_p": x_dict[PATIENT], "final_l": x_dict[LAB]}
+
+    def predict_pairs_cached(self, state, patient_indices, lab_indices):
+        pair = jnp.concatenate(
+            [state["final_p"][patient_indices], state["final_l"][lab_indices]], axis=-1
+        )
+        return self.edge_predictor(pair, train=False)[..., 0]

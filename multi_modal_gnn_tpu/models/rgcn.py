@@ -546,3 +546,74 @@ class HeteroRGCN(nn.Module):
             c = self.embeddings[LAB](lab_indices)
             pred = pred + jnp.sum((u @ self.bilinear_u) * (c @ self.bilinear_l), axis=-1)
         return pred
+
+    # -- serving (cached node state) -----------------------------------------
+    # Every prediction channel above is node-factorable: the heads consume
+    # per-node vectors, the gate consumes per-patient degrees, and both
+    # bilinear variants reduce to <bl_u[p], bl_l[l]> of node-level factor
+    # rows.  For a frozen (params, graph) pair the node state is constant,
+    # so serving computes it ONCE and per-request cost is two tiny MLPs on
+    # the batch — no per-request GNN propagation.  Exactness vs
+    # predict_lab_values(train=False) is pinned in tests/test_serving.py.
+    # No reference analogue (its inference re-runs the full GNN per call,
+    # src/inference.py:92-159).
+
+    def compute_node_state(self, graph: HeteroGraph) -> Dict[str, jax.Array]:
+        """Everything predict_pairs_cached needs, computed from one eval-mode
+        forward over the full graph (value_context rides the graph's
+        ``val_vis`` exactly as in the trainer's eval step)."""
+        initial = self.encode_nodes(train=False, graph=graph)
+        final = self.propagate(initial, graph, train=False)
+        state = {
+            "init_p": initial[PATIENT],
+            "init_l": initial[LAB],
+            "final_p": final[PATIENT],
+            "final_l": final[LAB],
+            "degree": graph.patient_lab_degree,
+        }
+        if self.bilinear_rank > 0:
+            counts = dict(self.node_counts)  # static (name, count) pairs
+            lab_ids = jnp.arange(counts[LAB], dtype=jnp.int32)
+            c = self.embeddings[LAB](lab_ids)
+            if self.bilinear_source == "embedding":
+                pat_ids = jnp.arange(counts[PATIENT], dtype=jnp.int32)
+                u = self.embeddings[PATIENT](pat_ids)
+            else:  # "context" (and "head" never reaches here: rank folded into heads)
+                u, _ = self._patient_value_context(c, graph.edges[PATIENT_LAB])
+            state["bl_u"] = u @ self.bilinear_u
+            state["bl_l"] = c @ self.bilinear_l
+        return state
+
+    def predict_pairs_cached(
+        self,
+        state: Dict[str, jax.Array],
+        patient_indices: jax.Array,
+        lab_indices: jax.Array,
+    ) -> jax.Array:
+        """predict_lab_values(train=False) from a compute_node_state dict —
+        the serving fast path (no graph, no propagation, no plans)."""
+        if self.head_style == "factored":
+            tab_pred = self.tabular_mlp(
+                state["init_p"], state["init_l"], patient_indices, lab_indices,
+                train=False,
+            )[..., 0]
+            gnn_pred = self.edge_predictor(
+                state["final_p"], state["final_l"], patient_indices, lab_indices,
+                train=False,
+            )[..., 0]
+        else:
+            pre = jnp.concatenate(
+                [state["init_p"][patient_indices], state["init_l"][lab_indices]], axis=-1
+            )
+            post = jnp.concatenate(
+                [state["final_p"][patient_indices], state["final_l"][lab_indices]], axis=-1
+            )
+            tab_pred = self.tabular_mlp(pre, train=False)[..., 0]
+            gnn_pred = self.edge_predictor(post, train=False)[..., 0]
+        degrees = state["degree"][patient_indices]
+        pred = jnp.where(degrees < self.degree_threshold, tab_pred, gnn_pred)
+        if "bl_u" in state:
+            pred = pred + jnp.sum(
+                state["bl_u"][patient_indices] * state["bl_l"][lab_indices], axis=-1
+            )
+        return pred

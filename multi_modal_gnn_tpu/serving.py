@@ -1,0 +1,213 @@
+"""Production serving: cached-node-state prediction + AOT-exported artifacts.
+
+The reference's inference path re-runs the full GNN forward for every
+request (src/inference.py:92-159 — ``predict_lab_values`` recomputes
+``encode_nodes`` + 2 propagation layers per patient).  For a FROZEN
+(params, graph) pair that work is constant, and every prediction channel of
+both model families is node-factorable (models/rgcn.py "serving" section):
+
+  * serving computes the node state ONCE (one eval-mode forward), and
+  * each request runs only the pair heads on its (patient, lab) batch —
+    microseconds instead of a full-graph propagation.
+
+Two surfaces:
+
+``build_serving_fn(trainer)``
+    In-process: returns ``(fn, state)`` where ``fn(p_idx, l_idx) -> preds``
+    is a jitted closure over the cached state.  Exactness vs
+    ``predict_lab_values(train=False)`` is pinned in tests/test_serving.py.
+
+``export_serving(trainer, bundle, path)`` / ``ServingModel.load(path)``
+    Out-of-process: serializes the serving function per padding bucket via
+    ``jax.export`` (versioned StableHLO with params + node state baked in as
+    constants) plus a JSON manifest (buckets, node counts, lab names/stats
+    for denormalization, model hash).  A serving host needs only this
+    artifact directory and jax — no model code, config, graph builder, or
+    checkpoint machinery.  Requests of any size are chunked to the largest
+    bucket and padded to the smallest fitting one, so the compiled set is
+    closed (no recompiles, ever).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+from pathlib import Path
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_modal_gnn_tpu.graph.schema import LAB, PATIENT
+
+logger = logging.getLogger(__name__)
+
+_MANIFEST = "serving.json"
+DEFAULT_BUCKETS = (256, 4096)
+
+
+def _serving_variables(trainer) -> dict:
+    """Assemble eval-mode variables exactly as the trainer's eval step does."""
+    variables = {"params": trainer._prepare_params(trainer.state.params)}
+    if trainer.state.batch_stats:
+        variables["batch_stats"] = trainer.state.batch_stats
+    return variables
+
+
+def compute_node_state(trainer) -> Dict[str, jax.Array]:
+    """One eval-mode forward -> the frozen per-node serving state.
+
+    value_context models see the same visibility template as the trainer's
+    eval step (``_visible_graph`` with no knockout: train-split values)."""
+    graph = trainer._visible_graph(trainer.graph, None)
+    state = jax.jit(
+        lambda v: trainer.model.apply(
+            v, graph, method=trainer.model.compute_node_state
+        )
+    )(_serving_variables(trainer))
+    return state
+
+
+def build_serving_fn(
+    trainer, state: Optional[Dict[str, jax.Array]] = None
+) -> Tuple[Callable, Dict[str, jax.Array]]:
+    """Jitted ``fn(patient_idx, lab_idx) -> predictions`` over cached state."""
+    if state is None:
+        state = compute_node_state(trainer)
+    variables = _serving_variables(trainer)
+    model = trainer.model
+
+    @jax.jit
+    def fn(patient_idx: jax.Array, lab_idx: jax.Array) -> jax.Array:
+        return model.apply(
+            variables, state, patient_idx, lab_idx,
+            method=model.predict_pairs_cached,
+        )
+
+    return fn, state
+
+
+def export_serving(
+    trainer,
+    bundle,
+    path,
+    buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+) -> Path:
+    """Write the AOT serving artifact: one serialized StableHLO function per
+    padding bucket + a manifest.  ``bundle`` supplies lab names/stats for
+    the manifest (denormalization happens host-side in ServingModel)."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    fn, _ = build_serving_fn(trainer)
+    buckets = tuple(sorted(set(int(b) for b in buckets)))
+
+    for b in buckets:
+        spec = jax.ShapeDtypeStruct((b,), jnp.int32)
+        exported = jax.export.export(fn)(spec, spec)
+        (path / f"pairs_b{b}.bin").write_bytes(exported.serialize())
+
+    meta = bundle.meta
+    manifest = {
+        "format": "multi_modal_gnn_tpu.serving/v1",
+        "buckets": list(buckets),
+        "num_patients": int(trainer.graph.num_nodes(PATIENT)),
+        "num_labs": int(trainer.graph.num_nodes(LAB)),
+        "model_hash": trainer.config.model_hash(),
+        "architecture": trainer.config.model.architecture,
+        "lab_names": {int(k): v for k, v in meta.lab_names.items()},
+        "lab_stats": {int(k): v for k, v in meta.lab_stats.items()},
+        "normalize_method": trainer.config.feature_space.labs.normalize,
+        "export_platform": jax.default_backend(),
+    }
+    (path / _MANIFEST).write_text(json.dumps(manifest, indent=1))
+    logger.info("Serving artifact exported to %s (buckets %s)", path, buckets)
+    return path
+
+
+@dataclasses.dataclass
+class ServingModel:
+    """Loads an ``export_serving`` artifact and serves predictions.
+
+    ``predict`` pads each request to the smallest bucket that fits (chunking
+    by the largest bucket first), so every call hits a pre-compiled
+    executable.  ``denormalize=True`` maps predictions back to original lab
+    units via the manifest's per-lab stats (zscore; other normalizations
+    ship their fitted normalizer separately — see inference.Denormalizer).
+    """
+
+    manifest: dict
+    _fns: Dict[int, Callable]
+
+    @classmethod
+    def load(cls, path) -> "ServingModel":
+        path = Path(path)
+        manifest = json.loads((path / _MANIFEST).read_text())
+        fns: Dict[int, Callable] = {}
+        for b in manifest["buckets"]:
+            exported = jax.export.deserialize(
+                (path / f"pairs_b{b}.bin").read_bytes()
+            )
+            fns[int(b)] = exported.call
+        return cls(manifest=manifest, _fns=fns)
+
+    @property
+    def buckets(self):
+        return sorted(self._fns)
+
+    def _call_padded(self, p: np.ndarray, l: np.ndarray) -> np.ndarray:
+        n = len(p)
+        bucket = next((b for b in self.buckets if b >= n), self.buckets[-1])
+        pad = bucket - n
+        p_pad = np.concatenate([p, np.zeros(pad, np.int32)])
+        l_pad = np.concatenate([l, np.zeros(pad, np.int32)])
+        out = self._fns[bucket](jnp.asarray(p_pad), jnp.asarray(l_pad))
+        return np.asarray(out)[:n]
+
+    def predict(
+        self, patient_idx, lab_idx, denormalize: bool = False
+    ) -> np.ndarray:
+        p = np.asarray(patient_idx, dtype=np.int32).reshape(-1)
+        l = np.asarray(lab_idx, dtype=np.int32).reshape(-1)
+        if p.shape != l.shape:
+            raise ValueError(f"patient/lab shape mismatch: {p.shape} vs {l.shape}")
+        if len(p) == 0:
+            return np.zeros(0, np.float32)
+        n_pat, n_lab = self.manifest["num_patients"], self.manifest["num_labs"]
+        if p.min() < 0 or p.max() >= n_pat:
+            raise ValueError(f"patient index out of range [0, {n_pat})")
+        if l.min() < 0 or l.max() >= n_lab:
+            raise ValueError(f"lab index out of range [0, {n_lab})")
+
+        big = self.buckets[-1]
+        chunks = [
+            self._call_padded(p[i : i + big], l[i : i + big])
+            for i in range(0, len(p), big)
+        ]
+        preds = np.concatenate(chunks)
+        if denormalize:
+            preds = np.array(
+                [self._denorm(int(li), float(v)) for li, v in zip(l, preds)],
+                dtype=np.float64,
+            )
+        return preds
+
+    def predict_patient(self, patient_idx: int, denormalize: bool = False):
+        """All labs for one patient -> {lab_name: prediction}."""
+        num_labs = self.manifest["num_labs"]
+        labs = np.arange(num_labs, dtype=np.int32)
+        preds = self.predict(
+            np.full(num_labs, patient_idx, np.int32), labs, denormalize=denormalize
+        )
+        names = self.manifest["lab_names"]
+        return {names.get(str(i), names.get(i, f"Lab_{i}")): float(v)
+                for i, v in zip(labs, preds)}
+
+    def _denorm(self, lab_idx: int, value: float) -> float:
+        stats = self.manifest["lab_stats"].get(str(lab_idx)) or self.manifest[
+            "lab_stats"
+        ].get(lab_idx)
+        if not stats or self.manifest.get("normalize_method", "zscore") != "zscore":
+            return value
+        return value * float(stats.get("std", 1.0)) + float(stats.get("mean", 0.0))
