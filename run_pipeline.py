@@ -138,6 +138,16 @@ def step_inference(config, patient_id=None, num_examples=5, detailed=False):
     )
 
 
+def step_export_serving(config):
+    from multi_modal_gnn_tpu.serving import export_serving
+
+    bundle = _load_bundle(config)
+    trainer = _load_trainer(config, bundle)
+    out = Path(config.data.output_dir) / "serving"
+    export_serving(trainer, bundle, out)
+    print(f"serving artifact: {out} ({sorted(p.name for p in out.iterdir())})")
+
+
 STEPS = [
     ("preprocess", "Load raw data, select cohort, engineer features", step_preprocess),
     ("build-graph", "Assemble the padded heterogeneous graph", step_build_graph),
@@ -146,6 +156,7 @@ STEPS = [
     ("audit", "Leakage audit + robust metrics", step_audit),
     ("visualize", "All plot families", step_visualize),
     ("inference", "Per-patient imputation reports", step_inference),
+    ("export-serving", "AOT serving artifact (cached node state)", step_export_serving),
 ]
 
 

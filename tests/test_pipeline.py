@@ -1,4 +1,4 @@
-"""Integration tests: inference, audit, viz, and the 7-step pipeline CLI."""
+"""Integration tests: inference, audit, viz, and the 8-step pipeline CLI."""
 
 import dataclasses
 import json
@@ -143,7 +143,7 @@ class TestViz:
 
 
 def test_pipeline_cli_end_to_end(tmp_path):
-    """All 7 steps through the CLI on the synthetic dataset config."""
+    """All 8 steps through the CLI on the synthetic dataset config."""
     import yaml
 
     from multi_modal_gnn_tpu.config import load_config, save_config
@@ -178,6 +178,7 @@ def test_pipeline_cli_end_to_end(tmp_path):
         "graph.npz", "best_model.ckpt", "training_history.json", "test_results.json",
         "evaluation_results.json", "per_lab_metrics.csv", "audit_report.json",
         "inference_examples.json",
+        "serving/serving.json",
     ):
         assert (out / artifact).exists(), artifact
     assert (tmp_path / "interim" / "labs_normalized.parquet").exists()
