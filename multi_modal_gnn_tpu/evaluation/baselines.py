@@ -168,6 +168,37 @@ class ALSBaseline:
         l = np.asarray(lab_indices)
         return self.lab_bias[l] + np.einsum("ek,ek->e", self.U[p], self.C[l])
 
+    def fold_in(
+        self, obs_lab_indices: np.ndarray, obs_values: np.ndarray
+    ) -> np.ndarray:
+        """Latent factor for an UNSEEN patient from their observed labs —
+        one closed-form ridge solve against the trained lab factors (exactly
+        the U half-step of fit(), so a folded-in patient is treated
+        identically to a train patient with the same observations).  This is
+        the cold-start path: the transductive model (and the reference,
+        whose patient ID embeddings are learned) cannot predict for patients
+        outside the training graph at all."""
+        l = np.asarray(obs_lab_indices)
+        v = np.asarray(obs_values, dtype=np.float64)
+        if len(l) == 0:
+            return np.zeros(self.rank)
+        c = self.C[l]  # [n_obs, k]
+        gram = self.reg * np.eye(self.rank) + c.T @ c
+        rhs = c.T @ (v - self.lab_bias[l])
+        return np.linalg.solve(gram, rhs)
+
+    def predict_cold_start(
+        self,
+        obs_lab_indices: np.ndarray,
+        obs_values: np.ndarray,
+        query_lab_indices: np.ndarray,
+    ) -> np.ndarray:
+        """Predict ``query_lab_indices`` for a new patient given their
+        observed (lab, value) pairs."""
+        u = self.fold_in(obs_lab_indices, obs_values)
+        q = np.asarray(query_lab_indices)
+        return self.lab_bias[q] + self.C[q] @ u
+
 
 def evaluate_baselines(
     train_values: np.ndarray,

@@ -94,10 +94,16 @@ def export_serving(
     bundle,
     path,
     buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
+    cold_start=None,
 ) -> Path:
     """Write the AOT serving artifact: one serialized StableHLO function per
     padding bucket + a manifest.  ``bundle`` supplies lab names/stats for
-    the manifest (denormalization happens host-side in ServingModel)."""
+    the manifest (denormalization happens host-side in ServingModel).
+
+    ``cold_start`` (optional ``evaluation.baselines.ALSBaseline``, fitted on
+    the train split): ships its lab factors in ``coldstart.npz`` so the
+    served model can fold in UNSEEN patients from their observed labs —
+    the one request type the transductive graph model cannot answer."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     fn, _ = build_serving_fn(trainer)
@@ -107,6 +113,14 @@ def export_serving(
         spec = jax.ShapeDtypeStruct((b,), jnp.int32)
         exported = jax.export.export(fn)(spec, spec)
         (path / f"pairs_b{b}.bin").write_bytes(exported.serialize())
+
+    if cold_start is not None:
+        np.savez(
+            path / "coldstart.npz",
+            C=cold_start.C,
+            lab_bias=cold_start.lab_bias,
+            reg=np.float64(cold_start.reg),
+        )
 
     meta = bundle.meta
     manifest = {
@@ -139,6 +153,7 @@ class ServingModel:
 
     manifest: dict
     _fns: Dict[int, Callable]
+    _cold: Optional[dict] = None
 
     @classmethod
     def load(cls, path) -> "ServingModel":
@@ -150,7 +165,12 @@ class ServingModel:
                 (path / f"pairs_b{b}.bin").read_bytes()
             )
             fns[int(b)] = exported.call
-        return cls(manifest=manifest, _fns=fns)
+        cold = None
+        cs_path = path / "coldstart.npz"
+        if cs_path.exists():
+            with np.load(cs_path) as z:
+                cold = {k: z[k] for k in z.files}
+        return cls(manifest=manifest, _fns=fns, _cold=cold)
 
     @property
     def buckets(self):
@@ -203,6 +223,38 @@ class ServingModel:
         names = self.manifest["lab_names"]
         return {names.get(str(i), names.get(i, f"Lab_{i}")): float(v)
                 for i, v in zip(labs, preds)}
+
+    def predict_cold_start(
+        self, observed: Dict[int, float], denormalize: bool = False
+    ) -> Dict[str, float]:
+        """All-lab predictions for an UNSEEN patient from their observed
+        NORMALIZED lab values, via the shipped ALS fold-in factors (one
+        closed-form ridge solve — see ALSBaseline.fold_in).  Requires the
+        artifact to have been exported with ``cold_start=``."""
+        if self._cold is None:
+            raise ValueError(
+                "artifact has no coldstart.npz — re-export with "
+                "export_serving(..., cold_start=fitted_ALSBaseline)"
+            )
+        C, bias, reg = self._cold["C"], self._cold["lab_bias"], float(self._cold["reg"])
+        obs_l = np.asarray(sorted(observed), dtype=np.int64)
+        n_lab = self.manifest["num_labs"]
+        if len(obs_l) and (obs_l.min() < 0 or obs_l.max() >= n_lab):
+            raise ValueError(f"observed lab index out of range [0, {n_lab})")
+        obs_v = np.asarray([observed[int(i)] for i in obs_l], dtype=np.float64)
+        rank = C.shape[1]
+        c = C[obs_l]
+        u = (
+            np.linalg.solve(reg * np.eye(rank) + c.T @ c, c.T @ (obs_v - bias[obs_l]))
+            if len(obs_l)
+            else np.zeros(rank)
+        )
+        preds = bias + C @ u
+        if denormalize:
+            preds = np.array([self._denorm(i, float(v)) for i, v in enumerate(preds)])
+        names = self.manifest["lab_names"]
+        return {names.get(str(i), names.get(i, f"Lab_{i}")): float(v)
+                for i, v in enumerate(preds)}
 
     def _denorm(self, lab_idx: int, value: float) -> float:
         stats = self.manifest["lab_stats"].get(str(lab_idx)) or self.manifest[

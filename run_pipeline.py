@@ -139,12 +139,20 @@ def step_inference(config, patient_id=None, num_examples=5, detailed=False):
 
 
 def step_export_serving(config):
+    from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+    from multi_modal_gnn_tpu.graph.schema import LAB, PATIENT
     from multi_modal_gnn_tpu.serving import export_serving
 
     bundle = _load_bundle(config)
     trainer = _load_trainer(config, bundle)
+    # cold-start factors: ALS on the train split so the artifact can fold in
+    # patients outside the training graph (serving.predict_cold_start)
+    p_idx, l_idx, values = trainer.masker.split_arrays("train")
+    als = ALSBaseline(
+        bundle.graph.num_nodes(PATIENT), bundle.graph.num_nodes(LAB)
+    ).fit(values, p_idx, l_idx)
     out = Path(config.data.output_dir) / "serving"
-    export_serving(trainer, bundle, out)
+    export_serving(trainer, bundle, out, cold_start=als)
     print(f"serving artifact: {out} ({sorted(p.name for p in out.iterdir())})")
 
 

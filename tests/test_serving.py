@@ -126,3 +126,106 @@ class TestExportedArtifact:
         report = served.predict_patient(0, denormalize=True)
         assert len(report) == served.manifest["num_labs"]
         assert all(np.isfinite(v) for v in report.values())
+
+
+# ---------------------------------------------------------------------------
+# Cold start: ALS fold-in for patients outside the training graph.
+# ---------------------------------------------------------------------------
+
+
+def _lowrank_problem(num_p=300, num_l=30, rank=4, seed=7):
+    rng = np.random.default_rng(seed)
+    u = rng.normal(size=(num_p, rank))
+    c = rng.normal(size=(num_l, rank)) / np.sqrt(rank)
+    full = u @ c.T + 0.15 * rng.normal(size=(num_p, num_l))
+    obs = rng.random((num_p, num_l)) < 0.6
+    return full, obs, rng
+
+
+def test_als_fold_in_matches_train_half_step():
+    """fold_in IS the U half-step: solving a train patient's factor from
+    their own train observations reproduces the closed-form ridge."""
+    from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+
+    full, obs, _ = _lowrank_problem()
+    p_idx, l_idx = np.nonzero(obs)
+    als = ALSBaseline(300, 30, rank=4, reg=2.0, iters=10).fit(
+        full[obs], p_idx, l_idx
+    )
+    pid = 17
+    labs = l_idx[p_idx == pid]
+    vals = full[pid, labs]
+    u = als.fold_in(labs, vals)
+    c = als.C[labs]
+    expected = np.linalg.solve(
+        2.0 * np.eye(4) + c.T @ c, c.T @ (vals - als.lab_bias[labs])
+    )
+    np.testing.assert_allclose(u, expected, rtol=1e-10)
+    assert als.fold_in([], []).shape == (4,)
+
+
+def test_als_cold_start_recovers_holdout_patients():
+    """Patients NEVER seen by fit(): fold in from half their labs, predict
+    the other half — R^2 must be well above the lab-mean baseline (0)."""
+    from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+
+    full, obs, rng = _lowrank_problem()
+    train_p = np.arange(250)
+    p_idx, l_idx = np.nonzero(obs[:250])
+    als = ALSBaseline(250, 30, rank=4, reg=2.0, iters=15).fit(
+        full[:250][obs[:250]], p_idx, l_idx
+    )
+    errs, base_errs, truths = [], [], []
+    for pid in range(250, 300):
+        labs = np.nonzero(obs[pid])[0]
+        half = len(labs) // 2
+        give, ask = labs[:half], labs[half:]
+        pred = als.predict_cold_start(give, full[pid, give], ask)
+        errs.append(pred - full[pid, ask])
+        base_errs.append(als.lab_bias[ask] - full[pid, ask])
+        truths.append(full[pid, ask])
+    sse = np.sum(np.concatenate(errs) ** 2)
+    sse_base = np.sum(np.concatenate(base_errs) ** 2)
+    t = np.concatenate(truths)
+    r2 = 1 - sse / np.sum((t - t.mean()) ** 2)
+    assert r2 > 0.5, r2
+    assert sse < 0.5 * sse_base  # far better than per-lab means
+
+
+def test_serving_cold_start_roundtrip(tiny_bundle, tmp_path):
+    from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+    from multi_modal_gnn_tpu.serving import ServingModel, export_serving
+
+    cfg = Config()
+    trainer = _train_briefly(tiny_bundle, cfg, epochs=1)
+    p_idx, l_idx, values = trainer.masker.split_arrays("train")
+    als = ALSBaseline(
+        tiny_bundle.graph.num_nodes("patient"), tiny_bundle.graph.num_nodes("lab"),
+        rank=3, iters=5,
+    ).fit(values, p_idx, l_idx)
+
+    path = tmp_path / "artifact"
+    export_serving(trainer, tiny_bundle, path, buckets=(64,), cold_start=als)
+    served = ServingModel.load(path)
+
+    observed = {int(l_idx[0]): float(values[0]), int(l_idx[1]): float(values[1])}
+    report = served.predict_cold_start(observed)
+    assert len(report) == served.manifest["num_labs"]
+    obs_l = np.asarray(sorted(observed))
+    obs_v = np.asarray([observed[int(i)] for i in obs_l])
+    expected = als.predict_cold_start(
+        obs_l, obs_v, np.arange(served.manifest["num_labs"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(list(report.values())), expected, rtol=1e-8
+    )
+    # empty observation set -> lab biases
+    empty = served.predict_cold_start({})
+    np.testing.assert_allclose(np.asarray(list(empty.values())), als.lab_bias,
+                               rtol=1e-8)
+
+    # artifact without cold-start factors refuses clearly
+    path2 = tmp_path / "plain"
+    export_serving(trainer, tiny_bundle, path2, buckets=(64,))
+    with pytest.raises(ValueError, match="coldstart"):
+        ServingModel.load(path2).predict_cold_start(observed)
