@@ -14,6 +14,14 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# persistent compile cache: the suite's dominant cost is re-compiling the
+# same 8-device shard_map / scan programs on every run; cache entries are
+# keyed by HLO hash + device topology, so repeat runs skip XLA entirely
+jax.config.update("jax_compilation_cache_dir", str(
+    __import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_cache_cpu"
+))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from multi_modal_gnn_tpu.utils.platform import force_cpu_devices  # noqa: E402
 
 force_cpu_devices(8)
