@@ -541,6 +541,14 @@ class Trainer:
         if output_dir is not None:
             output_dir.mkdir(parents=True, exist_ok=True)
 
+        if resume_from == "auto":
+            # crash/preemption recovery: continue from the newest periodic
+            # checkpoint in output_dir, or start fresh if none exists yet
+            resume_from = (
+                self.latest_checkpoint(output_dir) if output_dir is not None else None
+            )
+            if resume_from is not None:
+                logger.info("Auto-resume from %s", resume_from)
         if resume_from is not None:
             self.restore(resume_from)
 
@@ -661,6 +669,18 @@ class Trainer:
             "model_hash": self.config.model_hash(),
             "config": self.config.to_dict(),
         }
+
+    @staticmethod
+    def latest_checkpoint(output_dir) -> Optional[Path]:
+        """Newest ``checkpoint_epoch_N.ckpt`` in ``output_dir`` by epoch
+        number (None if the directory holds no periodic checkpoints)."""
+        candidates = []
+        for p in Path(output_dir).glob("checkpoint_epoch_*.ckpt"):
+            try:
+                candidates.append((int(p.stem.rsplit("_", 1)[1]), p))
+            except ValueError:
+                continue
+        return max(candidates)[1] if candidates else None
 
     def _save(self, path: Path) -> None:
         save_checkpoint(path, self._checkpoint_payload(), self._host_metadata())

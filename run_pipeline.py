@@ -83,7 +83,10 @@ def step_train(config):
     from multi_modal_gnn_tpu.training.trainer import train_pipeline
 
     bundle = _load_bundle(config)
-    train_pipeline(config, bundle, config.data.output_dir)
+    # train.extras.auto_resume: true -> re-running this step after a crash
+    # or preemption continues from the newest periodic checkpoint
+    resume = "auto" if config.train.extras.get("auto_resume") else None
+    train_pipeline(config, bundle, config.data.output_dir, resume_from=resume)
 
 
 def step_evaluate(config):

@@ -212,3 +212,44 @@ def test_flatten_optimizer_matches_per_leaf(tiny_bundle):
         jax.tree_util.tree_leaves(params_flat), jax.tree_util.tree_leaves(params_leaf)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-3)
+
+
+def test_auto_resume(trained, tmp_path):
+    """fit(resume_from='auto') continues from the newest periodic checkpoint
+    in output_dir, and starts fresh when there is none."""
+    cfg, bundle, *_ = trained
+    cfg10 = _small_cfg(epochs=10)
+
+    def make_trainer():
+        masker = EdgeMasker(bundle.graph, seed=7)
+        return Trainer(build_model(cfg10, bundle.graph), bundle.graph, masker, cfg10)
+
+    # fresh start with an empty dir: auto resolves to None
+    fresh_dir = tmp_path / "fresh"
+    fresh_dir.mkdir()
+    t0 = make_trainer()
+    assert Trainer.latest_checkpoint(fresh_dir) is None
+    t0.fit(output_dir=fresh_dir, resume_from="auto")
+    straight = list(t0.history["train_loss"])
+
+    # crash simulation: train 10 (checkpoints every 5 via logging config? use
+    # explicit _save), then a new trainer resumes from the newest checkpoint
+    t1 = make_trainer()
+    for _ in range(4):
+        t1.train_epoch()
+        t1.epoch += 1
+    resume_dir = tmp_path / "resume"
+    resume_dir.mkdir()
+    t1._save(resume_dir / "checkpoint_epoch_2.ckpt")  # stale, must be ignored
+    t1._save(resume_dir / "checkpoint_epoch_4.ckpt")
+    assert Trainer.latest_checkpoint(resume_dir).name == "checkpoint_epoch_4.ckpt"
+
+    t2 = make_trainer()
+    t2.fit(output_dir=resume_dir, resume_from="auto")
+    # t1 trained outside fit(), so the checkpoint carries no history — the
+    # resumed run contributes exactly the remaining 6 epochs, matching the
+    # straight run's tail (same (seed, epoch)-keyed RNG)
+    assert len(t2.history["train_loss"]) == 6
+    np.testing.assert_allclose(
+        t2.history["train_loss"], straight[4:], rtol=1e-5
+    )
