@@ -571,14 +571,17 @@ class HeteroRGCN(nn.Module):
             "final_l": final[LAB],
             "degree": graph.patient_lab_degree,
         }
-        if self.bilinear_rank > 0:
+        # bilinear_source == "head" needs no extra state: its rank is folded
+        # into the FactoredEdgeHead modules themselves (setup, head_rank),
+        # which predict_pairs_cached calls with the node tables
+        if self.bilinear_rank > 0 and self.bilinear_source in ("embedding", "context"):
             counts = dict(self.node_counts)  # static (name, count) pairs
             lab_ids = jnp.arange(counts[LAB], dtype=jnp.int32)
             c = self.embeddings[LAB](lab_ids)
             if self.bilinear_source == "embedding":
                 pat_ids = jnp.arange(counts[PATIENT], dtype=jnp.int32)
                 u = self.embeddings[PATIENT](pat_ids)
-            else:  # "context" (and "head" never reaches here: rank folded into heads)
+            else:  # "context"
                 u, _ = self._patient_value_context(c, graph.edges[PATIENT_LAB])
             state["bl_u"] = u @ self.bilinear_u
             state["bl_l"] = c @ self.bilinear_l

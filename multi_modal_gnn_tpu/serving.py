@@ -19,11 +19,12 @@ Two surfaces:
 
 ``export_serving(trainer, bundle, path)`` / ``ServingModel.load(path)``
     Out-of-process: serializes the serving function per padding bucket via
-    ``jax.export`` (versioned StableHLO with params + node state baked in as
-    constants) plus a JSON manifest (buckets, node counts, lab names/stats
-    for denormalization, model hash).  A serving host needs only this
-    artifact directory and jax — no model code, config, graph builder, or
-    checkpoint machinery.  Requests of any size are chunked to the largest
+    ``jax.export`` (versioned StableHLO, lowered for BOTH cpu and tpu), with
+    the params + node state stored ONCE in ``weights.npz`` and passed as
+    runtime arguments, plus a JSON manifest (buckets, node counts, lab
+    names/stats for denormalization, model hash).  A serving host needs only
+    this artifact directory and jax — no model code, config, graph builder,
+    or checkpoint machinery.  Requests of any size are chunked to the largest
     bucket and padded to the smallest fitting one, so the compiled set is
     closed (no recompiles, ever).
 """
@@ -70,23 +71,31 @@ def compute_node_state(trainer) -> Dict[str, jax.Array]:
     return state
 
 
+def _weighted_fn(model) -> Callable:
+    """fn(weights, p_idx, l_idx) with weights = (variables, node_state) —
+    the weight pytree stays an ARGUMENT so the export stores it once in
+    ``weights.npz`` instead of baking a constant copy into every bucket's
+    executable."""
+
+    def fn(weights, patient_idx: jax.Array, lab_idx: jax.Array) -> jax.Array:
+        variables, state = weights
+        return model.apply(
+            variables, state, patient_idx, lab_idx,
+            method=model.predict_pairs_cached,
+        )
+
+    return fn
+
+
 def build_serving_fn(
     trainer, state: Optional[Dict[str, jax.Array]] = None
 ) -> Tuple[Callable, Dict[str, jax.Array]]:
     """Jitted ``fn(patient_idx, lab_idx) -> predictions`` over cached state."""
     if state is None:
         state = compute_node_state(trainer)
-    variables = _serving_variables(trainer)
-    model = trainer.model
-
-    @jax.jit
-    def fn(patient_idx: jax.Array, lab_idx: jax.Array) -> jax.Array:
-        return model.apply(
-            variables, state, patient_idx, lab_idx,
-            method=model.predict_pairs_cached,
-        )
-
-    return fn, state
+    weights = (_serving_variables(trainer), state)
+    wfn = jax.jit(_weighted_fn(trainer.model))
+    return (lambda p, l: wfn(weights, p, l)), state
 
 
 def export_serving(
@@ -106,12 +115,24 @@ def export_serving(
     the one request type the transductive graph model cannot answer."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    fn, _ = build_serving_fn(trainer)
+    state = compute_node_state(trainer)
+    weights = (_serving_variables(trainer), state)
+    leaves, treedef = jax.tree_util.tree_flatten(weights)
+    np.savez(path / "weights.npz", **{f"w{i}": np.asarray(a) for i, a in enumerate(leaves)})
+    base = _weighted_fn(trainer.model)
+    # the treedef is structural (it compiles into the program); only the
+    # arrays stay runtime arguments, so a serving host never needs model code
+    wfn = jax.jit(lambda ls, p, l: base(jax.tree_util.tree_unflatten(treedef, ls), p, l))
+    leaf_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in leaves]
     buckets = tuple(sorted(set(int(b) for b in buckets)))
 
     for b in buckets:
         spec = jax.ShapeDtypeStruct((b,), jnp.int32)
-        exported = jax.export.export(fn)(spec, spec)
+        # lower for both platforms so the artifact runs on CPU serving
+        # hosts and on TPU, wherever it was exported
+        exported = jax.export.export(wfn, platforms=("cpu", "tpu"))(
+            leaf_specs, spec, spec
+        )
         (path / f"pairs_b{b}.bin").write_bytes(exported.serialize())
 
     if cold_start is not None:
@@ -153,12 +174,17 @@ class ServingModel:
 
     manifest: dict
     _fns: Dict[int, Callable]
+    _weights: list
     _cold: Optional[dict] = None
+    _denorm_mean: Optional[np.ndarray] = None
+    _denorm_std: Optional[np.ndarray] = None
 
     @classmethod
     def load(cls, path) -> "ServingModel":
         path = Path(path)
         manifest = json.loads((path / _MANIFEST).read_text())
+        with np.load(path / "weights.npz") as z:
+            weights = [jnp.asarray(z[f"w{i}"]) for i in range(len(z.files))]
         fns: Dict[int, Callable] = {}
         for b in manifest["buckets"]:
             exported = jax.export.deserialize(
@@ -170,7 +196,20 @@ class ServingModel:
         if cs_path.exists():
             with np.load(cs_path) as z:
                 cold = {k: z[k] for k in z.files}
-        return cls(manifest=manifest, _fns=fns, _cold=cold)
+        # vectorized denormalization tables (identity where stats are
+        # missing or the normalization is not zscore)
+        n_lab = manifest["num_labs"]
+        mean, std = np.zeros(n_lab), np.ones(n_lab)
+        if manifest.get("normalize_method", "zscore") == "zscore":
+            for k, s in manifest.get("lab_stats", {}).items():
+                i = int(k)
+                if 0 <= i < n_lab:
+                    mean[i] = float(s.get("mean", 0.0))
+                    std[i] = float(s.get("std", 1.0))
+        return cls(
+            manifest=manifest, _fns=fns, _weights=weights, _cold=cold,
+            _denorm_mean=mean, _denorm_std=std,
+        )
 
     @property
     def buckets(self):
@@ -178,11 +217,16 @@ class ServingModel:
 
     def _call_padded(self, p: np.ndarray, l: np.ndarray) -> np.ndarray:
         n = len(p)
-        bucket = next((b for b in self.buckets if b >= n), self.buckets[-1])
+        bucket = next((b for b in self.buckets if b >= n), None)
+        if bucket is None:
+            raise ValueError(
+                f"request of {n} pairs exceeds the largest bucket "
+                f"{self.buckets[-1]} — use predict(), which chunks"
+            )
         pad = bucket - n
         p_pad = np.concatenate([p, np.zeros(pad, np.int32)])
         l_pad = np.concatenate([l, np.zeros(pad, np.int32)])
-        out = self._fns[bucket](jnp.asarray(p_pad), jnp.asarray(l_pad))
+        out = self._fns[bucket](self._weights, jnp.asarray(p_pad), jnp.asarray(l_pad))
         return np.asarray(out)[:n]
 
     def predict(
@@ -207,10 +251,7 @@ class ServingModel:
         ]
         preds = np.concatenate(chunks)
         if denormalize:
-            preds = np.array(
-                [self._denorm(int(li), float(v)) for li, v in zip(l, preds)],
-                dtype=np.float64,
-            )
+            preds = preds * self._denorm_std[l] + self._denorm_mean[l]
         return preds
 
     def predict_patient(self, patient_idx: int, denormalize: bool = False):
@@ -236,30 +277,22 @@ class ServingModel:
                 "artifact has no coldstart.npz — re-export with "
                 "export_serving(..., cold_start=fitted_ALSBaseline)"
             )
-        C, bias, reg = self._cold["C"], self._cold["lab_bias"], float(self._cold["reg"])
-        obs_l = np.asarray(sorted(observed), dtype=np.int64)
+        from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+
         n_lab = self.manifest["num_labs"]
+        obs_l = np.asarray(sorted(observed), dtype=np.int64)
         if len(obs_l) and (obs_l.min() < 0 or obs_l.max() >= n_lab):
             raise ValueError(f"observed lab index out of range [0, {n_lab})")
         obs_v = np.asarray([observed[int(i)] for i in obs_l], dtype=np.float64)
-        rank = C.shape[1]
-        c = C[obs_l]
-        u = (
-            np.linalg.solve(reg * np.eye(rank) + c.T @ c, c.T @ (obs_v - bias[obs_l]))
-            if len(obs_l)
-            else np.zeros(rank)
-        )
-        preds = bias + C @ u
+        # the shipped factors ARE an ALSBaseline's (C, lab_bias, reg): rebuild
+        # it so the fold-in math lives in exactly one place
+        als = ALSBaseline(1, n_lab, rank=self._cold["C"].shape[1],
+                          reg=float(self._cold["reg"]))
+        als.C = self._cold["C"]
+        als.lab_bias = self._cold["lab_bias"]
+        preds = als.predict_cold_start(obs_l, obs_v, np.arange(n_lab))
         if denormalize:
-            preds = np.array([self._denorm(i, float(v)) for i, v in enumerate(preds)])
+            preds = preds * self._denorm_std + self._denorm_mean
         names = self.manifest["lab_names"]
         return {names.get(str(i), names.get(i, f"Lab_{i}")): float(v)
                 for i, v in enumerate(preds)}
-
-    def _denorm(self, lab_idx: int, value: float) -> float:
-        stats = self.manifest["lab_stats"].get(str(lab_idx)) or self.manifest[
-            "lab_stats"
-        ].get(lab_idx)
-        if not stats or self.manifest.get("normalize_method", "zscore") != "zscore":
-            return value
-        return value * float(stats.get("std", 1.0)) + float(stats.get("mean", 0.0))

@@ -17,6 +17,8 @@ Steps:
   5 audit        split hygiene + robust metrics -> audit_report.json
   6 visualize    all plot families (standard / graph / advanced)
   7 inference    per-patient imputation reports -> inference_examples.json
+  8 export-serving  AOT serving artifact (cached node state + cold-start
+                    fold-in factors) -> outputs/serving/
 """
 
 from __future__ import annotations

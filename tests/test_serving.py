@@ -229,3 +229,21 @@ def test_serving_cold_start_roundtrip(tiny_bundle, tmp_path):
     export_serving(trainer, tiny_bundle, path2, buckets=(64,))
     with pytest.raises(ValueError, match="coldstart"):
         ServingModel.load(path2).predict_cold_start(observed)
+
+
+def test_cached_state_matches_head_bilinear(config):
+    """bilinear_source='head' (the README's tuned faithful config): the rank
+    folds into the head modules, so serving needs no extra state."""
+    from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
+
+    cfg = config.replace(
+        model=dataclasses.replace(
+            config.model,
+            edge_head=dataclasses.replace(
+                config.model.edge_head, extras={"bilinear_rank": 4,
+                                                "bilinear_source": "head"},
+            ),
+        )
+    )
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(), cfg)
+    _assert_serving_matches_full(bundle, cfg)
