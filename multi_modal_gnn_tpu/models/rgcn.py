@@ -526,8 +526,17 @@ class HeteroRGCN(nn.Module):
             degrees = graph.patient_lab_degree[patient_indices]
         pred = jnp.where(degrees < self.degree_threshold, tab_pred, gnn_pred)
         if self.bilinear_rank > 0 and self.bilinear_source == "embedding":
-            # shared MF term over the raw ID tables (see bilinear_source doc)
-            u = self.embeddings[PATIENT](patient_indices)
+            # shared MF term over the raw ID tables (see bilinear_source doc).
+            # patient_indices are graph-LOCAL; on a mini-batch cluster graph
+            # the global table row is local + patient_id_base (encode_nodes
+            # applies the same offset, with the same last-row clamp)
+            p_glob = patient_indices
+            if graph.patient_id_base is not None:
+                p_glob = jnp.minimum(
+                    patient_indices + graph.patient_id_base,
+                    dict(self.node_counts)[PATIENT] - 1,
+                )
+            u = self.embeddings[PATIENT](p_glob)
             c = self.embeddings[LAB](lab_indices)
             pred = pred + jnp.sum((u @ self.bilinear_u) * (c @ self.bilinear_l), axis=-1)
         elif self.bilinear_rank > 0 and self.bilinear_source == "context":
@@ -562,6 +571,11 @@ class HeteroRGCN(nn.Module):
         """Everything predict_pairs_cached needs, computed from one eval-mode
         forward over the full graph (value_context rides the graph's
         ``val_vis`` exactly as in the trainer's eval step)."""
+        if graph.patient_id_base is not None:
+            raise ValueError(
+                "serving state must be computed on the FULL graph, not a "
+                "mini-batch cluster subgraph (patient_id_base is set)"
+            )
         initial = self.encode_nodes(train=False, graph=graph)
         final = self.propagate(initial, graph, train=False)
         state = {

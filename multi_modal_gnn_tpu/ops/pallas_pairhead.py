@@ -237,6 +237,11 @@ def _fused_fwd(
     h0 = proj_p.shape[1]
     h1 = w1.shape[1]
     labs_pad = ((proj_l.shape[0] + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
+    if lbr:
+        # span-bounded mode tiles the table in lbr-row blocks; the LAST block
+        # must lie fully inside the padded table (labs_pad=384, lbr=256 would
+        # otherwise make block 1 read rows 256..511 of a 384-row array)
+        labs_pad = -(-labs_pad // lbr) * lbr
     proj_p = _pad_rows(proj_p, num_windows * WINDOW)
     proj_l = _pad_rows(proj_l, labs_pad)
     # lbr > 0: per-tile narrow lab-table block (span-bounded tiles) instead
@@ -297,6 +302,8 @@ def _fused_bwd(
     num_p = proj_p.shape[0]
     num_l = proj_l.shape[0]
     labs_pad = ((num_l + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
+    if lbr:
+        labs_pad = -(-labs_pad // lbr) * lbr  # last lbr block fully in-bounds
     proj_p_pad = _pad_rows(proj_p, num_windows * WINDOW)
     proj_l_pad = _pad_rows(proj_l, labs_pad)
     l_in_spec = (

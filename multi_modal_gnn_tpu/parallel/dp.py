@@ -110,60 +110,66 @@ class DataParallelTrainer(Trainer):
         return self._eval_steps[key](state, graph, batch)
 
     def _make_scan_fn(self, k: int, with_val: bool):
-        """shard_map'd lax.scan over k epochs — one device dispatch.
+        return make_sharded_scan_fn(self, k, with_val)
 
-        Bit-parity with the epoch-at-a-time DP loop (and the single-device
-        scan): the per-epoch supervision mask is the GLOBAL Bernoulli draw,
-        computed replicated inside shard_map (E bits of bernoulli is
-        negligible) and ``dynamic_slice``d to each shard's contiguous chunk —
-        the same slices jit feeds the per-epoch path via P(DATA_AXIS).
-        """
-        import jax.numpy as jnp
 
-        mesh = self.mesh
-        gspec = graph_pspecs(self.graph)
-        train_batch = self._get_batch("train")
-        train_bspec = batch_pspec(train_batch)
-        vbspec = (
-            batch_pspec(self._get_batch("val")) if with_val else train_bspec
-        )
-        mf = self._mask_fraction
-        n_global = train_batch.valid.shape[0]
-        axis = DATA_AXIS
+def make_sharded_scan_fn(trainer, k: int, with_val: bool, state_spec=None):
+    """shard_map'd lax.scan over k epochs — one device dispatch.  Shared by
+    the 1-D DP trainer (replicated state) and the explicit 2-D trainer
+    (patient table + moments sharded over the model axis via ``state_spec``).
 
-        def scan_fn(state, graph, batch, vbatch, lab_weights, sup_stream, drop_stream, epoch0):
-            shard_len = batch.valid.shape[0]
+    Bit-parity with the epoch-at-a-time loop (and the single-device scan):
+    the per-epoch supervision mask is the GLOBAL Bernoulli draw, computed
+    replicated inside shard_map (E bits of bernoulli is negligible) and
+    ``dynamic_slice``d to each shard's contiguous chunk — the same slices
+    jit feeds the per-epoch path via P(DATA_AXIS).
+    """
+    import jax.numpy as jnp
 
-            def body(state, i):
-                epoch = epoch0 + i
-                sup_key = jax.random.fold_in(sup_stream, epoch)
-                drop_key = jax.random.fold_in(drop_stream, epoch)
-                if mf > 0:
-                    draw = jax.random.bernoulli(
-                        sup_key, p=mf, shape=(n_global,)
-                    ).astype(jnp.float32)
-                    start = jax.lax.axis_index(axis) * shard_len
-                    local = jax.lax.dynamic_slice(draw, (start,), (shard_len,))
-                    sup_mask = local * batch.valid
-                else:
-                    sup_mask = batch.valid
-                state, loss = self._train_step_impl(
-                    state, graph, batch, lab_weights, sup_mask, drop_key
-                )
-                vloss = (
-                    self._eval_step_impl(state, graph, vbatch)[0]
-                    if with_val
-                    else jnp.zeros(())
-                )
-                return state, (loss, vloss)
+    if state_spec is None:
+        state_spec = P()
+    mesh = trainer.mesh
+    gspec = graph_pspecs(trainer.graph)
+    train_batch = trainer._get_batch("train")
+    train_bspec = batch_pspec(train_batch)
+    vbspec = batch_pspec(trainer._get_batch("val")) if with_val else train_bspec
+    mf = trainer._mask_fraction
+    n_global = train_batch.valid.shape[0]
+    axis = DATA_AXIS
 
-            return jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
+    def scan_fn(state, graph, batch, vbatch, lab_weights, sup_stream, drop_stream, epoch0):
+        shard_len = batch.valid.shape[0]
 
-        sharded = jax.shard_map(
-            scan_fn,
-            mesh=mesh,
-            in_specs=(P(), gspec, train_bspec, vbspec, P(), P(), P(), P()),
-            out_specs=(P(), (P(), P())),
-        )
-        donate = (0,) if self.config.train.donate_state else ()
-        return jax.jit(sharded, donate_argnums=donate)
+        def body(state, i):
+            epoch = epoch0 + i
+            sup_key = jax.random.fold_in(sup_stream, epoch)
+            drop_key = jax.random.fold_in(drop_stream, epoch)
+            if mf > 0:
+                draw = jax.random.bernoulli(
+                    sup_key, p=mf, shape=(n_global,)
+                ).astype(jnp.float32)
+                start = jax.lax.axis_index(axis) * shard_len
+                local = jax.lax.dynamic_slice(draw, (start,), (shard_len,))
+                sup_mask = local * batch.valid
+            else:
+                sup_mask = batch.valid
+            state, loss = trainer._train_step_impl(
+                state, graph, batch, lab_weights, sup_mask, drop_key
+            )
+            vloss = (
+                trainer._eval_step_impl(state, graph, vbatch)[0]
+                if with_val
+                else jnp.zeros(())
+            )
+            return state, (loss, vloss)
+
+        return jax.lax.scan(body, state, jnp.arange(k, dtype=jnp.int32))
+
+    sharded = jax.shard_map(
+        scan_fn,
+        mesh=mesh,
+        in_specs=(state_spec, gspec, train_bspec, vbspec, P(), P(), P(), P()),
+        out_specs=(state_spec, (P(), P())),
+    )
+    donate = (0,) if trainer.config.train.donate_state else ()
+    return jax.jit(sharded, donate_argnums=donate)

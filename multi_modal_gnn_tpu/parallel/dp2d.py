@@ -41,7 +41,11 @@ from multi_modal_gnn_tpu.config import Config
 from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
 from multi_modal_gnn_tpu.graph.schema import PATIENT
 from multi_modal_gnn_tpu.models.factory import build_model, init_model_variables
-from multi_modal_gnn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from multi_modal_gnn_tpu.parallel.mesh import (  # noqa: F401 — make_2d_mesh re-exported
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_2d_mesh,
+)
 from multi_modal_gnn_tpu.parallel.sharding import (
     batch_pspec,
     check_graph_divisible,
@@ -54,19 +58,6 @@ from multi_modal_gnn_tpu.utils.rng import RngSequence
 logger = logging.getLogger(__name__)
 
 _TABLE_PATH = f"embed_{PATIENT}"
-
-
-def make_2d_mesh(num_devices: int = 0, model_parallel: int = 2, devices=None):
-    devices = list(devices if devices is not None else jax.devices())
-    n = num_devices if num_devices and num_devices > 0 else len(devices)
-    if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-    return make_mesh(
-        n,
-        axis_names=(DATA_AXIS, MODEL_AXIS),
-        devices=devices,
-        axis_sizes=(n // model_parallel, model_parallel),
-    )
 
 
 def _is_table_leaf(path_parts) -> bool:
@@ -223,3 +214,12 @@ class TwoDTrainer(Trainer):
         # loss is psum'd over data inside the loss fn; over model it is
         # identical on every shard already (replicated inputs), nothing to do
         return new_state, loss
+
+    def _make_scan_fn(self, k: int, with_val: bool):
+        # same scanned program as DP, with the patient table (+ its adam
+        # moments) staying model-axis-sharded through the whole scan
+        from multi_modal_gnn_tpu.parallel.dp import make_sharded_scan_fn
+
+        return make_sharded_scan_fn(
+            self, k, with_val, state_spec=self._state_pspecs(self.state)
+        )

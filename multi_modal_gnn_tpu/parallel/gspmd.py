@@ -22,7 +22,7 @@ import logging
 from typing import Optional
 
 import jax
-import numpy as np
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from multi_modal_gnn_tpu.config import Config
@@ -36,21 +36,13 @@ from multi_modal_gnn_tpu.utils.rng import RngSequence
 
 logger = logging.getLogger(__name__)
 
-DATA_AXIS = "data"
-MODEL_AXIS = "model"
-
-
-def make_2d_mesh(
-    num_devices: int = 0, model_parallel: int = 2, devices=None
-) -> Mesh:
-    devices = list(devices if devices is not None else jax.devices())
-    if num_devices and num_devices > 0:
-        devices = devices[:num_devices]
-    n = len(devices)
-    if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
-    return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
+# one canonical ("data", "model") mesh constructor, shared with the
+# explicit 2-D shard_map trainer (parallel/mesh.make_2d_mesh)
+from multi_modal_gnn_tpu.parallel.mesh import (  # noqa: E402,F401 — re-exported
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_2d_mesh,
+)
 
 
 def _param_pspec(path_parts, leaf) -> P:

@@ -48,3 +48,18 @@ def make_mesh(
     mesh = Mesh(arr, axis_names=tuple(axis_names))
     logger.info("Mesh: %d devices over axes %s", arr.size, dict(mesh.shape))
     return mesh
+
+
+def make_2d_mesh(num_devices: int = 0, model_parallel: int = 2, devices=None) -> Mesh:
+    """The canonical ("data", "model") mesh — shared by the GSPMD trainer and
+    the explicit 2-D shard_map trainer (one constructor, one device order)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = num_devices if num_devices and num_devices > 0 else len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    return make_mesh(
+        n,
+        axis_names=(DATA_AXIS, MODEL_AXIS),
+        devices=devices,
+        axis_sizes=(n // model_parallel, model_parallel),
+    )

@@ -60,6 +60,16 @@ def batch_pspec(batch: SplitBatch, axis: str = DATA_AXIS) -> SplitBatch:
         # replicate them (lengths need not divide the mesh)
         return jax.tree_util.tree_map(lambda _: P(), plan)
 
+    if batch.vis_positions is not None:
+        # cluster-local knockout positions index the cluster's OWN padded
+        # edge array; under edge-sharded shard_map each shard sees a
+        # different chunk, so the mapping is undefined — fail clearly
+        # instead of with a pytree/spec structure mismatch
+        raise NotImplementedError(
+            "mini-batch cluster batches (vis_positions set) cannot be used "
+            "with the shard_map trainers; value_context under shard_map is "
+            "supported for full-batch training only"
+        )
     return SplitBatch(
         patient_idx=P(axis),
         lab_idx=P(axis),

@@ -131,6 +131,7 @@ def build_patient_clusters(
 
     dense_budget = config.graph.dense_adjacency_max_bytes
     subgraphs: List[HeteroGraph] = []
+    host_degrees: List[np.ndarray] = []  # per-cluster degree, host copy (no device readback later)
     for k in range(num_clusters):
         base = bases[k]
         edges = {}
@@ -165,6 +166,7 @@ def build_patient_clusters(
         pl_rows = per_rel[PATIENT_LAB][3][k]
         pl_src_loc = np.asarray(per_rel[PATIENT_LAB][0])[pl_rows] - base
         degree = np.bincount(pl_src_loc, minlength=size).astype(np.int32)
+        host_degrees.append(degree)
         node_counts = dict(counts)
         node_counts[PATIENT] = size
         arr = (lambda x, dt=None: np.asarray(x, dt)) if host_resident else (
@@ -207,9 +209,10 @@ def build_patient_clusters(
                 num_patients=size,
                 num_labs=counts[LAB],
             )
-            deg = np.asarray(subgraphs[k].patient_lab_degree)[
-                np.asarray(batch.patient_idx)
-            ]
+            # host degree copy: reading subgraphs[k].patient_lab_degree back
+            # would be a device->host transfer when host_resident=False
+            # (CLAUDE.md: host code must not read device arrays back)
+            deg = host_degrees[k][np.asarray(batch.patient_idx)]
             sw = (
                 None
                 if lab_weights is None

@@ -252,29 +252,41 @@ void* labevents_scan(
         }
         if (col > maxcol) {
             char tmp[64];
+            // field contents may be quoted ("5.0"): the split above tracks
+            // quote state but keeps the quote chars in the span — strip them
+            auto fieldspan = [&](int c, const char*& s, int64_t& l) {
+                s = starts[c];
+                l = lens[c];
+                if (l >= 2 && s[0] == '"' && s[l - 1] == '"') { ++s; l -= 2; }
+            };
+            const char* fs; int64_t fl;
             // SUBJECT_ID
-            int64_t sl = lens[col_subj] < 63 ? lens[col_subj] : 63;
-            std::memcpy(tmp, starts[col_subj], sl); tmp[sl] = 0;
+            fieldspan(col_subj, fs, fl);
+            int64_t sl = fl < 63 ? fl : 63;
+            std::memcpy(tmp, fs, sl); tmp[sl] = 0;
             char* end;
             long long sid = std::strtoll(tmp, &end, 10);
             if (end != tmp && id_member(ids_sorted, n_ids, sid)) {
                 // VALUENUM: must parse fully as a number (notna filter)
-                int64_t vl = lens[col_val] < 63 ? lens[col_val] : 63;
-                std::memcpy(tmp, starts[col_val], vl); tmp[vl] = 0;
+                fieldspan(col_val, fs, fl);
+                int64_t vl = fl < 63 ? fl : 63;
+                std::memcpy(tmp, fs, vl); tmp[vl] = 0;
                 double v = std::strtod(tmp, &end);
                 if (vl > 0 && end == tmp + vl) {
-                    int64_t il = lens[col_item] < 63 ? lens[col_item] : 63;
-                    std::memcpy(tmp, starts[col_item], il); tmp[il] = 0;
+                    fieldspan(col_item, fs, fl);
+                    int64_t il = fl < 63 ? fl : 63;
+                    std::memcpy(tmp, fs, il); tmp[il] = 0;
                     long long iid = std::strtoll(tmp, &end, 10);
                     if (end != tmp) {
                         out->subj.push_back(static_cast<int32_t>(sid));
                         out->item.push_back(static_cast<int32_t>(iid));
                         out->val.push_back(v);
-                        out->time.push_back(
-                            col_time >= 0
-                                ? parse_charttime(starts[col_time], lens[col_time])
-                                : -1
-                        );
+                        int64_t ts = -1;
+                        if (col_time >= 0) {
+                            fieldspan(col_time, fs, fl);
+                            ts = parse_charttime(fs, fl);
+                        }
+                        out->time.push_back(ts);
                     }
                 }
             }

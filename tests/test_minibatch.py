@@ -269,3 +269,40 @@ def test_host_resident_matches_device_resident():
     cd = mini._ensure_clusters()
     assert isinstance(np.asarray(cd.subgraphs[0].edges[PATIENT_LAB].src), np.ndarray)
     assert type(cd.subgraphs[0].edges[PATIENT_LAB].src) is np.ndarray
+
+
+def test_bilinear_embedding_uses_global_rows_across_clusters():
+    """bilinear_source='embedding' under clusters: the MF term must read the
+    GLOBAL patient table rows (local + patient_id_base), so an ALS-planted
+    model predicts the ALS values for every cluster, not just cluster 0."""
+    import dataclasses as _dc
+
+    from multi_modal_gnn_tpu.training.warmstart import warm_start_trainer
+
+    cfg, bundle = _setup(num_patients=600)
+    cfg = _dc.replace(
+        cfg,
+        model=_dc.replace(
+            cfg.model,
+            edge_head=_dc.replace(
+                cfg.model.edge_head,
+                extras={"bilinear_rank": 5, "bilinear_source": "embedding"},
+            ),
+        ),
+    )
+    mini = MiniBatchTrainer(
+        build_model(cfg, bundle.graph), bundle,
+        EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host()),
+        cfg, num_clusters=3,
+    )
+    als = warm_start_trainer(mini, rank=4, reg=3.0)
+    tp, tl, tv = mini.masker.split_arrays("test")
+    got = mini.predict("test").astype(np.float64)
+    want = als.predict(tp, tl)
+    # epoch-0 == ALS for EVERY cluster's patients (cluster 0 would pass even
+    # with local indices; clusters 1-2 catch the offset)
+    for k in range(3):
+        rows = (tp // mini._ensure_clusters().local_size) == k
+        if rows.any():
+            np.testing.assert_allclose(got[rows], want[rows], atol=1e-4,
+                                       err_msg=f"cluster {k}")

@@ -173,3 +173,28 @@ class TestLabeventsScan:
         assert got["CHARTTIME"].isna().tolist() == w.isna().tolist()
         ok = ~w.isna()
         assert (got["CHARTTIME"][ok] == w[ok]).all()
+
+
+class TestLabeventsQuotedFields:
+    """All-quoted CSV exports (e.g. '"123","50","5.0"') must parse, not be
+    silently dropped — the quote chars are stripped per field."""
+
+    def test_fully_quoted_rows(self, tmp_path):
+        if not native.available():
+            pytest.skip("native library not built")
+        from multi_modal_gnn_tpu.data.mimic import MIMICLoader
+
+        rows = [
+            '"ROW_ID","SUBJECT_ID","HADM_ID","ITEMID","CHARTTIME","VALUE","VALUENUM","VALUEUOM","FLAG"',
+            '"1","10","100","50","2101-03-02 08:15:30","7.4","7.4","pH",""',
+            '"2","11","101","51","2101-03-03 09:00:00","5.5","5.5","mg/dL",""',
+            '"3","99","102","50","2101-03-04 10:00:00","3.3","3.3","",""',
+        ]
+        (tmp_path / "LABEVENTS.csv").write_text("\n".join(rows) + "\n")
+        loader = MIMICLoader(data_dir=tmp_path)
+        got = loader.load_labevents_for_cohort([10, 11])
+        assert len(got) == 2
+        np.testing.assert_array_equal(got["SUBJECT_ID"].to_numpy(), [10, 11])
+        np.testing.assert_array_equal(got["ITEMID"].to_numpy(), [50, 51])
+        np.testing.assert_allclose(got["VALUENUM"].to_numpy(), [7.4, 5.5])
+        assert str(got["CHARTTIME"].iloc[0]).startswith("2101-03-02 08:15:30")

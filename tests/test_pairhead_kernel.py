@@ -113,7 +113,7 @@ def test_tile_mask_predication(problem):
         )
 
 
-def _block_problem():
+def _block_problem(block_rows=128):
     """A slot-major + lab-block-regrouped problem (the production layout)."""
     from multi_modal_gnn_tpu.graph.hetero import (
         GatherPlan,
@@ -132,7 +132,7 @@ def _block_problem():
     p_s = np.where(real, p_idx[win_src], 0).astype(np.int32)
 
     moves, e2, local2, tmap2, lbm, lbz = regroup_slots_by_lab_block(
-        win_local, np.asarray(plan.win_tile_map), l_s, num_l, 128
+        win_local, np.asarray(plan.win_tile_map), l_s, num_l, block_rows
     )
 
     def relay(a, fill):
@@ -152,7 +152,7 @@ def _block_problem():
         identity=True,
         lab_block_map=jnp.asarray(lbm),
         lab_block_zero=jnp.asarray(lbz),
-        lab_block_rows=128,
+        lab_block_rows=block_rows,
     )
     params = dict(
         proj_p=rng.standard_normal((num_p, 64)).astype(np.float32),
@@ -301,3 +301,23 @@ def test_dual_per_head_masks(dual_problem):
     out_t, out_g = _dual(plan, l_s, params_t, params_g, tab_mask=m_t, gnn_mask=m_g)
     np.testing.assert_array_equal(np.asarray(out_t), np.asarray(full_t * keep_t))
     np.testing.assert_array_equal(np.asarray(out_g), np.asarray(full_g * keep_g))
+
+
+def test_lab_block_parity_nondivisible_pad():
+    """block_rows=256 with 300 labs: labs_pad(128)=384 is NOT a multiple of
+    256 — the kernel must extend the table pad so the last block stays
+    in-bounds (regression for an out-of-bounds BlockSpec window)."""
+    plan2, p2, l2, real2, params = _block_problem(block_rows=256)
+    args = tuple(map(jnp.asarray, params.values()))
+    ref = _ref(plan2, p2, l2, real2, *args)
+    got = _fused(plan2, p2, l2, real2, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g = jnp.asarray(
+        np.random.default_rng(6).standard_normal(len(l2)).astype(np.float32) * real2
+    )
+    gr_ref = jax.grad(lambda *a: jnp.sum(_ref(plan2, p2, l2, real2, *a) * g),
+                      argnums=(0, 1))(*args)
+    gr_f = jax.grad(lambda *a: jnp.sum(_fused(plan2, p2, l2, real2, *a) * g),
+                    argnums=(0, 1))(*args)
+    for a, b in zip(gr_ref, gr_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)

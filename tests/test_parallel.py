@@ -300,3 +300,29 @@ def test_dp_value_context_matches_single_device():
         losses_2d.append(two_d.train_epoch())
         two_d.epoch += 1
     np.testing.assert_allclose(losses_2d, losses_s, rtol=2e-4)
+
+
+def test_2d_scan_chunk_matches_loop(setup):
+    """TwoDTrainer scan-chunked epochs == per-epoch loop (the patient table
+    and its adam moments stay model-axis-sharded through the scan)."""
+    from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer, make_2d_mesh
+
+    cfg, bundle = setup
+
+    def run(chunked: bool):
+        masker = EdgeMasker(bundle.graph, seed=3)
+        t = TwoDTrainer(bundle.graph, masker, cfg, mesh=make_2d_mesh(8, 2))
+        if chunked:
+            train_losses, val_losses = t.train_epochs_scanned(4, with_val=True)
+            return np.asarray(train_losses), np.asarray(val_losses)
+        tl, vl = [], []
+        for _ in range(4):
+            tl.append(t.train_epoch())
+            vl.append(t.validate("val"))
+            t.epoch += 1
+        return np.asarray(tl), np.asarray(vl)
+
+    tl_loop, vl_loop = run(False)
+    tl_scan, vl_scan = run(True)
+    np.testing.assert_allclose(tl_scan, tl_loop, rtol=2e-4)
+    np.testing.assert_allclose(vl_scan, vl_loop, rtol=2e-4)
