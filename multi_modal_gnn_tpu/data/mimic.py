@@ -105,6 +105,11 @@ class MIMICLoader:
         notna-filtered in one pass) and only the kept rows ever materialize.
         """
         ids = set(int(s) for s in cohort_subject_ids)
+        if not ids:
+            # the native scanner treats an empty id set as "keep all rows"
+            # (useful for unfiltered scans); for a cohort filter an empty
+            # cohort must keep nothing, on both the native and pandas paths
+            return pd.DataFrame(columns=["SUBJECT_ID", "ITEMID", "VALUENUM"])
         native_df = self._native_labevents_scan(ids) if self.source == "csv" else None
         if native_df is not None:
             return native_df

@@ -158,8 +158,8 @@ def load_graph_distributed(
     def _device_shard_arrays(shape, dtype, chunk_of):
         """Build a global jax.Array from per-device chunks.
 
-        ``chunk_of(k)`` returns shard k's numpy chunk; only addressable
-        shards are requested.
+        ``chunk_of(k)`` returns shard k's numpy chunk (dtype-checked against
+        the declared ``dtype``); only addressable shards are requested.
         """
         global_shape = shape
         idx_map = sharded_spec.addressable_devices_indices_map(global_shape)
@@ -168,7 +168,13 @@ def load_graph_distributed(
             lo = idx[0].start or 0
             chunk = global_shape[0] // num_shards
             k = lo // chunk
-            arrays.append(jax.device_put(chunk_of(k), dev))
+            data = chunk_of(k)
+            if data.dtype != dtype:
+                raise ValueError(
+                    f"shard {k}: expected dtype {np.dtype(dtype)}, file holds "
+                    f"{data.dtype} — artifact written by an incompatible version?"
+                )
+            arrays.append(jax.device_put(data, dev))
         return jax.make_array_from_single_device_arrays(global_shape, sharded_spec, arrays)
 
     # lazily-opened shard files, cached per shard index

@@ -333,7 +333,6 @@ def regroup_slots_by_lab_block(
     # groups keyed by (window, lab block) — order within a window: by block
     blocks = lab_idx // block_rows
     # count group sizes to lay out the output
-    starts = {}
     out_len = 0
     tile_blocks = []
     tile_windows = []
@@ -348,7 +347,6 @@ def regroup_slots_by_lab_block(
     else:
         bounds = np.array([0, 0])
     slot_moves = np.full(e_win, -1, dtype=np.int64)
-    seg_list = []
     for i in range(len(bounds) - 1):
         lo, hi = bounds[i], bounds[i + 1]
         if hi == lo:
@@ -356,7 +354,6 @@ def regroup_slots_by_lab_block(
         n = hi - lo
         padded = -(-n // TILE_E) * TILE_E
         slot_moves[order[lo:hi]] = out_len + np.arange(n)
-        seg_list.append((out_len, n, padded))
         tile_blocks += [int(g_blk[lo])] * (padded // TILE_E)
         tile_windows += [int(g_win[lo])] * (padded // TILE_E)
         out_len += padded

@@ -41,6 +41,7 @@ class Denormalizer:
 
     def __init__(self, meta, normalizer_frame=None, method: str = "zscore"):
         self.meta = meta
+        self._method = method
         self._affine: Dict[int, tuple] = {}
         if normalizer_frame is not None and len(normalizer_frame):
             from multi_modal_gnn_tpu.graph.schema import LAB as _LAB
@@ -55,6 +56,7 @@ class Denormalizer:
                 if "method" in normalizer_frame.columns
                 else method
             )
+            self._method = nmethod
             if indexer is not None:
                 for lab_id, cs in by_id.items():
                     idx = indexer.get(lab_id)
@@ -71,6 +73,12 @@ class Denormalizer:
         affine = self._affine.get(int(lab_idx))
         if affine is not None:
             center, scale = affine
+            if scale == 0:
+                # LabNormalizer's degenerate-scale transform shifts by center
+                # (scale treated as 1) for zscore/robust and collapses to 0
+                # for minmax; invert accordingly instead of collapsing every
+                # prediction to the center value
+                return float(center if self._method == "minmax" else value + center)
             return float(value * scale + center)
         stats = self.meta.lab_stats.get(int(lab_idx))
         if not stats:

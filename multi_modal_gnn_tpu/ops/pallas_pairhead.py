@@ -48,9 +48,14 @@ _LAB_PAD = 128  # pad the lab table's row count to a multiple of this
 
 
 def _dropout(x, bits, rate):
-    """Inverted dropout from raw uint32 bits (VPU compare, no HBM mask)."""
+    """Inverted dropout from raw PRNG bits (VPU compare, no HBM mask).
+
+    ``pltpu.prng_random_bits`` yields **int32**; the threshold compare must
+    be unsigned or every negative bit pattern (half of all draws) reads as
+    below-threshold and gets dropped — keep would be 0.5 - rate instead of
+    1 - rate.  Bitcast to uint32 first (free; signless in Mosaic)."""
     threshold = np.uint32(min(int(rate * (1 << 32)), (1 << 32) - 1))
-    keep = bits >= threshold
+    keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 

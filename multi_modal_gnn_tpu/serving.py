@@ -50,8 +50,15 @@ DEFAULT_BUCKETS = (256, 4096)
 
 
 def _serving_variables(trainer) -> dict:
-    """Assemble eval-mode variables exactly as the trainer's eval step does."""
-    variables = {"params": trainer._prepare_params(trainer.state.params)}
+    """Assemble eval-mode variables exactly as the trainer's eval step does.
+
+    ``trainer._prepare_params`` is deliberately NOT called: it is an
+    inside-the-step hook (the explicit 2-D trainer reconstructs its
+    model-axis-sharded patient table with axis_index/psum, which only
+    resolve under shard_map).  Outside any step, ``state.params`` is already
+    the full global view for every trainer — the 2-D trainer's table is a
+    global [rows, dim] jax.Array merely *sharded* over the model axis."""
+    variables = {"params": trainer.state.params}
     if trainer.state.batch_stats:
         variables["batch_stats"] = trainer.state.batch_stats
     return variables
@@ -63,10 +70,9 @@ def compute_node_state(trainer) -> Dict[str, jax.Array]:
     value_context models see the same visibility template as the trainer's
     eval step (``_visible_graph`` with no knockout: train-split values)."""
     graph = trainer._visible_graph(trainer.graph, None)
+    model = trainer.serving_model  # axis-free twin: works outside shard_map
     state = jax.jit(
-        lambda v: trainer.model.apply(
-            v, graph, method=trainer.model.compute_node_state
-        )
+        lambda v: model.apply(v, graph, method=model.compute_node_state)
     )(_serving_variables(trainer))
     return state
 
@@ -94,7 +100,7 @@ def build_serving_fn(
     if state is None:
         state = compute_node_state(trainer)
     weights = (_serving_variables(trainer), state)
-    wfn = jax.jit(_weighted_fn(trainer.model))
+    wfn = jax.jit(_weighted_fn(trainer.serving_model))
     return (lambda p, l: wfn(weights, p, l)), state
 
 
@@ -119,7 +125,7 @@ def export_serving(
     weights = (_serving_variables(trainer), state)
     leaves, treedef = jax.tree_util.tree_flatten(weights)
     np.savez(path / "weights.npz", **{f"w{i}": np.asarray(a) for i, a in enumerate(leaves)})
-    base = _weighted_fn(trainer.model)
+    base = _weighted_fn(trainer.serving_model)
     # the treedef is structural (it compiles into the program); only the
     # arrays stay runtime arguments, so a serving host never needs model code
     wfn = jax.jit(lambda ls, p, l: base(jax.tree_util.tree_unflatten(treedef, ls), p, l))

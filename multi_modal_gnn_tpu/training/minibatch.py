@@ -271,7 +271,7 @@ class MiniBatchTrainer(Trainer):
         if self._cluster_data is None:
             self._cluster_data = build_patient_clusters(
                 self._bundle, self.masker, self.config, self.num_clusters,
-                lab_weights=np.asarray(self.lab_weights),
+                lab_weights=self.host_lab_weights,
                 host_resident=self.host_resident,
                 value_context=self._value_context,
             )

@@ -146,9 +146,12 @@ class Trainer:
         # lab-wise inverse-variance loss weights from the train split
         # (reference src/train.py:295-330)
         _, train_lab_idx, train_values = masker.split_arrays("train")
-        self.lab_weights = jnp.asarray(
-            compute_lab_weights(train_values, train_lab_idx, graph.num_nodes(LAB))
+        # host copy kept so host-side consumers (mini-batch cluster build)
+        # never read the device array back through the relay
+        self.host_lab_weights = compute_lab_weights(
+            train_values, train_lab_idx, graph.num_nodes(LAB)
         )
+        self.lab_weights = jnp.asarray(self.host_lab_weights)
         self._aug_batches: dict = {}  # split -> (masker batch, augmented batch)
 
         self._loss_type = tc.loss
@@ -207,6 +210,20 @@ class Trainer:
             return draw * valid
 
         self._draw_sup_mask = draw_mask
+
+    @property
+    def serving_model(self):
+        """Axis-name-free twin of ``self.model`` for use OUTSIDE the
+        trainer's shard_map steps (serving, export).  The shard_map trainers
+        build their model with ``axis_name=DATA_AXIS`` so segment reductions
+        psum across shards; applying that model outside shard_map raises an
+        unbound-axis error.  Parameters are structurally identical, so the
+        twin consumes ``state.params`` as-is."""
+        if self._axis_name is None:
+            return self.model
+        from multi_modal_gnn_tpu.models.factory import build_model
+
+        return build_model(self.config, self.graph, axis_name=None)
 
     def _prepare_params(self, params):
         """Hook: reconstruct full parameter arrays inside the jitted step.

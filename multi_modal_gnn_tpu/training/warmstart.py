@@ -53,7 +53,7 @@ def als_warm_start_params(
     as noise on top of the planted solution.
     """
     r = als.rank
-    bl_u = np.asarray(params["bilinear_u"])
+    bl_u = params["bilinear_u"]  # shape/dtype are metadata — no readback
     if bl_u.shape[1] < r + 1:
         raise ValueError(
             f"bilinear_rank={bl_u.shape[1]} < ALS rank+1={r + 1}; raise "
@@ -63,21 +63,24 @@ def als_warm_start_params(
     if hidden < r + 1:
         raise ValueError(f"hidden_dim={hidden} < ALS rank+1={r + 1}")
 
-    emb_p = np.array(params["embed_patient"]["embedding"], dtype=np.float32)
-    emb_l = np.array(params["embed_lab"]["embedding"], dtype=np.float32)
-    emb_p[:, :r] = als.U * scale
-    emb_p[:, r] = 1.0
-    emb_l[:, :r] = als.C * scale
-    emb_l[:, r] = als.lab_bias * scale
+    # plant on-device with .at[].set: the ALS factors are host numpy and
+    # transfer TO the device; the embedding tables themselves are never read
+    # back (CLAUDE.md: host code must not read device arrays)
+    emb_p = params["embed_patient"]["embedding"]
+    emb_p = emb_p.at[:, :r].set(jnp.asarray(als.U * scale, dtype=emb_p.dtype))
+    emb_p = emb_p.at[:, r].set(1.0)
+    emb_l = params["embed_lab"]["embedding"]
+    emb_l = emb_l.at[:, :r].set(jnp.asarray(als.C * scale, dtype=emb_l.dtype))
+    emb_l = emb_l.at[:, r].set(jnp.asarray(als.lab_bias * scale, dtype=emb_l.dtype))
 
-    sel = np.zeros_like(bl_u)
-    sel[: r + 1, : r + 1] = np.eye(r + 1, dtype=sel.dtype)
+    sel = np.zeros(bl_u.shape, dtype=np.float32)
+    sel[: r + 1, : r + 1] = np.eye(r + 1, dtype=np.float32)
 
     out = dict(params)
-    out["embed_patient"] = dict(params["embed_patient"], embedding=jnp.asarray(emb_p))
-    out["embed_lab"] = dict(params["embed_lab"], embedding=jnp.asarray(emb_l))
-    out["bilinear_u"] = jnp.asarray(sel)
-    out["bilinear_l"] = jnp.asarray(sel)
+    out["embed_patient"] = dict(params["embed_patient"], embedding=emb_p)
+    out["embed_lab"] = dict(params["embed_lab"], embedding=emb_l)
+    out["bilinear_u"] = jnp.asarray(sel, dtype=bl_u.dtype)
+    out["bilinear_l"] = jnp.asarray(sel, dtype=params["bilinear_l"].dtype)
     if zero_heads:
         for head in ("edge_predictor", "tabular_mlp"):
             if head not in out:

@@ -136,7 +136,12 @@ class LabNormalizer:
             return normalized
         if lab_id not in self.stats or self.stats[lab_id] is None:
             return normalized
-        return normalized * self._scale(lab_id) + self._center(lab_id)
+        center, scale = self._center(lab_id), self._scale(lab_id)
+        if scale == 0 or pd.isna(scale):
+            # mirror transform's degenerate-scale branch: zscore/robust
+            # shifted by center (scale treated as 1), minmax collapsed to 0
+            return normalized * 0 + center if self.method == "minmax" else normalized + center
+        return normalized * scale + center
 
     # -- (de)serialization ------------------------------------------------
 

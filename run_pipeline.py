@@ -42,7 +42,7 @@ def _load_bundle(config):
 FORCE_RESTORE = False  # set by --force: restore checkpoints across config changes
 
 
-def _load_trainer(config, bundle, force: bool = None):
+def _load_trainer(config, bundle, force: bool = None, require_checkpoint: bool = False):
     """Rebuild model/masker and restore the best checkpoint (eval-only: the
     downstream steps — evaluate/audit/viz/inference — never train)."""
     from multi_modal_gnn_tpu.models.factory import build_model
@@ -65,6 +65,12 @@ def _load_trainer(config, bundle, force: bool = None):
     if ckpt.exists():
         trainer.restore(ckpt, force=FORCE_RESTORE if force is None else force)
         trainer.best_state = trainer.state
+    elif require_checkpoint:
+        # steps that persist production artifacts must never fall through to
+        # randomly-initialized weights
+        raise FileNotFoundError(
+            f"No trained checkpoint at {ckpt} — run the train step first"
+        )
     return trainer
 
 
@@ -149,7 +155,7 @@ def step_export_serving(config):
     from multi_modal_gnn_tpu.serving import export_serving
 
     bundle = _load_bundle(config)
-    trainer = _load_trainer(config, bundle)
+    trainer = _load_trainer(config, bundle, require_checkpoint=True)
     # cold-start factors: ALS on the train split so the artifact can fold in
     # patients outside the training graph (serving.predict_cold_start)
     p_idx, l_idx, values = trainer.masker.split_arrays("train")
