@@ -28,6 +28,27 @@ import time
 REFERENCE_EDGES_PER_SEC = 71_700.0  # ~43k train edges x 100 epochs / ~60 s
 
 
+def _tpu_reachable(timeout_s: float) -> bool:
+    """Probe TPU backend init in a SUBPROCESS so a wedged device claim
+    cannot hang the bench itself (a dead client holding the chip grant makes
+    every new claim queue forever in make_c_api_client — an observed failure
+    mode of remote-attached devices).  A healthy init completes in seconds;
+    on timeout the bench falls back to CPU with an honest device field."""
+    import os
+    import subprocess
+
+    if os.environ.get("BENCH_SKIP_TPU_PROBE"):
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_bench(
     scale: bool = False,
     quick: bool = False,
@@ -155,11 +176,23 @@ def main() -> int:
                         help="model.compute_dtype=bfloat16 (halves the HBM-bound pair traffic)")
     args = parser.parse_args()
 
+    import os
+
+    tpu_dead = not _tpu_reachable(float(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", 540)))
+    if tpu_dead:
+        from multi_modal_gnn_tpu.utils.platform import force_cpu_devices
+
+        print("TPU backend unreachable (wedged device claim?); falling back "
+              "to host CPU", file=sys.stderr)
+        force_cpu_devices(1)
+
     try:
         result = run_bench(
             scale=args.scale, quick=args.quick, epochs=args.epochs,
             use_pallas=args.pallas, dense=args.dense, bf16=args.bf16,
         )
+        if tpu_dead:
+            result["note"] = "TPU unreachable at bench time; CPU fallback numbers"
     except Exception as exc:  # noqa: BLE001 — always emit a JSON line for the driver
         import traceback
 
