@@ -8,9 +8,9 @@ Each test pins one fixed defect:
     previously crashed on an unbound-axis error;
   * native/pandas LABEVENTS cohort-scan agreement on an EMPTY cohort.
 
-(The fused pair-head kernel's signed/unsigned dropout-threshold fix is
-TPU-only — pltpu.prng_* has no CPU lowering — and is covered by the
-unsigned-bitcast construction in ops/pallas_pairhead._dropout.)
+(The kernel's PRNG itself has no CPU lowering, but the dropout helper is
+pure jnp + bitcast — its unsigned-threshold statistics ARE tested here
+with synthetic int32 bits.)
 """
 
 from __future__ import annotations
@@ -86,6 +86,33 @@ class TestDegenerateScaleInverse:
         )
         denorm = Denormalizer(tiny_bundle.meta, normalizer_frame=frame)
         assert denorm(0, 0.9) == pytest.approx(4.0)
+
+
+# ---------------------------------------------------------------------------
+# Fused-kernel dropout: unsigned threshold compare
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_dropout_keep_fraction():
+    """pltpu.prng_random_bits yields int32; before the fix the threshold
+    compare ran signed, dropping every negative bit pattern (keep was
+    0.5 - rate instead of 1 - rate).  The helper is pure jnp + bitcast, so
+    its statistics are testable on CPU with synthetic int32 bits."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_modal_gnn_tpu.ops.pallas_pairhead import _dropout
+
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(
+        rng.integers(-(2**31), 2**31, size=(4096, 128), dtype=np.int32)
+    )
+    x = jnp.ones((4096, 128), jnp.float32)
+    for rate in (0.2, 0.5, 0.7):
+        out = np.asarray(jax.jit(lambda x, b: _dropout(x, b, rate))(x, bits))
+        keep = (out != 0).mean()
+        assert abs(keep - (1.0 - rate)) < 0.01, (rate, keep)
+        np.testing.assert_allclose(out[out != 0], 1.0 / (1.0 - rate), rtol=1e-6)
 
 
 # ---------------------------------------------------------------------------
