@@ -111,3 +111,64 @@ def test_indexer_bijection(ids):
     # round trip through canonicalization
     for i, c in zip(ids, codes):
         assert ix.index_of(i) == c
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),    # num patients
+    st.integers(min_value=1, max_value=400),   # num labs
+    st.integers(min_value=0, max_value=3000),  # num pairs
+    st.sampled_from([128, 256]),               # block_rows
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_regroup_slots_by_lab_block_invariants(num_p, num_l, n, block_rows, seed):
+    """The span-bounded-lab-tile regroup (pair-head kernel narrow mode) must
+    be a pure permutation-with-padding: every real slot relayed exactly once,
+    every tile's real labs inside the single block lab_block_map assigns it,
+    window ids monotone per the original plan."""
+    from multi_modal_gnn_tpu.graph.hetero import regroup_slots_by_lab_block
+
+    rng = np.random.default_rng(seed)
+    p_idx = rng.integers(0, num_p, n).astype(np.int32)
+    l_idx = rng.integers(0, num_l, n).astype(np.int32)
+    plan = build_gather_plan(p_idx, num_p)
+    win_src = np.asarray(plan.win_src)
+    win_local = np.asarray(plan.win_local)
+    real = win_local < WINDOW
+    if n:
+        l_s = np.where(real, l_idx[np.clip(win_src, 0, n - 1)], 0).astype(np.int32)
+    else:
+        l_s = np.zeros(len(win_local), np.int32)
+
+    moves, e2, local2, tmap2, lbm, lbz = regroup_slots_by_lab_block(
+        win_local, np.asarray(plan.win_tile_map), l_s, num_l, block_rows
+    )
+
+    assert e2 % TILE_E == 0 and len(local2) == e2 and len(tmap2) == e2 // TILE_E
+    assert len(lbm) == len(tmap2) == len(lbz)
+
+    # bijection: real slots map to distinct new slots; padding maps nowhere
+    m = moves >= 0
+    np.testing.assert_array_equal(m, real)
+    assert len(np.unique(moves[m])) == int(m.sum())
+
+    # relay labs + locals and check per-tile single-block + window identity
+    l2 = np.zeros(e2, np.int32)
+    l2[moves[m]] = l_s[m]
+    real2 = np.zeros(e2, bool)
+    real2[moves[m]] = True
+    # new padding slots must carry local == WINDOW (excluded from output)
+    assert (local2[~real2] == WINDOW).all()
+    assert (local2[real2] < WINDOW).all()
+    for t in range(e2 // TILE_E):
+        sl = slice(t * TILE_E, (t + 1) * TILE_E)
+        tr = real2[sl]
+        if tr.any():
+            blocks = l2[sl][tr] // block_rows
+            assert (blocks == lbm[t]).all(), (t, lbm[t], np.unique(blocks))
+
+    # relayed slots keep their window: local index encodes the same window
+    # row as before (the move may not cross windows)
+    w_old = np.repeat(np.asarray(plan.win_tile_map), TILE_E)
+    w_new = np.repeat(tmap2, TILE_E)
+    np.testing.assert_array_equal(w_new[moves[m]], w_old[m])
