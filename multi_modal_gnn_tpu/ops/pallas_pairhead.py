@@ -141,16 +141,17 @@ def _bwd_kernel(
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
-    if lbr:
-        # block-revisited lab-grad accumulator: zero each block on its FIRST
-        # visit across the grid (lab_block_zero, computed at plan build)
-        @pl.when(zb_ref[t] == 1)
-        def _():
-            dprojl_ref[:] = jnp.zeros_like(dprojl_ref)
-    else:
-        @pl.when(t == 0)
-        def _():
-            dprojl_ref[:] = jnp.zeros_like(dprojl_ref)
+    # d_proj_l is a SINGLE full-table block in both modes (index map constant)
+    # — in lbr mode tiles revisit lab blocks non-consecutively (windows are
+    # the outer grouping, blocks cycle inside each window), and Mosaic's
+    # output pipeline only preserves a block's VMEM contents across
+    # CONSECUTIVE same-index steps; a blocked-by-lb output would lose every
+    # window's contribution but the last.  The resident table costs
+    # labs_pad x H0 f32 (the non-lbr mode's footprint) and the FLOP saving
+    # is kept by accumulating the narrow product into a dynamic row slice.
+    @pl.when(t == 0)
+    def _():
+        dprojl_ref[:] = jnp.zeros_like(dprojl_ref)
 
     # degree-predicated tiles contribute exactly zero gradient (their real
     # slots' cotangents are zero through the gate), so the body is skipped
@@ -213,13 +214,20 @@ def _bwd_kernel(
         s_local = (local_ref[:].reshape(1, TILE_E) == rows).astype(in_dt)
         dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
 
-        # d_proj_l: scatter-by-lab into the (block or full) table accumulator
-        s_pad = dprojl_ref.shape[0]
+        # d_proj_l: scatter-by-lab into the full-table accumulator.  In lbr
+        # mode the indicator stays NARROW ([lbr, TILE_E] — the FLOP saving)
+        # and the product lands in the tile's block via a dynamic row slice.
+        s_pad = lbr if lbr else dprojl_ref.shape[0]
         p_lab_t = (
             lab_local.reshape(1, TILE_E)
             == jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_E), 0)
         ).astype(in_dt)
-        dprojl_ref[:] += jnp.dot(p_lab_t, dpre0, preferred_element_type=jnp.float32)
+        dblock = jnp.dot(p_lab_t, dpre0, preferred_element_type=jnp.float32)
+        if lbr:
+            base = pl.multiple_of(lb_ref[t] * lbr, lbr)
+            dprojl_ref[pl.ds(base, lbr), :] += dblock
+        else:
+            dprojl_ref[:] += dblock
 
 
 def _pad_rows(x, rows):
@@ -333,7 +341,10 @@ def _fused_bwd(
         ],
         out_specs=[
             pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk, lb, zb: (tm[t], 0)),
-            l_in_spec,
+            # full table, constant index: lbr-mode lab blocks are revisited
+            # NON-consecutively, which blocked outputs do not support (see
+            # _bwd_kernel); the narrow-indicator FLOP saving happens in-kernel
+            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk, lb, zb: (0, 0)),
             pl.BlockSpec((h0, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
             pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
             pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
@@ -396,6 +407,14 @@ def fused_pair_head(
     the dominant one-hot lab gather narrows from [TILE_E, labs_pad] to
     [TILE_E, lab_block_rows] — num_labs/lab_block_rows x fewer MXU FLOPs.
     """
+    if lab_block_rows and lab_block_map is None:
+        # a zeros-default map would silently gather every tile from block 0
+        # (all labs >= lab_block_rows match nothing and predict/backprop 0)
+        raise ValueError(
+            "lab_block_rows > 0 requires the span-bounded plan's "
+            "lab_block_map/lab_block_zero (graph/hetero.py "
+            "regroup_slots_by_lab_block)"
+        )
     return _fused_fwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
         tile_mask, lab_block_map, num_windows, rate, interpret, lab_block_rows,
@@ -820,7 +839,7 @@ def _fphd_bwd(num_windows, rate, interpret, res, g):
     zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
     zopt = lambda a: None if a is None else zero_i(a)  # noqa: E731
     return (
-        *grads[:6], *grads[6:],
+        *grads,
         zero_i(lab_idx), zero_i(win_local), zero_i(win_tile_map),
         zero_i(seed4), zopt(tab_mask), zopt(gnn_mask),
     )
