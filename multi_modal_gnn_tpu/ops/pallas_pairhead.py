@@ -117,7 +117,7 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    tm_ref, seed_ref, mask_ref, lb_ref, zb_ref, local_ref, lab_ref, go_ref,
+    tm_ref, seed_ref, mask_ref, lb_ref, local_ref, lab_ref, go_ref,
     projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dprojp_ref, dprojl_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, rate: float, lbr: int,
@@ -308,8 +308,6 @@ def _fused_bwd(
         tile_mask = jnp.ones((num_tiles,), jnp.int32)
     if lab_block_map is None:
         lab_block_map = jnp.zeros((num_tiles,), jnp.int32)
-    if lab_block_zero is None:
-        lab_block_zero = jnp.zeros((num_tiles,), jnp.int32)
     h0 = proj_p.shape[1]
     h1 = w1.shape[1]
     num_p = proj_p.shape[0]
@@ -320,35 +318,35 @@ def _fused_bwd(
     proj_p_pad = _pad_rows(proj_p, num_windows * WINDOW)
     proj_l_pad = _pad_rows(proj_l, labs_pad)
     l_in_spec = (
-        pl.BlockSpec((lbr, h0), lambda t, tm, sd, mk, lb, zb: (lb[t], 0))
+        pl.BlockSpec((lbr, h0), lambda t, tm, sd, mk, lb: (lb[t], 0))
         if lbr
-        else pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk, lb, zb: (0, 0))
+        else pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk, lb: (0, 0))
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb, zb: (t,)),
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb, zb: (t,)),
-            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb, zb: (t,)),
-            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk, lb, zb: (tm[t], 0)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb: (t,)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk, lb: (tm[t], 0)),
             l_in_spec,
-            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
+            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd, mk, lb: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk, lb, zb: (tm[t], 0)),
+            pl.BlockSpec((WINDOW, h0), lambda t, tm, sd, mk, lb: (tm[t], 0)),
             # full table, constant index: lbr-mode lab blocks are revisited
             # NON-consecutively, which blocked outputs do not support (see
             # _bwd_kernel); the narrow-indicator FLOP saving happens in-kernel
-            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk, lb, zb: (0, 0)),
-            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
-            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
-            pl.BlockSpec((1, 1), lambda t, tm, sd, mk, lb, zb: (0, 0)),
+            pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((h0, h1), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((1, h1), lambda t, tm, sd, mk, lb: (0, 0)),
+            pl.BlockSpec((1, 1), lambda t, tm, sd, mk, lb: (0, 0)),
         ],
     )
     douts = pl.pallas_call(
@@ -364,7 +362,7 @@ def _fused_bwd(
         ],
         interpret=interpret,
     )(
-        win_tile_map, seed, tile_mask, lab_block_map, lab_block_zero,
+        win_tile_map, seed, tile_mask, lab_block_map,
         win_local, lab_idx,
         g_out,
         proj_p_pad, proj_l_pad, w1, b1.reshape(1, -1), w2.reshape(1, -1),
