@@ -5,12 +5,12 @@ compiled CUDA (torch-scatter, via PyG's SAGEConv; reference
 requirements.txt:13-22) — reformulated for the TPU systolic array:
 
   * edges are dst-sorted and regrouped at graph-build time into a *windowed*
-    layout (graph/hetero.py:build_window_plan): every fixed 512-edge tile's
-    destinations fall inside one 128-row output window, and each window owns
-    a whole number of tiles;
+    layout (graph/hetero.py:build_window_plan): every fixed TILE_E=1024-edge
+    tile's destinations fall inside one 128-row output window, and each
+    window owns a whole number of tiles;
   * per grid step the kernel builds a segment-indicator matrix
-    ``S[w, e] = (win_local[e] == w)`` (128 x 512, VPU compare against a
-    broadcasted iota) and accumulates ``S @ G_tile`` (128x512 @ 512x128)
+    ``S[w, e] = (win_local[e] == w)`` (128 x 1024, VPU compare against a
+    broadcasted iota) and accumulates ``S @ G_tile`` (128x1024 @ 1024xD)
     straight on the MXU into the window's VMEM-resident output block;
   * consecutive tiles of the same window revisit the same output block
     (index map reads the tile->window table via scalar prefetch), so
@@ -26,6 +26,7 @@ transpose gather ``dG[e] = g_out[dst[e]]`` — wired up via custom_vjp.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Literal
 
 import jax
@@ -35,6 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multi_modal_gnn_tpu.graph.hetero import TILE_E, WINDOW, EdgeSet
+
+logger = logging.getLogger(__name__)
 
 
 def _segment_kernel(tile_map_ref, local_ref, g_ref, out_ref):
@@ -64,7 +67,7 @@ def _segment_kernel(tile_map_ref, local_ref, g_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("num_windows", "interpret"))
 def _windowed_segment_sum_fwd(
-    gathered: jax.Array,  # [E_win, D] f32 — x_src rows in windowed edge order
+    gathered: jax.Array,  # [E_win, D] f32/bf16 — x_src rows in windowed edge order
     win_local: jax.Array,  # [E_win] int32 — dst offset within window (128 = pad)
     win_tile_map: jax.Array,  # [E_win / TILE_E] int32 — window of each tile
     num_windows: int,
@@ -182,8 +185,15 @@ def _fused_table_kernel_indicator(tile_map_ref, local_ref, src_ref, table_ref, o
     s_ind = (local_ref[:].reshape(1, TILE_E) == rows).astype(table.dtype)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, s_pad), 1)
     p_src = (src_ref[:].reshape(TILE_E, 1) == cols).astype(table.dtype)
-    m = jnp.dot(s_ind, p_src, preferred_element_type=jnp.float32).astype(table.dtype)
-    out_ref[:] += jnp.dot(m, table, preferred_element_type=jnp.float32)
+    # gather first, THEN segment-sum: the (window row, src) count matrix of
+    # the (S @ P) @ T order is integer-valued and overflows bf16's exact
+    # range at multiplicity > 256 (duplicate edges accumulate by contract,
+    # graph/hetero.py).  P @ T rows are exact table-row copies in any dtype
+    # and both accumulations stay f32.
+    gathered = jnp.dot(p_src, table, preferred_element_type=jnp.float32)
+    out_ref[:] += jnp.dot(
+        s_ind, gathered.astype(table.dtype), preferred_element_type=jnp.float32
+    )
 
 
 _VMEM_TAKE_SUPPORTED: dict[str, bool] = {}
@@ -191,7 +201,12 @@ _VMEM_TAKE_SUPPORTED: dict[str, bool] = {}
 
 def _vmem_take_supported() -> bool:
     """Probe (once per backend) whether Mosaic lowers jnp.take on a
-    VMEM-resident array — if not, the indicator-matmul gather is used."""
+    VMEM-resident array — if not, the indicator-matmul gather is used.
+
+    The probe compiles the REAL take kernel at representative shapes (one
+    TILE_E tile, gridded PrefetchScalarGridSpec, (512, 128) table): a toy
+    kernel can pass or fail lowering for layout reasons that do not transfer
+    to the production geometry."""
     backend = jax.default_backend()
     if backend != "tpu":
         return True  # interpret mode executes numpy semantics
@@ -199,21 +214,23 @@ def _vmem_take_supported() -> bool:
     if hit is not None:
         return hit
 
-    def k(idx_ref, tab_ref, o_ref):
-        o_ref[:] = jnp.take(tab_ref[:], idx_ref[:], axis=0)
-
     try:
-        jax.jit(
-            lambda i, t: pl.pallas_call(
-                k,
-                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            )(i, t)
-        ).lower(
-            jax.ShapeDtypeStruct((8,), jnp.int32),
-            jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        _fused_table_segment_sum_fwd.lower(
+            jax.ShapeDtypeStruct((512, 128), jnp.float32),
+            jax.ShapeDtypeStruct((TILE_E,), jnp.int32),
+            jax.ShapeDtypeStruct((TILE_E,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            num_windows=1, num_src_pad=512, interpret=False, mode="take",
         ).compile()
         ok = True
-    except Exception:  # noqa: BLE001 — any lowering failure means "no"
+    except Exception as exc:  # noqa: BLE001 — any lowering failure means "no"
+        # log it: a TRANSIENT failure (e.g. a remote-compile hiccup) caches
+        # "no take" for the whole process and silently costs the fused tier
+        logger.warning(
+            "In-kernel jnp.take probe failed on %s (%s: %s); using the "
+            "indicator-matmul gather for fused-table aggregations",
+            backend, type(exc).__name__, exc,
+        )
         ok = False
     _VMEM_TAKE_SUPPORTED[backend] = ok
     return ok
@@ -344,9 +361,15 @@ def _fused_table_segment_sum_bwd(
 # the per-tile indicator matmul's S-proportional FLOPs) stop paying off
 FUSED_TABLE_MAX_ROWS_TAKE = 2048
 FUSED_TABLE_MAX_ROWS_INDICATOR = 512
+# VMEM budget for the resident table: the row limits assume hidden-dim-sized
+# features; a wide feature axis must shrink the row cap or Mosaic exhausts
+# VMEM at compile time instead of falling back to the windowed tier
+FUSED_TABLE_MAX_BYTES = 4 * 1024 * 1024
 
 
-def fused_table_applicable(edges: EdgeSet) -> bool:
+def fused_table_applicable(
+    edges: EdgeSet, feature_dim: int | None = None, itemsize: int = 4
+) -> bool:
     if edges.win_src is None:
         return False
     limit = (
@@ -354,6 +377,8 @@ def fused_table_applicable(edges: EdgeSet) -> bool:
         if _vmem_take_supported()
         else FUSED_TABLE_MAX_ROWS_INDICATOR
     )
+    if feature_dim is not None:
+        limit = min(limit, FUSED_TABLE_MAX_BYTES // max(feature_dim * itemsize, 1))
     return edges.num_src <= limit
 
 
@@ -432,7 +457,15 @@ def gather_segment_aggregate_paired(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if edges.win_src is None or edges_rev.win_src is None:
+    if edges.win_src is None:
+        # no windowed layout at all (e.g. distributed-loader EdgeSets):
+        # degrade to the XLA segment path, which needs no plans
+        from multi_modal_gnn_tpu.ops.segment import aggregate_neighbors
+
+        return aggregate_neighbors(x_src, edges, aggregation, impl="xla")
+    if edges_rev.win_src is None:
+        # forward plan exists but no mirror plan: windowed forward,
+        # XLA-transposed backward
         return gather_segment_aggregate(x_src, edges, aggregation, interpret)
 
     @jax.custom_vjp

@@ -135,7 +135,7 @@ def aggregate_neighbors(
                 fused_table_applicable,
             )
 
-            if fused_table_applicable(edges):
+            if fused_table_applicable(edges, x_src.shape[1], x_src.dtype.itemsize):
                 return fused_table_aggregate(x_src, edges, aggregation)
         if edges_rev is not None and aggregation in ("mean", "sum"):
             from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate_paired

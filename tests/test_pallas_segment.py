@@ -191,6 +191,61 @@ def test_fused_table_gradient_matches_xla(rng, mode, monkeypatch):
     np.testing.assert_allclose(g_fused, g_xla, rtol=1e-4, atol=1e-5)
 
 
+def test_fused_table_indicator_bf16_high_multiplicity(rng, monkeypatch):
+    """Indicator mode on bf16 data with >256 duplicate edges per tile stays
+    exact: the in-kernel gather must run table-first ((P @ T) then S @ ·) so
+    no integer-valued count matrix is ever rounded to bf16 (601 -> 600)."""
+    from multi_modal_gnn_tpu.ops import pallas_segment as ps
+
+    mult = 601  # exceeds bf16's exact-integer range; one TILE_E tile holds it
+    src = np.zeros(mult, np.int32)
+    dst = np.zeros(mult, np.int32)
+    es = pad_edge_set(src, dst, num_src=8, num_dst=8, pad_multiple=512)
+    x = jnp.ones((8, 128), jnp.bfloat16)
+
+    monkeypatch.setattr(ps, "_vmem_take_supported", lambda: False)
+    # mean exposes the in-kernel rounding before the output cast back to
+    # bf16: an exact count gives 601/601 == 1.0; the rounded count matrix
+    # of the old (S @ P) @ T order gave 600/601 -> bf16 0.996
+    got = np.asarray(ps.fused_table_aggregate(x, es, "mean", interpret=True))
+    assert got[0, 0].astype(np.float32) == 1.0
+
+
+def test_paired_degrades_without_window_plans(rng):
+    """gather_segment_aggregate_paired on EdgeSets missing windowed layouts
+    (e.g. distributed-loader shards) falls back instead of raising."""
+    from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate_paired
+
+    num_a, num_b, e, d = 30, 50, 400, 16
+    src = rng.integers(0, num_a, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, num_b, e)).astype(np.int32)
+    es_fwd = pad_edge_set(src, dst, num_src=num_a, num_dst=num_b, pad_multiple=512)
+    es_rev = pad_edge_set(dst, src, num_src=num_b, num_dst=num_a, pad_multiple=512)
+    x = jnp.asarray(rng.standard_normal((num_a, d)).astype(np.float32))
+    want = np.asarray(aggregate_neighbors(x, es_fwd, "mean", impl="xla"))
+
+    no_plan_fwd = es_fwd.replace(win_src=None, win_local=None, win_tile_map=None)
+    got = np.asarray(gather_segment_aggregate_paired(x, no_plan_fwd, es_rev, "mean"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    no_plan_rev = es_rev.replace(win_src=None, win_local=None, win_tile_map=None)
+    got = np.asarray(gather_segment_aggregate_paired(
+        x, es_fwd, no_plan_rev, "mean", interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_table_byte_budget_gates_wide_features(rng):
+    """A feature axis wide enough to blow the VMEM byte budget disables the
+    fused-table tier even when the row count alone would allow it."""
+    from multi_modal_gnn_tpu.ops import pallas_segment as ps
+
+    src, dst = _random_edges(rng, 50, 200, 1000)
+    es = pad_edge_set(src, dst, num_src=50, num_dst=200, pad_multiple=512)
+    assert ps.fused_table_applicable(es, feature_dim=128)
+    too_wide = ps.FUSED_TABLE_MAX_BYTES // (4 * es.num_src) + 1
+    assert not ps.fused_table_applicable(es, feature_dim=too_wide)
+
+
 def test_fused_table_dispatch(rng):
     """aggregate_neighbors(impl='pallas') routes small-src relations to the
     fused tier (no dense adjacency, windowed layout present)."""
