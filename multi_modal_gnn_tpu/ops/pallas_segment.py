@@ -40,6 +40,36 @@ from multi_modal_gnn_tpu.graph.hetero import TILE_E, WINDOW, EdgeSet
 logger = logging.getLogger(__name__)
 
 
+def _zero_out_on_new_window(tile_map_ref, out_ref):
+    """Zero the output block when this grid step enters a new window.
+
+    Consecutive tiles of one window revisit the same VMEM output block (the
+    out index map reads the tile->window table); the first tile of each
+    window must initialize it."""
+    t = pl.program_id(0)
+    prev_same = jnp.where(t > 0, tile_map_ref[jnp.maximum(t - 1, 0)], -1)
+
+    @pl.when(jnp.logical_or(t == 0, prev_same != tile_map_ref[t]))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+def _window_indicator(local_ref, dtype):
+    """S[w, e] = 1 where this tile's edge e lands on window row w.
+
+    [WINDOW, TILE_E]; padding slots carry ``local == WINDOW`` so the compare
+    kills them — no masking multiplies needed anywhere downstream."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
+    return (local_ref[:].reshape(1, TILE_E) == rows).astype(dtype)
+
+
+def _src_indicator_t(src_ref, s_pad, dtype):
+    """P^T[s, e] = 1 where edge e reads source row s ([s_pad, TILE_E]) —
+    the scatter-by-src of a backward pass as one MXU matmul operand."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_E), 0)
+    return (src_ref[:].reshape(1, TILE_E) == cols).astype(dtype)
+
+
 def _segment_kernel(tile_map_ref, local_ref, g_ref, out_ref):
     """One grid step: out[window] += indicator(local) @ g_tile.
 
@@ -47,21 +77,8 @@ def _segment_kernel(tile_map_ref, local_ref, g_ref, out_ref):
     f32 rate) and ALWAYS accumulates in f32 — strictly better numerics than
     XLA's segment_sum on bf16 data, which accumulates in bf16.
     """
-    t = pl.program_id(0)
-
-    # first tile of a window initializes its output block
-    is_first = t == 0
-    prev_same = jnp.where(t > 0, tile_map_ref[jnp.maximum(t - 1, 0)], -1)
-    new_window = jnp.logical_or(is_first, prev_same != tile_map_ref[t])
-
-    @pl.when(new_window)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    # indicator: S[w, e] = 1.0 where this tile's edge e lands on window row w
-    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
-    locals_2d = local_ref[:].reshape(1, TILE_E)
-    s = (locals_2d == rows).astype(g_ref.dtype)
+    _zero_out_on_new_window(tile_map_ref, out_ref)
+    s = _window_indicator(local_ref, g_ref.dtype)
     out_ref[:] += jnp.dot(s, g_ref[:], preferred_element_type=jnp.float32)
 
 
@@ -156,33 +173,19 @@ windowed_segment_sum.defvjp(_wss_fwd, _wss_bwd)
 
 def _fused_table_kernel_take(tile_map_ref, local_ref, src_ref, table_ref, out_ref):
     """out[window] += indicator(local) @ table[src_tile] (gather via take)."""
-    t = pl.program_id(0)
-    prev_same = jnp.where(t > 0, tile_map_ref[jnp.maximum(t - 1, 0)], -1)
-
-    @pl.when(jnp.logical_or(t == 0, prev_same != tile_map_ref[t]))
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
+    _zero_out_on_new_window(tile_map_ref, out_ref)
     g_tile = jnp.take(table_ref[:], src_ref[:], axis=0)  # [TILE_E, D] from VMEM
-    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
-    s = (local_ref[:].reshape(1, TILE_E) == rows).astype(g_tile.dtype)
+    s = _window_indicator(local_ref, g_tile.dtype)
     out_ref[:] += jnp.dot(s, g_tile, preferred_element_type=jnp.float32)
 
 
 def _fused_table_kernel_indicator(tile_map_ref, local_ref, src_ref, table_ref, out_ref):
-    """out[window] += (S_local @ P_src) @ table — gather as an MXU indicator
-    matmul; M[w, s] counts this tile's edges landing on (window row w, src s)."""
-    t = pl.program_id(0)
-    prev_same = jnp.where(t > 0, tile_map_ref[jnp.maximum(t - 1, 0)], -1)
-
-    @pl.when(jnp.logical_or(t == 0, prev_same != tile_map_ref[t]))
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
+    """out[window] += S_local @ (P_src @ table) — gather as an MXU indicator
+    matmul; P[e, s] = 1 where edge e reads source row s."""
+    _zero_out_on_new_window(tile_map_ref, out_ref)
     table = table_ref[:]
     s_pad = table.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
-    s_ind = (local_ref[:].reshape(1, TILE_E) == rows).astype(table.dtype)
+    s_ind = _window_indicator(local_ref, table.dtype)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, s_pad), 1)
     p_src = (src_ref[:].reshape(TILE_E, 1) == cols).astype(table.dtype)
     # gather first, THEN segment-sum: the (window row, src) count matrix of
@@ -290,11 +293,7 @@ def _fused_table_bwd_kernel_take(
         g_ref[:], jnp.minimum(local_ref[:], WINDOW - 1), axis=0
     )  # [TILE_E, D]
     g_tile = jnp.where((local_ref[:] < WINDOW)[:, None], g_tile, 0.0)
-    s_pad = out_ref.shape[0]
-    # p_src^T[s, e] = (src[e] == s) — the scatter-by-src as one MXU matmul
-    p_src_t = (src_ref[:].reshape(1, TILE_E) == jax.lax.broadcasted_iota(
-        jnp.int32, (s_pad, TILE_E), 0
-    )).astype(g_tile.dtype)
+    p_src_t = _src_indicator_t(src_ref, out_ref.shape[0], g_tile.dtype)
     out_ref[:] += jnp.dot(p_src_t, g_tile, preferred_element_type=jnp.float32)
 
 
@@ -314,10 +313,7 @@ def _fused_table_bwd_kernel_indicator(
     g_tile = jnp.dot(p_local, g_block, preferred_element_type=jnp.float32).astype(
         g_block.dtype
     )
-    s_pad = out_ref.shape[0]
-    p_src_t = (src_ref[:].reshape(1, TILE_E) == jax.lax.broadcasted_iota(
-        jnp.int32, (s_pad, TILE_E), 0
-    )).astype(g_block.dtype)
+    p_src_t = _src_indicator_t(src_ref, out_ref.shape[0], g_block.dtype)
     out_ref[:] += jnp.dot(p_src_t, g_tile, preferred_element_type=jnp.float32)
 
 
