@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multi_modal_gnn_tpu.graph.hetero import TILE_E, WINDOW
+from multi_modal_gnn_tpu.ops.pallas_segment import _zero_out_on_new_window
 
 _LAB_PAD = 128  # pad the lab table's row count to a multiple of this
 
@@ -67,6 +68,68 @@ def _gather_rows(table, idx, dtype):
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, n_rows), 1)
     p = (idx.reshape(TILE_E, 1) == cols).astype(dtype)
     return jnp.dot(p, table.astype(dtype), preferred_element_type=jnp.float32)
+
+
+def _single_seed(seed_ref, t):
+    return seed_ref[0] ^ (jnp.uint32(t) * jnp.uint32(2654435761)), seed_ref[1]
+
+
+def _mlp_forward(pre0, w1_ref, b1_ref, in_dt, rate, seed_fn):
+    """The head MLP chain shared by all four kernels:
+    relu -> dropout -> linear(+b1) -> relu -> dropout.
+
+    ``seed_fn`` is called lazily (only when rate > 0, a static Python
+    branch) so the PRNG seeding ops trace exactly where they always did.
+    Returns (h0, pre1, h1_d, bits0, bits1); the bits let a backward caller
+    re-apply identical dropout masks, and are None when rate == 0."""
+    h0 = jnp.maximum(pre0, 0.0)
+    bits0 = bits1 = None
+    if rate > 0.0:
+        pltpu.prng_seed(*seed_fn())
+        bits0 = pltpu.prng_random_bits(h0.shape)
+        h0 = _dropout(h0, bits0, rate)
+    pre1 = (
+        jnp.dot(h0.astype(in_dt), w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[:]
+    )
+    h1 = jnp.maximum(pre1, 0.0)
+    if rate > 0.0:
+        bits1 = pltpu.prng_random_bits(h1.shape)
+        h1_d = _dropout(h1, bits1, rate)
+    else:
+        h1_d = h1
+    return h0, pre1, h1_d, bits0, bits1
+
+
+def _mlp_backward(dh1, h0, pre0, pre1, valid, w1_ref, dw1_ref, db1_ref,
+                  in_dt, rate, bits0, bits1):
+    """Backward of :func:`_mlp_forward` from the h1 cotangent down to the
+    pre-activation slot gradient dpre0 (shared by both backward kernels);
+    accumulates dw1/db1 into their VMEM-resident refs in place."""
+    if rate > 0.0:
+        dh1 = _dropout(dh1, bits1, rate)
+    dpre1 = jnp.where(pre1 > 0.0, dh1, 0.0)
+    db1_ref[:] += jnp.sum(dpre1, axis=0, keepdims=True)
+    dw1_ref[:] += jax.lax.dot_general(  # h0^T @ dpre1 without materializing h0^T
+        h0.astype(in_dt), dpre1.astype(in_dt),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dh0 = jax.lax.dot_general(  # dpre1 @ W1^T: contract both on the H1 axis
+        dpre1.astype(in_dt), w1_ref[:],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        dh0 = _dropout(dh0, bits0, rate)
+    dpre0 = jnp.where(pre0 > 0.0, dh0, 0.0)
+    return jnp.where(valid, dpre0, 0.0).astype(in_dt)
+
+
+def _scatter_dpre0_to_window(local_ref, dpre0, dprojp_ref, in_dt):
+    """d_proj_p: segment-sum this tile's slot gradients into its window
+    block (rows by win_local; padding slots match no indicator row)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
+    s_local = (local_ref[:].reshape(1, TILE_E) == rows).astype(in_dt)
+    dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
 
 
 def _fwd_kernel(
@@ -97,20 +160,10 @@ def _fwd_kernel(
         # match no indicator column -> zero rows.
         lab_local = lab_ref[:] - lb_ref[t] * lbr if lbr else lab_ref[:]
         l_rows = _gather_rows(projl_ref[:], lab_local, dt)
-        pre0 = p_rows + l_rows
-        h0 = jnp.maximum(pre0, 0.0)
-        if rate > 0.0:
-            pltpu.prng_seed(
-                seed_ref[0] ^ (jnp.uint32(t) * jnp.uint32(2654435761)), seed_ref[1]
-            )
-            h0 = _dropout(h0, pltpu.prng_random_bits(h0.shape), rate)
-        pre1 = (
-            jnp.dot(h0.astype(projp_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32)
-            + b1_ref[:]
+        _, _, h1, _, _ = _mlp_forward(
+            p_rows + l_rows, w1_ref, b1_ref, dt, rate,
+            lambda: _single_seed(seed_ref, t),
         )
-        h1 = jnp.maximum(pre1, 0.0)
-        if rate > 0.0:
-            h1 = _dropout(h1, pltpu.prng_random_bits(h1.shape), rate)
         out = jnp.sum(h1 * w2_ref[:].astype(jnp.float32), axis=1, keepdims=True) + b2_ref[0, 0]
         # 1-D block: dropping the size-1 minor dim is a no-op relayout
         out_ref[:] = jnp.where(valid, out, 0.0).reshape(TILE_E)
@@ -127,11 +180,7 @@ def _bwd_kernel(
     # window-block output: zero on first tile of each window.  This (and the
     # grid-wide zeroing below) must run even for predicated tiles, so skipped
     # tiles leave exact zeros rather than garbage in their output blocks.
-    prev_same = jnp.where(t > 0, tm_ref[jnp.maximum(t - 1, 0)], -1)
-
-    @pl.when(jnp.logical_or(t == 0, prev_same != tm_ref[t]))
-    def _():
-        dprojp_ref[:] = jnp.zeros_like(dprojp_ref)
+    _zero_out_on_new_window(tm_ref, dprojp_ref)
 
     # grid-wide accumulators: zero once
     @pl.when(t == 0)
@@ -164,55 +213,28 @@ def _bwd_kernel(
         lab_local = lab_ref[:] - lb_ref[t] * lbr if lbr else lab_ref[:]
         l_rows = _gather_rows(projl_ref[:], lab_local, in_dt)
         pre0 = p_rows + l_rows
-        h0 = jnp.maximum(pre0, 0.0)
-        if rate > 0.0:
-            pltpu.prng_seed(
-                seed_ref[0] ^ (jnp.uint32(t) * jnp.uint32(2654435761)), seed_ref[1]
-            )
-            bits0 = pltpu.prng_random_bits(h0.shape)
-            h0 = _dropout(h0, bits0, rate)
-        pre1 = (
-            jnp.dot(h0.astype(in_dt), w1_ref[:], preferred_element_type=jnp.float32)
-            + b1_ref[:]
+        h0, pre1, h1_d, bits0, bits1 = _mlp_forward(
+            pre0, w1_ref, b1_ref, in_dt, rate,
+            lambda: _single_seed(seed_ref, t),
         )
-        h1 = jnp.maximum(pre1, 0.0)
-        if rate > 0.0:
-            bits1 = pltpu.prng_random_bits(h1.shape)
-            h1_d = _dropout(h1, bits1, rate)
-        else:
-            h1_d = h1
 
         # --- backward ---
         # (TILE_E,) block; adding a size-1 minor dim is the supported 32-bit no-op
         go = jnp.where(valid, go_ref[:].reshape(TILE_E, 1), 0.0)  # [TILE_E, 1] f32
         db2_ref[:] += jnp.sum(go).reshape(1, 1)
         # dw2[h] = sum_e go[e] * h1_d[e, h] — contract over the slot axis
+        # (MXU dot_general; the dual kernel's dw2 is a VPU masked sum instead
+        # — a known drift, ROADMAP "Factor the four pair-head kernels")
         dw2_ref[:] += jax.lax.dot_general(
             go.astype(in_dt), h1_d.astype(in_dt),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         dh1 = go * w2_ref[:].astype(jnp.float32)  # [TILE_E, H1] broadcast of [1, H1]
-        if rate > 0.0:
-            dh1 = _dropout(dh1, bits1, rate)
-        dpre1 = jnp.where(pre1 > 0.0, dh1, 0.0)
-        db1_ref[:] += jnp.sum(dpre1, axis=0, keepdims=True)
-        dw1_ref[:] += jax.lax.dot_general(  # h0^T @ dpre1 without materializing h0^T
-            h0.astype(in_dt), dpre1.astype(in_dt),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        dpre0 = _mlp_backward(
+            dh1, h0, pre0, pre1, valid, w1_ref, dw1_ref, db1_ref,
+            in_dt, rate, bits0, bits1,
         )
-        dh0 = jax.lax.dot_general(  # dpre1 @ W1^T: contract both on the H1 axis
-            dpre1.astype(in_dt), w1_ref[:],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        if rate > 0.0:
-            dh0 = _dropout(dh0, bits0, rate)
-        dpre0 = jnp.where(pre0 > 0.0, dh0, 0.0)
-        dpre0 = jnp.where(valid, dpre0, 0.0).astype(in_dt)
-
-        # d_proj_p: segment-sum into this tile's window block (rows by win_local)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
-        s_local = (local_ref[:].reshape(1, TILE_E) == rows).astype(in_dt)
-        dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
+        _scatter_dpre0_to_window(local_ref, dpre0, dprojp_ref, in_dt)
 
         # d_proj_l: scatter-by-lab into the full-table accumulator.  In lbr
         # mode the indicator stays NARROW ([lbr, TILE_E] — the FLOP saving)
@@ -509,19 +531,10 @@ def _dual_fwd_kernel(
         h1 = w1_ref.shape[1] // 2
         p2 = _gather_rows(projp_ref[:], local_ref[:], dt)  # [TILE_E, 2*H0]
         l2 = _gather_rows(projl_ref[:], lab_ref[:], dt)
-        pre0 = p2 + l2
-        h0 = jnp.maximum(pre0, 0.0)
-        if rate > 0.0:
-            s0, s1 = _dual_seed(seed_ref, t)
-            pltpu.prng_seed(s0, s1)
-            h0 = _dropout(h0, pltpu.prng_random_bits(h0.shape), rate)
-        pre1 = (
-            jnp.dot(h0.astype(dt), w1_ref[:], preferred_element_type=jnp.float32)
-            + b1_ref[:]
+        _, _, h1v, _, _ = _mlp_forward(
+            p2 + l2, w1_ref, b1_ref, dt, rate,
+            lambda: _dual_seed(seed_ref, t),
         )
-        h1v = jnp.maximum(pre1, 0.0)
-        if rate > 0.0:
-            h1v = _dropout(h1v, pltpu.prng_random_bits(h1v.shape), rate)
         prod = h1v * w2_ref[:].astype(jnp.float32)  # [TILE_E, 2*H1]
         mt, mg = _dual_colmasks(h1)
         out_t = jnp.sum(prod * mt, axis=1, keepdims=True) + b2_ref[0, 0]
@@ -540,11 +553,7 @@ def _dual_bwd_kernel(
     *, rate: float,
 ):
     t = pl.program_id(0)
-    prev_same = jnp.where(t > 0, tm_ref[jnp.maximum(t - 1, 0)], -1)
-
-    @pl.when(jnp.logical_or(t == 0, prev_same != tm_ref[t]))
-    def _():
-        dprojp_ref[:] = jnp.zeros_like(dprojp_ref)
+    _zero_out_on_new_window(tm_ref, dprojp_ref)
 
     @pl.when(t == 0)
     def _():
@@ -565,22 +574,10 @@ def _dual_bwd_kernel(
         p2 = _gather_rows(projp_ref[:], local_ref[:], dt)
         l2 = _gather_rows(projl_ref[:], lab_ref[:], dt)
         pre0 = p2 + l2
-        h0 = jnp.maximum(pre0, 0.0)
-        if rate > 0.0:
-            s0, s1 = _dual_seed(seed_ref, t)
-            pltpu.prng_seed(s0, s1)
-            bits0 = pltpu.prng_random_bits(h0.shape)
-            h0 = _dropout(h0, bits0, rate)
-        pre1 = (
-            jnp.dot(h0.astype(dt), w1_ref[:], preferred_element_type=jnp.float32)
-            + b1_ref[:]
+        h0, pre1, h1_d, bits0, bits1 = _mlp_forward(
+            pre0, w1_ref, b1_ref, dt, rate,
+            lambda: _dual_seed(seed_ref, t),
         )
-        h1v = jnp.maximum(pre1, 0.0)
-        if rate > 0.0:
-            bits1 = pltpu.prng_random_bits(h1v.shape)
-            h1_d = _dropout(h1v, bits1, rate)
-        else:
-            h1_d = h1v
 
         # --- backward ---
         keep_t = jnp.logical_and(valid, tmask_ref[t] != 0)
@@ -593,28 +590,15 @@ def _dual_bwd_kernel(
         mt, mg = _dual_colmasks(h1)
         # per-head output cotangent spread over the concatenated H1 columns
         go_cols = go_t * mt + go_g * mg  # [TILE_E, 2*H1]
+        # dw2 as a VPU masked sum (the single kernel's is an MXU dot_general
+        # — a known drift, ROADMAP "Factor the four pair-head kernels")
         dw2_ref[:] += jnp.sum(go_cols * h1_d, axis=0, keepdims=True)
         dh1 = go_cols * w2_ref[:].astype(jnp.float32)
-        if rate > 0.0:
-            dh1 = _dropout(dh1, bits1, rate)
-        dpre1 = jnp.where(pre1 > 0.0, dh1, 0.0)
-        db1_ref[:] += jnp.sum(dpre1, axis=0, keepdims=True)
-        dw1_ref[:] += jax.lax.dot_general(
-            h0.astype(dt), dpre1.astype(dt),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        dpre0 = _mlp_backward(
+            dh1, h0, pre0, pre1, valid, w1_ref, dw1_ref, db1_ref,
+            dt, rate, bits0, bits1,
         )
-        dh0 = jax.lax.dot_general(  # block-diagonal W1 keeps the halves exact
-            dpre1.astype(dt), w1_ref[:],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        if rate > 0.0:
-            dh0 = _dropout(dh0, bits0, rate)
-        dpre0 = jnp.where(pre0 > 0.0, dh0, 0.0)
-        dpre0 = jnp.where(valid, dpre0, 0.0).astype(dt)
-
-        rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, TILE_E), 0)
-        s_local = (local_ref[:].reshape(1, TILE_E) == rows).astype(dt)
-        dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
+        _scatter_dpre0_to_window(local_ref, dpre0, dprojp_ref, dt)
 
         s_pad = dprojl_ref.shape[0]
         p_lab_t = (
