@@ -78,6 +78,47 @@ def test_warm_start_hits_als_quality(realistic):
     assert m["mae"] <= 0.76, f"warm-start MAE regressed: {m['mae']:.4f}"
 
 
+@pytest.mark.parametrize("data_seed,floor", [(1, 0.18), (2, 0.16)])
+def test_warm_start_replicates_across_data_seeds(data_seed, floor):
+    """Cross-seed replication of the headline quality result (README
+    "Results"): the ALS-warm-started model reaches ~90% of each cohort's
+    own Bayes conditional ceiling.  Measured epoch-0 R^2: 0.211 (seed 1,
+    realized ceiling 0.227), 0.183 (seed 2, ceiling 0.207) — pinned with
+    margin so only a genuine recipe regression fails."""
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            edge_head=dataclasses.replace(
+                cfg.model.edge_head,
+                extras={"bilinear_rank": RANK + 1, "bilinear_source": "embedding"},
+            ),
+        ),
+        train=dataclasses.replace(cfg.train, loss="mse"),
+    )
+    spec = dataclasses.replace(
+        SyntheticSpec.eicu_demo(), seed=data_seed, signal_strength=0.6
+    )
+    tables = generate_synthetic_tables(spec)
+    bundle = build_heterogeneous_graph(
+        labs=tables["labs_normalized"],
+        diagnoses=tables["diagnoses"],
+        medications=tables["medications"],
+        cohort=tables["cohort"],
+        labitems=tables["labitems"],
+        config=cfg,
+    )
+    masker = EdgeMasker(bundle.graph, seed=42, host_edges=bundle.patient_lab_host())
+    trainer = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    warm_start_trainer(trainer, rank=RANK, reg=12.0)
+    _, _, tev = masker.split_arrays("test")
+    m = compute_regression_metrics(trainer.predict("test").astype(np.float64), tev)
+    assert m["r2"] >= floor, (
+        f"cross-seed warm-start regressed (data_seed={data_seed}): R^2={m['r2']:.4f}"
+    )
+
+
 def test_fine_tune_retains_quality(realistic):
     """30 epochs of fine-tuning at lr 1e-4 must keep the best-val-selected
     state at ALS-level quality (the seeding makes regression impossible by
