@@ -282,6 +282,12 @@ class GatherPlan(struct.PyTreeNode):
     lab_block_map: Optional[jax.Array] = None  # int32 [E_win / TILE_E]
     lab_block_zero: Optional[jax.Array] = None  # int32 [E_win / TILE_E]
     lab_block_rows: int = struct.field(pytree_node=False, default=0)
+    # arbitrary-base span mode (regroup_slots_by_lab_span): lab_block_map
+    # holds per-tile 8-aligned ROW BASES into the padded lab table instead of
+    # aligned block indices — tiles split only when their lab SPAN exceeds
+    # lab_block_rows, so the regroup's slot inflation (33%/10% in aligned
+    # block mode, PERFORMANCE.md) collapses to (almost) nothing.
+    lab_span_mode: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_gather_plan(idx: np.ndarray, num_rows: int) -> "GatherPlan":
@@ -404,6 +410,99 @@ def regroup_slots_by_lab_block(
     m = slot_moves >= 0
     local2[slot_moves[m]] = win_local[m]
     return slot_moves, out_len, local2, tile_map2, lab_block_map, first
+
+
+def regroup_slots_by_lab_span(
+    win_local: np.ndarray,
+    win_tile_map: np.ndarray,
+    lab_idx: np.ndarray,
+    num_labs: int,
+    block_rows: int = WINDOW,
+):
+    """Arbitrary-base variant of :func:`regroup_slots_by_lab_block`.
+
+    The aligned-block regroup forces each tile's labs onto a
+    ``block_rows``-ALIGNED lab-table block, which splits a window's slot run
+    at every block boundary its labs straddle — measured 33%/10% slot
+    inflation at block 128/256 on the scale config (PERFORMANCE.md
+    "Negative result — span-bounded lab tiles").  This variant instead
+    sorts each window's real slots by lab and packs tiles greedily under a
+    SPAN constraint: a tile's base is ``8 * floor(min_lab / 8)`` (sublane-
+    aligned for the kernel's dynamic slice of the VMEM-resident table,
+    clamped so ``base + block_rows`` stays inside the padded table) and the
+    tile closes only when full or when the next lab would fall outside
+    ``[base, base + block_rows)``.  With lab-frequency-ordered indexing
+    tiles rarely split, so the narrow-gather FLOP saving is kept without
+    the inflation.
+
+    Returns ``(slot_moves, new_len, local2, tile_map2, lab_base)`` —
+    same contract as the block regroup except ``lab_base[t]`` is the tile's
+    table ROW BASE (multiple of 8) rather than a block index, and no
+    first-visit flags are needed (the kernel's gradient accumulator is a
+    full resident table zeroed once at tile 0).
+    """
+    win_local = np.asarray(win_local)
+    win_tile_map = np.asarray(win_tile_map)
+    lab_idx = np.asarray(lab_idx)
+    e_win = len(win_local)
+    num_tiles = e_win // TILE_E
+    real = win_local < WINDOW
+
+    labs_pad = -(-max(num_labs, 1) // 128) * 128
+    labs_pad = max(labs_pad, block_rows)
+    max_base = labs_pad - block_rows
+
+    slot_window = np.repeat(win_tile_map, TILE_E)
+    # real slots ordered by (window, lab); stable so equal labs keep order
+    order = np.lexsort((np.arange(e_win), lab_idx, slot_window))
+    order = order[real[order]]
+    g_win = slot_window[order]
+    g_lab = lab_idx[order]
+
+    slot_moves = np.full(e_win, -1, dtype=np.int64)
+    tile_bases: list = []
+    tile_windows: list = []
+    out_len = 0
+    i, n = 0, len(order)
+    while i < n:
+        w = int(g_win[i])
+        base = min((int(g_lab[i]) // 8) * 8, max_base)
+        limit = base + block_rows
+        j = i
+        while j < n and j - i < TILE_E and g_win[j] == w and int(g_lab[j]) < limit:
+            j += 1
+        slot_moves[order[i:j]] = out_len + np.arange(j - i)
+        tile_bases.append(base)
+        tile_windows.append(w)
+        out_len += TILE_E
+        i = j
+
+    # windows with no real slots still need their (padding) tiles so the
+    # window sequence stays monotone for the dprojp first-tile zeroing
+    seen_windows = set(tile_windows)
+    n_win = int(win_tile_map.max()) + 1 if num_tiles else 0
+    for w in range(n_win):
+        if w not in seen_windows:
+            tile_bases.append(0)
+            tile_windows.append(w)
+            out_len += TILE_E
+    t_order = np.argsort(np.asarray(tile_windows), kind="stable")
+    if not np.array_equal(t_order, np.arange(len(t_order))):
+        tile_new_pos = np.empty(len(t_order), dtype=np.int64)
+        tile_new_pos[t_order] = np.arange(len(t_order))
+        old_tile = slot_moves // TILE_E
+        off = slot_moves % TILE_E
+        m = slot_moves >= 0
+        slot_moves[m] = tile_new_pos[old_tile[m]] * TILE_E + off[m]
+        tile_bases = list(np.asarray(tile_bases)[t_order])
+        tile_windows = list(np.asarray(tile_windows)[t_order])
+
+    lab_base = np.asarray(tile_bases, dtype=np.int32)
+    tile_map2 = np.asarray(tile_windows, dtype=np.int32)
+    local2 = np.full(out_len, WINDOW, dtype=np.int32)
+    m = slot_moves >= 0
+    local2[slot_moves[m]] = win_local[m]
+    return slot_moves, out_len, local2, tile_map2, lab_base
 
 
 class HeteroGraph(struct.PyTreeNode):

@@ -288,6 +288,7 @@ class FactoredEdgeHead(nn.Module):
             plan.num_windows, rate,
             _jax.default_backend() != "tpu",
             getattr(plan, "lab_block_rows", 0),
+            getattr(plan, "lab_span_mode", False),
         )
         return out[:, None]
 

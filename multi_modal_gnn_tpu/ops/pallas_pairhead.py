@@ -132,11 +132,29 @@ def _scatter_dpre0_to_window(local_ref, dpre0, dprojp_ref, in_dt):
     dprojp_ref[:] += jnp.dot(s_local, dpre0, preferred_element_type=jnp.float32)
 
 
+def _lab_operand(projl_ref, lab_ref, lb_ref, t, lbr: int, span: bool):
+    """The (narrow) lab-table operand and block-local lab ids for one tile.
+
+    Three static modes: full table (lbr == 0); aligned-block mode (the
+    BlockSpec streamed ``lb[t]``-th ``lbr``-row block, local = lab - lb*lbr);
+    span mode (the whole table is VMEM-resident and the tile's ``lbr``-row
+    slice starts at the ARBITRARY 8-aligned row base ``lb[t]`` — an in-VMEM
+    dynamic slice, no extra DMA).  Ids outside the slice (only padding
+    slots, by the regroup contract) match no indicator column -> zero rows.
+    """
+    if lbr and span:
+        base = pl.multiple_of(lb_ref[t], 8)
+        return projl_ref[pl.ds(base, lbr), :], lab_ref[:] - base
+    if lbr:
+        return projl_ref[:], lab_ref[:] - lb_ref[t] * lbr
+    return projl_ref[:], lab_ref[:]
+
+
 def _fwd_kernel(
     tm_ref, seed_ref, mask_ref, lb_ref, local_ref, lab_ref,
     projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref,
-    *, rate: float, lbr: int,
+    *, rate: float, lbr: int, span: bool,
 ):
     t = pl.program_id(0)
 
@@ -154,12 +172,10 @@ def _fwd_kernel(
         # in-window patient gather: [TILE_E, H0] rows of the (WINDOW, H0) block;
         # padding slots (local == WINDOW) match no indicator column -> zero rows
         p_rows = _gather_rows(projp_ref[:], local_ref[:], dt)
-        # span-bounded lab tiles (lbr > 0): projl_ref is this tile's single
-        # lbr-row block of the lab table; gather by block-local id.  Ids
-        # outside the block (only padding slots, by the regroup contract)
-        # match no indicator column -> zero rows.
-        lab_local = lab_ref[:] - lb_ref[t] * lbr if lbr else lab_ref[:]
-        l_rows = _gather_rows(projl_ref[:], lab_local, dt)
+        # span-bounded lab tiles (lbr > 0): gather from this tile's single
+        # lbr-row slice of the lab table by block-local id (_lab_operand)
+        tbl, lab_local = _lab_operand(projl_ref, lab_ref, lb_ref, t, lbr, span)
+        l_rows = _gather_rows(tbl, lab_local, dt)
         _, _, h1, _, _ = _mlp_forward(
             p_rows + l_rows, w1_ref, b1_ref, dt, rate,
             lambda: _single_seed(seed_ref, t),
@@ -173,7 +189,7 @@ def _bwd_kernel(
     tm_ref, seed_ref, mask_ref, lb_ref, local_ref, lab_ref, go_ref,
     projp_ref, projl_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dprojp_ref, dprojl_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-    *, rate: float, lbr: int,
+    *, rate: float, lbr: int, span: bool,
 ):
     t = pl.program_id(0)
 
@@ -210,8 +226,8 @@ def _bwd_kernel(
         in_dt = projp_ref.dtype
         # --- recompute forward (same PRNG stream as _fwd_kernel) ---
         p_rows = _gather_rows(projp_ref[:], local_ref[:], in_dt)
-        lab_local = lab_ref[:] - lb_ref[t] * lbr if lbr else lab_ref[:]
-        l_rows = _gather_rows(projl_ref[:], lab_local, in_dt)
+        tbl, lab_local = _lab_operand(projl_ref, lab_ref, lb_ref, t, lbr, span)
+        l_rows = _gather_rows(tbl, lab_local, in_dt)
         pre0 = p_rows + l_rows
         h0, pre1, h1_d, bits0, bits1 = _mlp_forward(
             pre0, w1_ref, b1_ref, in_dt, rate,
@@ -245,7 +261,10 @@ def _bwd_kernel(
             == jax.lax.broadcasted_iota(jnp.int32, (s_pad, TILE_E), 0)
         ).astype(in_dt)
         dblock = jnp.dot(p_lab_t, dpre0, preferred_element_type=jnp.float32)
-        if lbr:
+        if lbr and span:
+            base = pl.multiple_of(lb_ref[t], 8)
+            dprojl_ref[pl.ds(base, lbr), :] += dblock
+        elif lbr:
             base = pl.multiple_of(lb_ref[t] * lbr, lbr)
             dprojl_ref[pl.ds(base, lbr), :] += dblock
         else:
@@ -257,11 +276,11 @@ def _pad_rows(x, rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_windows", "rate", "interpret", "lbr")
+    jax.jit, static_argnames=("num_windows", "rate", "interpret", "lbr", "span")
 )
 def _fused_fwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    tile_mask, lab_block_map, num_windows, rate, interpret, lbr,
+    tile_mask, lab_block_map, num_windows, rate, interpret, lbr, span,
 ):
     e_win = win_local.shape[0]
     num_tiles = e_win // TILE_E
@@ -272,19 +291,25 @@ def _fused_fwd(
     h0 = proj_p.shape[1]
     h1 = w1.shape[1]
     labs_pad = ((proj_l.shape[0] + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
-    if lbr:
-        # span-bounded mode tiles the table in lbr-row blocks; the LAST block
+    if lbr and span:
+        # arbitrary-base mode: the table stays resident; any 8-aligned base
+        # with base + lbr <= labs_pad is sliceable (clamped below for safety)
+        labs_pad = max(labs_pad, lbr)
+        lab_block_map = jnp.clip(lab_block_map, 0, labs_pad - lbr)
+    elif lbr:
+        # aligned-block mode tiles the table in lbr-row blocks; the LAST block
         # must lie fully inside the padded table (labs_pad=384, lbr=256 would
         # otherwise make block 1 read rows 256..511 of a 384-row array)
         labs_pad = -(-labs_pad // lbr) * lbr
     proj_p = _pad_rows(proj_p, num_windows * WINDOW)
     proj_l = _pad_rows(proj_l, labs_pad)
-    # lbr > 0: per-tile narrow lab-table block (span-bounded tiles) instead
-    # of the whole table — cuts the dominant one-hot gather FLOPs by
-    # labs_pad / lbr
+    # aligned-block mode (lbr, not span): per-tile narrow lab-table block
+    # streamed by BlockSpec — cuts the dominant one-hot gather FLOPs by
+    # labs_pad / lbr.  Span mode keeps the FULL table resident and slices
+    # in-kernel (same FLOP cut, no per-tile DMA, arbitrary 8-aligned bases).
     l_rows_spec = (
         pl.BlockSpec((lbr, h0), lambda t, tm, sd, mk, lb: (lb[t], 0))
-        if lbr
+        if lbr and not span
         else pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk, lb: (0, 0))
     )
 
@@ -304,7 +329,7 @@ def _fused_fwd(
         out_specs=pl.BlockSpec((TILE_E,), lambda t, tm, sd, mk, lb: (t,)),
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, rate=rate, lbr=lbr),
+        functools.partial(_fwd_kernel, rate=rate, lbr=lbr, span=span),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((e_win,), jnp.float32),
         interpret=interpret,
@@ -317,12 +342,12 @@ def _fused_fwd(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_windows", "rate", "interpret", "lbr")
+    jax.jit, static_argnames=("num_windows", "rate", "interpret", "lbr", "span")
 )
 def _fused_bwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
     tile_mask, lab_block_map, lab_block_zero, g_out,
-    num_windows, rate, interpret, lbr,
+    num_windows, rate, interpret, lbr, span,
 ):
     e_win = win_local.shape[0]
     num_tiles = e_win // TILE_E
@@ -335,13 +360,16 @@ def _fused_bwd(
     num_p = proj_p.shape[0]
     num_l = proj_l.shape[0]
     labs_pad = ((num_l + _LAB_PAD - 1) // _LAB_PAD) * _LAB_PAD
-    if lbr:
+    if lbr and span:
+        labs_pad = max(labs_pad, lbr)
+        lab_block_map = jnp.clip(lab_block_map, 0, labs_pad - lbr)
+    elif lbr:
         labs_pad = -(-labs_pad // lbr) * lbr  # last lbr block fully in-bounds
     proj_p_pad = _pad_rows(proj_p, num_windows * WINDOW)
     proj_l_pad = _pad_rows(proj_l, labs_pad)
     l_in_spec = (
         pl.BlockSpec((lbr, h0), lambda t, tm, sd, mk, lb: (lb[t], 0))
-        if lbr
+        if lbr and not span
         else pl.BlockSpec((labs_pad, h0), lambda t, tm, sd, mk, lb: (0, 0))
     )
 
@@ -372,7 +400,7 @@ def _fused_bwd(
         ],
     )
     douts = pl.pallas_call(
-        functools.partial(_bwd_kernel, rate=rate, lbr=lbr),
+        functools.partial(_bwd_kernel, rate=rate, lbr=lbr, span=span),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_windows * WINDOW, h0), jnp.float32),
@@ -402,11 +430,12 @@ def _fused_bwd(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
 def fused_pair_head(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
     tile_mask, lab_block_map, lab_block_zero,
     num_windows, rate=0.0, interpret=False, lab_block_rows=0,
+    lab_span_mode=False,
 ):
     """out[slot] = MLP(relu(proj_p[patient(slot)] + proj_l[lab(slot)])).
 
@@ -426,6 +455,12 @@ def fused_pair_head(
     every tile's real labs live in lab-table block ``lab_block_map[t]``, so
     the dominant one-hot lab gather narrows from [TILE_E, labs_pad] to
     [TILE_E, lab_block_rows] — num_labs/lab_block_rows x fewer MXU FLOPs.
+
+    ``lab_span_mode=True`` (with ``lab_block_map`` holding per-tile
+    8-aligned ROW BASES from graph/hetero.py regroup_slots_by_lab_span):
+    the same narrowing, but each tile's rows come from an in-kernel dynamic
+    slice of the VMEM-resident table at an arbitrary sublane-aligned base —
+    no per-tile DMA and (almost) no regroup slot inflation.
     """
     if lab_block_rows and lab_block_map is None:
         # a zeros-default map would silently gather every tile from block 0
@@ -433,22 +468,24 @@ def fused_pair_head(
         raise ValueError(
             "lab_block_rows > 0 requires the span-bounded plan's "
             "lab_block_map/lab_block_zero (graph/hetero.py "
-            "regroup_slots_by_lab_block)"
+            "regroup_slots_by_lab_block / regroup_slots_by_lab_span)"
         )
     return _fused_fwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
         tile_mask, lab_block_map, num_windows, rate, interpret, lab_block_rows,
+        lab_span_mode,
     )
 
 
 def _fph_fwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
     tile_mask, lab_block_map, lab_block_zero,
-    num_windows, rate, interpret, lab_block_rows,
+    num_windows, rate, interpret, lab_block_rows, lab_span_mode,
 ):
     out = _fused_fwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
         tile_mask, lab_block_map, num_windows, rate, interpret, lab_block_rows,
+        lab_span_mode,
     )
     return out, (
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
@@ -456,13 +493,13 @@ def _fph_fwd(
     )
 
 
-def _fph_bwd(num_windows, rate, interpret, lab_block_rows, res, g_out):
+def _fph_bwd(num_windows, rate, interpret, lab_block_rows, lab_span_mode, res, g_out):
     (proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
      tile_mask, lab_block_map, lab_block_zero) = res
     grads = _fused_bwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
         tile_mask, lab_block_map, lab_block_zero, g_out,
-        num_windows, rate, interpret, lab_block_rows,
+        num_windows, rate, interpret, lab_block_rows, lab_span_mode,
     )
     zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
     zopt = lambda a: None if a is None else zero_i(a)  # noqa: E731

@@ -77,6 +77,7 @@ def _pad_batch(
     num_labs: Optional[int] = None,
     slot_major: bool = False,
     lab_block_rows: int = 0,
+    lab_tile_mode: str = "block",
 ) -> Tuple[SplitBatch, Optional[np.ndarray]]:
     """Pad (and optionally slot-reorder) a supervised batch.
 
@@ -125,16 +126,26 @@ def _pad_batch(
             if lab_block_rows:
                 # span-bounded lab tiles: regroup each window's slots by lab
                 # block so the pair-head kernel gathers from ONE narrow block
-                # of the lab table per tile (graph/hetero.py regroup doc)
+                # of the lab table per tile (graph/hetero.py regroup doc).
+                # mode "span": arbitrary 8-aligned per-tile bases (near-zero
+                # slot inflation); mode "block": aligned lbr-row blocks.
                 from multi_modal_gnn_tpu.graph.hetero import (
                     regroup_slots_by_lab_block,
+                    regroup_slots_by_lab_span,
                 )
 
                 wl = np.asarray(patient_plan.win_local)
                 wtm = np.asarray(patient_plan.win_tile_map)
-                moves, e2, local2, tmap2, lbm, lbz = regroup_slots_by_lab_block(
-                    wl, wtm, l_pad, num_labs, lab_block_rows
-                )
+                span = lab_tile_mode == "span"
+                if span:
+                    moves, e2, local2, tmap2, lbm = regroup_slots_by_lab_span(
+                        wl, wtm, l_pad, num_labs, lab_block_rows
+                    )
+                    lbz = np.zeros(len(lbm), dtype=np.int32)  # unused in span mode
+                else:
+                    moves, e2, local2, tmap2, lbm, lbz = regroup_slots_by_lab_block(
+                        wl, wtm, l_pad, num_labs, lab_block_rows
+                    )
 
                 def _relay(a, fill, dtype):
                     out = np.full(e2, fill, dtype=dtype)
@@ -157,6 +168,7 @@ def _pad_batch(
                     lab_block_map=jnp.asarray(lbm),
                     lab_block_zero=jnp.asarray(lbz),
                     lab_block_rows=int(lab_block_rows),
+                    lab_span_mode=span,
                 )
             else:
                 patient_plan = GatherPlan(
@@ -197,6 +209,7 @@ class EdgeMasker:
         slot_major_train: bool = False,
         slot_major_min_rows: int = SLOT_MAJOR_MIN_ROWS,
         lab_block_rows: int = 0,
+        lab_tile_mode: str = "block",
     ):
         """``host_edges``: optional (src, dst, val) numpy arrays of the valid
         patient->lab edges in device order (GraphBundle.patient_lab_host()) —
@@ -227,7 +240,14 @@ class EdgeMasker:
         # 256 — the regroup's +10-33% slot inflation outweighs the indicator
         # FLOP cut; PERFORMANCE.md "negative results").  Worth enabling for
         # much larger lab vocabularies (narrowing factor labs_pad/rows).
+        # lab_tile_mode "span" (vs default "block"): arbitrary 8-aligned
+        # per-tile table bases — same FLOP cut with (almost) no inflation
+        # (graph/hetero.py regroup_slots_by_lab_span); pending hardware
+        # validation of the in-kernel dynamic-slice lowering.
         self.lab_block_rows = int(lab_block_rows)
+        if lab_tile_mode not in ("block", "span"):
+            raise ValueError(f"lab_tile_mode must be 'block' or 'span', got {lab_tile_mode!r}")
+        self.lab_tile_mode = lab_tile_mode
         self._row_slots: Dict[str, Optional[np.ndarray]] = {}
         counts = graph.node_count_map if graph is not None else {}
         self._num_patients = counts.get("patient")
@@ -281,6 +301,7 @@ class EdgeMasker:
                     and len(idx) >= self.slot_major_min_rows
                 ),
                 lab_block_rows=self.lab_block_rows,
+                lab_tile_mode=self.lab_tile_mode,
             )
         return self._batches[split]
 

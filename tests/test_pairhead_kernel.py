@@ -49,6 +49,7 @@ def _fused(plan, p_s, l_s, real, proj_p, proj_l, w1, b1, w2, b2, tile_mask=None)
         getattr(plan, "lab_block_map", None), getattr(plan, "lab_block_zero", None),
         plan.num_windows, 0.0, True,
         getattr(plan, "lab_block_rows", 0),
+        getattr(plan, "lab_span_mode", False),
     )
 
 
@@ -210,6 +211,96 @@ def test_lab_block_mode_parity():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=f"grad({name})"
         )
+
+
+def _span_problem(block_rows=128):
+    """A slot-major + arbitrary-base span-regrouped problem (the narrow-lab
+    mode that avoids the block regroup's slot inflation)."""
+    from multi_modal_gnn_tpu.graph.hetero import (
+        GatherPlan,
+        regroup_slots_by_lab_span,
+    )
+
+    rng = np.random.default_rng(13)
+    num_p, num_l, H0, H1, B = 300, 300, 64, 32, 4000
+    p_idx = rng.integers(0, num_p, B).astype(np.int32)
+    l_idx = rng.integers(0, num_l, B).astype(np.int32)
+    plan = build_gather_plan(p_idx, num_p)
+    win_src = np.asarray(plan.win_src)
+    win_local = np.asarray(plan.win_local)
+    real = win_local < WINDOW
+    l_s = np.where(real, l_idx[win_src], 0).astype(np.int32)
+    p_s = np.where(real, p_idx[win_src], 0).astype(np.int32)
+
+    moves, e2, local2, tmap2, bases = regroup_slots_by_lab_span(
+        win_local, np.asarray(plan.win_tile_map), l_s, num_l, block_rows
+    )
+
+    def relay(a, fill):
+        out = np.full(e2, fill, a.dtype)
+        m = moves >= 0
+        out[moves[m]] = a[m]
+        return out
+
+    p2, l2 = relay(p_s, 0), relay(l_s, 0)
+    real2 = local2 < WINDOW
+    plan2 = GatherPlan(
+        win_src=jnp.zeros(e2, jnp.int32),
+        win_local=jnp.asarray(local2),
+        win_tile_map=jnp.asarray(tmap2),
+        num_windows=plan.num_windows,
+        num_rows=plan.num_rows,
+        identity=True,
+        lab_block_map=jnp.asarray(bases),
+        lab_block_zero=None,
+        lab_block_rows=block_rows,
+        lab_span_mode=True,
+    )
+    params = dict(
+        proj_p=rng.standard_normal((num_p, 64)).astype(np.float32),
+        proj_l=rng.standard_normal((num_l, 64)).astype(np.float32),
+        w1=(rng.standard_normal((64, 32)) * 0.1).astype(np.float32),
+        b1=(rng.standard_normal(32) * 0.1).astype(np.float32),
+        w2=(rng.standard_normal(32) * 0.1).astype(np.float32),
+        b2=np.float32(0.3),
+    )
+    return plan2, p2, l2, real2, params
+
+
+@pytest.mark.parametrize("block_rows", [128, 256])
+def test_lab_span_mode_parity(block_rows):
+    """Arbitrary-base narrow-lab kernel == unfused reference, forward and
+    all six gradients (interpret mode; hardware lowering of the in-kernel
+    dynamic slice is validated separately on real TPU)."""
+    plan2, p2, l2, real2, params = _span_problem(block_rows)
+    args = tuple(map(jnp.asarray, params.values()))
+    ref = _ref(plan2, p2, l2, real2, *args)
+    got = _fused(plan2, p2, l2, real2, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    g = jnp.asarray(
+        np.random.default_rng(5).standard_normal(len(l2)).astype(np.float32)
+        * real2
+    )
+    argnums = tuple(range(6))
+    gr_ref = jax.grad(
+        lambda *a: jnp.sum(_ref(plan2, p2, l2, real2, *a) * g), argnums=argnums
+    )(*args)
+    gr_f = jax.grad(
+        lambda *a: jnp.sum(_fused(plan2, p2, l2, real2, *a) * g), argnums=argnums
+    )(*args)
+    for name, a, b in zip(params.keys(), gr_ref, gr_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=f"grad({name})"
+        )
+
+
+def test_lab_span_no_inflation_vs_block():
+    """On the same problem, the span regroup must not add more padding than
+    the aligned-block regroup (its reason to exist)."""
+    plan_b, *_ = _block_problem(128)
+    plan_s, *_ = _span_problem(128)
+    assert plan_s.win_local.shape[0] <= plan_b.win_local.shape[0]
 
 
 # ---------------------------------------------------------------------------

@@ -172,3 +172,72 @@ def test_regroup_slots_by_lab_block_invariants(num_p, num_l, n, block_rows, seed
     w_old = np.repeat(np.asarray(plan.win_tile_map), TILE_E)
     w_new = np.repeat(tmap2, TILE_E)
     np.testing.assert_array_equal(w_new[moves[m]], w_old[m])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),    # num patients
+    st.integers(min_value=1, max_value=400),   # num labs
+    st.integers(min_value=0, max_value=3000),  # num pairs
+    st.sampled_from([64, 128, 256]),           # block_rows
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_regroup_slots_by_lab_span_invariants(num_p, num_l, n, block_rows, seed):
+    """The arbitrary-base span regroup must be a permutation-with-padding
+    whose tiles each cover a single [base, base+block_rows) lab span with an
+    8-aligned in-bounds base, windows monotone, window identity preserved."""
+    from multi_modal_gnn_tpu.graph.hetero import regroup_slots_by_lab_span
+
+    rng = np.random.default_rng(seed)
+    p_idx = rng.integers(0, num_p, n).astype(np.int32)
+    l_idx = rng.integers(0, num_l, n).astype(np.int32)
+    plan = build_gather_plan(p_idx, num_p)
+    win_src = np.asarray(plan.win_src)
+    win_local = np.asarray(plan.win_local)
+    real = win_local < WINDOW
+    if n:
+        l_s = np.where(real, l_idx[np.clip(win_src, 0, n - 1)], 0).astype(np.int32)
+    else:
+        l_s = np.zeros(len(win_local), np.int32)
+
+    moves, e2, local2, tmap2, bases = regroup_slots_by_lab_span(
+        win_local, np.asarray(plan.win_tile_map), l_s, num_l, block_rows
+    )
+
+    assert e2 % TILE_E == 0 and len(local2) == e2 and len(tmap2) == e2 // TILE_E
+    assert len(bases) == len(tmap2)
+
+    # bijection: real slots map to distinct new slots; padding maps nowhere
+    m = moves >= 0
+    np.testing.assert_array_equal(m, real)
+    assert len(np.unique(moves[m])) == int(m.sum())
+
+    labs_pad = max(-(-max(num_l, 1) // 128) * 128, block_rows)
+    assert (bases % 8 == 0).all()
+    assert (bases >= 0).all() and (bases + block_rows <= labs_pad).all()
+
+    l2 = np.zeros(e2, np.int32)
+    l2[moves[m]] = l_s[m]
+    real2 = np.zeros(e2, bool)
+    real2[moves[m]] = True
+    assert (local2[~real2] == WINDOW).all()
+    assert (local2[real2] < WINDOW).all()
+    for t in range(e2 // TILE_E):
+        sl = slice(t * TILE_E, (t + 1) * TILE_E)
+        tr = real2[sl]
+        if tr.any():
+            labs = l2[sl][tr]
+            assert (labs >= bases[t]).all() and (labs < bases[t] + block_rows).all()
+
+    assert (np.diff(tmap2) >= 0).all()
+    w_old = np.repeat(np.asarray(plan.win_tile_map), TILE_E)
+    w_new = np.repeat(tmap2, TILE_E)
+    np.testing.assert_array_equal(w_new[moves[m]], w_old[m])
+
+    # the whole point: span packing may not inflate more than block packing
+    from multi_modal_gnn_tpu.graph.hetero import regroup_slots_by_lab_block
+
+    _, e2_block, *_ = regroup_slots_by_lab_block(
+        win_local, np.asarray(plan.win_tile_map), l_s, num_l, block_rows
+    )
+    assert e2 <= e2_block

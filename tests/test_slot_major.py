@@ -119,6 +119,53 @@ def test_predict_order_matches(setup):
     np.testing.assert_allclose(p_row, p_slot, atol=1e-5)
 
 
+def test_train_step_parity_span_mode(setup):
+    """Slot-major + arbitrary-base span lab tiles (lab_tile_mode='span'):
+    one train step matches the row-major layout — same loss, same params
+    (the lab-side gather/scatter rides per-tile dynamic slices of the
+    resident table instead of aligned BlockSpec blocks)."""
+    cfg, bundle, m_row, _ = setup
+    host = bundle.patient_lab_host()
+    m_span = EdgeMasker(
+        bundle.graph, seed=4, host_edges=host,
+        slot_major_train=True, slot_major_min_rows=0,
+        lab_block_rows=128, lab_tile_mode="span",
+    )
+    b_span = m_span.get_split("train")
+    assert b_span.patient_plan.lab_span_mode
+    assert int(np.asarray(b_span.patient_plan.lab_block_map).max()) >= 0
+
+    model = build_model(cfg, bundle.graph)
+    variables = init_model_variables(model, bundle.graph, jax.random.key(0))
+    t_row = Trainer(model, bundle.graph, m_row, cfg, variables=variables)
+    t_span = Trainer(model, bundle.graph, m_span, cfg, variables=variables)
+
+    b_row = m_row.get_split("train")
+    slots = m_span.slot_map("train")
+    n = b_row.num_valid
+    rng = np.random.default_rng(0)
+    sup_row_np = (rng.random(b_row.valid.shape[0]) < 0.4).astype(np.float32)
+    sup_row_np *= np.asarray(b_row.valid)
+    sup_span_np = np.zeros(b_span.valid.shape[0], np.float32)
+    sup_span_np[slots[:n]] = sup_row_np[:n]
+
+    key = jax.random.key(7)
+    copy = lambda s: jax.tree_util.tree_map(jnp.array, s)  # noqa: E731 (donation)
+    s_row, l_row = t_row._train_step(
+        copy(t_row.state), bundle.graph, b_row, t_row.lab_weights,
+        jnp.asarray(sup_row_np), key,
+    )
+    s_span, l_span = t_span._train_step(
+        copy(t_span.state), bundle.graph, b_span, t_span.lab_weights,
+        jnp.asarray(sup_span_np), key,
+    )
+    np.testing.assert_allclose(float(l_row), float(l_span), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_row.params), jax.tree_util.tree_leaves(s_span.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-4)
+
+
 def test_value_context_positions_slot_major(setup):
     """train_positions places each edge's padded-array position at its slot."""
     _, bundle, _, m_slot = setup
