@@ -56,6 +56,8 @@ def run_bench(
     use_pallas: bool | None = None,
     dense: bool = True,
     bf16: bool = False,
+    lab_tile_rows: int = 0,
+    lab_tile_mode: str = "block",
 ) -> dict:
     import dataclasses
 
@@ -87,6 +89,10 @@ def run_bench(
         cfg = cfg.replace(
             graph=dataclasses.replace(cfg.graph, dense_adjacency_max_bytes=0)
         )
+    if lab_tile_rows:  # narrow lab tiles want frequency-clustered lab ids
+        cfg = cfg.replace(
+            graph=dataclasses.replace(cfg.graph, cluster_labs_by_frequency=True)
+        )
     spec = SyntheticSpec.scale_100k() if scale else SyntheticSpec.eicu_demo()
 
     t0 = time.perf_counter()
@@ -103,6 +109,8 @@ def run_bench(
         seed=cfg.train.seed,
         host_edges=bundle.patient_lab_host(),
         slot_major_train=use_pallas,
+        lab_block_rows=lab_tile_rows,
+        lab_tile_mode=lab_tile_mode,
     )
     n_train = masker.split_sizes()["train"]
 
@@ -174,6 +182,13 @@ def main() -> int:
                         help="disable the dense-adjacency tier (bench the windowed kernel)")
     parser.add_argument("--bf16", action="store_true",
                         help="model.compute_dtype=bfloat16 (halves the HBM-bound pair traffic)")
+    parser.add_argument("--lab-tile-rows", type=int, default=0,
+                        help="narrow lab tiles in the pair-head kernel (0=off); "
+                             "enables graph.cluster_labs_by_frequency")
+    parser.add_argument("--lab-tile-mode", type=str, default="span",
+                        choices=["block", "span"],
+                        help="aligned-block vs arbitrary-base narrow tiles "
+                             "(only with --lab-tile-rows)")
     args = parser.parse_args()
 
     import os
@@ -190,6 +205,7 @@ def main() -> int:
         result = run_bench(
             scale=args.scale, quick=args.quick, epochs=args.epochs,
             use_pallas=args.pallas, dense=args.dense, bf16=args.bf16,
+            lab_tile_rows=args.lab_tile_rows, lab_tile_mode=args.lab_tile_mode,
         )
         if tpu_dead:
             result["note"] = "TPU unreachable at bench time; CPU fallback numbers"

@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--dropout", type=float, default=None)
     ap.add_argument("--mask-fraction", type=float, default=None)
     ap.add_argument("--no-batch-norm", action="store_true")
+    ap.add_argument("--arch", type=str, default=None, choices=["rgcn", "hgt"],
+                    help="model.architecture override (default: config's RGCN)")
     ap.add_argument("--hidden-dim", type=int, default=None)
     ap.add_argument("--num-layers", type=int, default=None)
     ap.add_argument("--degree-threshold", type=int, default=None)
@@ -179,6 +181,8 @@ def main() -> None:
 
         mc = config.model
         overrides = {}
+        if args.arch is not None:
+            overrides["architecture"] = args.arch.upper()
         if args.dropout is not None:
             overrides["dropout"] = args.dropout
         if args.no_batch_norm:
