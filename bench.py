@@ -57,7 +57,7 @@ def run_bench(
     dense: bool = True,
     bf16: bool = False,
     lab_tile_rows: int = 0,
-    lab_tile_mode: str = "block",
+    lab_tile_mode: str = "span",  # matches the CLI default
 ) -> dict:
     import dataclasses
 

@@ -277,10 +277,8 @@ class GatherPlan(struct.PyTreeNode):
     # span-bounded lab tiles (regroup_slots_by_lab_block): every tile's labs
     # live in ONE lab_block_rows-row block of the lab table, so the pair-head
     # kernel's dominant [TILE_E, num_labs] one-hot gather narrows to
-    # [TILE_E, lab_block_rows].  lab_block_map[t] = that tile's block;
-    # lab_block_zero[t] = 1 on each block's first visit (accumulator zeroing).
+    # [TILE_E, lab_block_rows].  lab_block_map[t] = that tile's block.
     lab_block_map: Optional[jax.Array] = None  # int32 [E_win / TILE_E]
-    lab_block_zero: Optional[jax.Array] = None  # int32 [E_win / TILE_E]
     lab_block_rows: int = struct.field(pytree_node=False, default=0)
     # arbitrary-base span mode (regroup_slots_by_lab_span): lab_block_map
     # holds per-tile 8-aligned ROW BASES into the padded lab table instead of
@@ -322,10 +320,10 @@ def regroup_slots_by_lab_block(
     labs indexed by descending frequency (graph build) the inflation is
     small: most of a window's mass lands in block 0.
 
-    Returns (slot_moves, new_len, local2, tile_map2, lab_block_map,
-    lab_block_zero): ``slot_moves[old_slot]`` is the new slot of each REAL
-    old slot (-1 for old padding); callers re-lay their per-slot arrays with
-    it (new padding slots carry local == WINDOW / zeros).
+    Returns (slot_moves, new_len, local2, tile_map2, lab_block_map):
+    ``slot_moves[old_slot]`` is the new slot of each REAL old slot (-1 for
+    old padding); callers re-lay their per-slot arrays with it (new padding
+    slots carry local == WINDOW / zeros).
     """
     win_local = np.asarray(win_local)
     win_tile_map = np.asarray(win_tile_map)
@@ -363,53 +361,57 @@ def regroup_slots_by_lab_block(
         tile_blocks += [int(g_blk[lo])] * (padded // TILE_E)
         tile_windows += [int(g_win[lo])] * (padded // TILE_E)
         out_len += padded
-    # windows with no real slots still need their (padding) tiles so the
-    # window sequence stays monotone for the dprojp first-tile zeroing
+    slot_moves, tile_blocks, tile_windows, out_len = _pad_and_sort_tiles(
+        slot_moves, tile_blocks, tile_windows, out_len, win_tile_map, num_tiles
+    )
+    return (
+        slot_moves,
+        out_len,
+        _relayed_locals(slot_moves, win_local, out_len),
+        np.asarray(tile_windows, dtype=np.int32),
+        np.asarray(tile_blocks, dtype=np.int32),
+    )
+
+
+def _pad_and_sort_tiles(slot_moves, tile_meta, tile_windows, out_len,
+                        win_tile_map, num_tiles):
+    """Shared regroup epilogue: windows with no real slots still get one
+    (padding) tile so the window sequence stays monotone for the kernel's
+    first-tile-of-window dprojp zeroing; then tiles re-sort by window
+    (insertions appended at the end) and slot_moves remaps through the tile
+    permutation."""
     seen_windows = set(tile_windows)
     for w in range(int(win_tile_map.max()) + 1 if num_tiles else 0):
         if w not in seen_windows:
-            tile_blocks.append(0)
+            tile_meta.append(0)
             tile_windows.append(w)
             out_len += TILE_E
-    # re-sort tiles by window (insertions above appended at the end)
     t_order = np.argsort(np.asarray(tile_windows), kind="stable")
     if not np.array_equal(t_order, np.arange(len(t_order))):
-        # remap slot_moves through the tile permutation
         tile_new_pos = np.empty(len(t_order), dtype=np.int64)
         tile_new_pos[t_order] = np.arange(len(t_order))
         old_tile = slot_moves // TILE_E
         off = slot_moves % TILE_E
         m = slot_moves >= 0
         slot_moves[m] = tile_new_pos[old_tile[m]] * TILE_E + off[m]
-        tile_blocks = list(np.asarray(tile_blocks)[t_order])
+        tile_meta = list(np.asarray(tile_meta)[t_order])
         tile_windows = list(np.asarray(tile_windows)[t_order])
+    return slot_moves, tile_meta, tile_windows, out_len
 
-    # every lab-table block must be visited at least once, or its rows of
-    # the kernel's block-revisited gradient accumulator would never be
-    # zeroed.  Append one all-padding tile per missing block, carrying the
-    # LAST window id so the window-first dprojp zeroing sees no new window.
-    labs_pad = -(-max(num_labs, 1) // 128) * 128
-    blocks_total = -(-labs_pad // block_rows)
-    present = set(int(b) for b in tile_blocks)
-    last_w = int(tile_windows[-1]) if tile_windows else 0
-    for b in range(blocks_total):
-        if b not in present:
-            tile_blocks = list(tile_blocks) + [b]
-            tile_windows = list(tile_windows) + [last_w]
-            out_len += TILE_E
 
-    lab_block_map = np.asarray(tile_blocks, dtype=np.int32)
-    tile_map2 = np.asarray(tile_windows, dtype=np.int32)
-    first = np.zeros(len(lab_block_map), dtype=np.int32)
-    seen = set()
-    for t, b in enumerate(lab_block_map):
-        if int(b) not in seen:
-            seen.add(int(b))
-            first[t] = 1
+def _relayed_locals(slot_moves, win_local, out_len):
+    """Window-local row ids in the regrouped layout (padding -> WINDOW)."""
     local2 = np.full(out_len, WINDOW, dtype=np.int32)
     m = slot_moves >= 0
     local2[slot_moves[m]] = win_local[m]
-    return slot_moves, out_len, local2, tile_map2, lab_block_map, first
+    return local2
+
+
+# Alignment of span-mode table bases.  The kernel promises Mosaic the
+# dynamic-slice start is a multiple of this; it must divide every base AND
+# be a whole number of sublanes for the table dtype — f32 packs 1 row per
+# sublane (8) and bf16 packs 2 (16), so 16 covers both compute dtypes.
+SPAN_BASE_ALIGN = 16
 
 
 def regroup_slots_by_lab_span(
@@ -427,20 +429,24 @@ def regroup_slots_by_lab_span(
     inflation at block 128/256 on the scale config (PERFORMANCE.md
     "Negative result — span-bounded lab tiles").  This variant instead
     sorts each window's real slots by lab and packs tiles greedily under a
-    SPAN constraint: a tile's base is ``8 * floor(min_lab / 8)`` (sublane-
-    aligned for the kernel's dynamic slice of the VMEM-resident table,
-    clamped so ``base + block_rows`` stays inside the padded table) and the
-    tile closes only when full or when the next lab would fall outside
+    SPAN constraint: a tile's base is ``min_lab`` rounded down to
+    :data:`SPAN_BASE_ALIGN` (sublane-aligned for the kernel's dynamic slice
+    of the VMEM-resident table in both f32 and bf16, clamped so
+    ``base + block_rows`` stays inside the padded table) and the tile
+    closes only when full or when the next lab would fall outside
     ``[base, base + block_rows)``.  With lab-frequency-ordered indexing
     tiles rarely split, so the narrow-gather FLOP saving is kept without
     the inflation.
 
     Returns ``(slot_moves, new_len, local2, tile_map2, lab_base)`` —
     same contract as the block regroup except ``lab_base[t]`` is the tile's
-    table ROW BASE (multiple of 8) rather than a block index, and no
-    first-visit flags are needed (the kernel's gradient accumulator is a
-    full resident table zeroed once at tile 0).
+    table ROW BASE (multiple of SPAN_BASE_ALIGN) rather than a block index.
     """
+    if block_rows % SPAN_BASE_ALIGN:
+        raise ValueError(
+            f"span-mode block_rows must be a multiple of {SPAN_BASE_ALIGN} "
+            f"(sublane alignment of the in-kernel table slice), got {block_rows}"
+        )
     win_local = np.asarray(win_local)
     win_tile_map = np.asarray(win_tile_map)
     lab_idx = np.asarray(lab_idx)
@@ -450,7 +456,7 @@ def regroup_slots_by_lab_span(
 
     labs_pad = -(-max(num_labs, 1) // 128) * 128
     labs_pad = max(labs_pad, block_rows)
-    max_base = labs_pad - block_rows
+    max_base = labs_pad - block_rows  # multiple of SPAN_BASE_ALIGN by the check
 
     slot_window = np.repeat(win_tile_map, TILE_E)
     # real slots ordered by (window, lab); stable so equal labs keep order
@@ -458,51 +464,45 @@ def regroup_slots_by_lab_span(
     order = order[real[order]]
     g_win = slot_window[order]
     g_lab = lab_idx[order]
+    n = len(order)
+    # window run boundaries in the sorted view
+    if n:
+        w_starts = np.nonzero(np.r_[True, g_win[1:] != g_win[:-1]])[0]
+        w_ends = np.r_[w_starts[1:], n]
+    else:
+        w_starts = w_ends = np.zeros(0, dtype=np.int64)
 
     slot_moves = np.full(e_win, -1, dtype=np.int64)
     tile_bases: list = []
     tile_windows: list = []
     out_len = 0
-    i, n = 0, len(order)
-    while i < n:
-        w = int(g_win[i])
-        base = min((int(g_lab[i]) // 8) * 8, max_base)
-        limit = base + block_rows
-        j = i
-        while j < n and j - i < TILE_E and g_win[j] == w and int(g_lab[j]) < limit:
-            j += 1
-        slot_moves[order[i:j]] = out_len + np.arange(j - i)
-        tile_bases.append(base)
-        tile_windows.append(w)
-        out_len += TILE_E
-        i = j
-
-    # windows with no real slots still need their (padding) tiles so the
-    # window sequence stays monotone for the dprojp first-tile zeroing
-    seen_windows = set(tile_windows)
-    n_win = int(win_tile_map.max()) + 1 if num_tiles else 0
-    for w in range(n_win):
-        if w not in seen_windows:
-            tile_bases.append(0)
+    # greedy per-tile packing: O(num_tiles) iterations (searchsorted finds
+    # each tile's span cut in the window's lab-sorted run), not O(n) slots
+    for s, e in zip(w_starts, w_ends):
+        w = int(g_win[s])
+        i = int(s)
+        while i < e:
+            base = min(
+                (int(g_lab[i]) // SPAN_BASE_ALIGN) * SPAN_BASE_ALIGN, max_base
+            )
+            cut = i + int(np.searchsorted(g_lab[i:e], base + block_rows, "left"))
+            j = min(i + TILE_E, cut)
+            slot_moves[order[i:j]] = out_len + np.arange(j - i)
+            tile_bases.append(base)
             tile_windows.append(w)
             out_len += TILE_E
-    t_order = np.argsort(np.asarray(tile_windows), kind="stable")
-    if not np.array_equal(t_order, np.arange(len(t_order))):
-        tile_new_pos = np.empty(len(t_order), dtype=np.int64)
-        tile_new_pos[t_order] = np.arange(len(t_order))
-        old_tile = slot_moves // TILE_E
-        off = slot_moves % TILE_E
-        m = slot_moves >= 0
-        slot_moves[m] = tile_new_pos[old_tile[m]] * TILE_E + off[m]
-        tile_bases = list(np.asarray(tile_bases)[t_order])
-        tile_windows = list(np.asarray(tile_windows)[t_order])
+            i = j
 
-    lab_base = np.asarray(tile_bases, dtype=np.int32)
-    tile_map2 = np.asarray(tile_windows, dtype=np.int32)
-    local2 = np.full(out_len, WINDOW, dtype=np.int32)
-    m = slot_moves >= 0
-    local2[slot_moves[m]] = win_local[m]
-    return slot_moves, out_len, local2, tile_map2, lab_base
+    slot_moves, tile_bases, tile_windows, out_len = _pad_and_sort_tiles(
+        slot_moves, tile_bases, tile_windows, out_len, win_tile_map, num_tiles
+    )
+    return (
+        slot_moves,
+        out_len,
+        _relayed_locals(slot_moves, win_local, out_len),
+        np.asarray(tile_windows, dtype=np.int32),
+        np.asarray(tile_bases, dtype=np.int32),
+    )
 
 
 class HeteroGraph(struct.PyTreeNode):

@@ -284,7 +284,6 @@ class FactoredEdgeHead(nn.Module):
             proj_p, proj_l, w1, b1, w2, b2,
             l_idx, plan.win_local, plan.win_tile_map, seed, tile_mask,
             getattr(plan, "lab_block_map", None),
-            getattr(plan, "lab_block_zero", None),
             plan.num_windows, rate,
             _jax.default_backend() != "tpu",
             getattr(plan, "lab_block_rows", 0),

@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from multi_modal_gnn_tpu.graph.hetero import TILE_E, WINDOW
+from multi_modal_gnn_tpu.graph.hetero import SPAN_BASE_ALIGN, TILE_E, WINDOW
 from multi_modal_gnn_tpu.ops.pallas_segment import _zero_out_on_new_window
 
 _LAB_PAD = 128  # pad the lab table's row count to a multiple of this
@@ -138,12 +138,14 @@ def _lab_operand(projl_ref, lab_ref, lb_ref, t, lbr: int, span: bool):
     Three static modes: full table (lbr == 0); aligned-block mode (the
     BlockSpec streamed ``lb[t]``-th ``lbr``-row block, local = lab - lb*lbr);
     span mode (the whole table is VMEM-resident and the tile's ``lbr``-row
-    slice starts at the ARBITRARY 8-aligned row base ``lb[t]`` — an in-VMEM
-    dynamic slice, no extra DMA).  Ids outside the slice (only padding
-    slots, by the regroup contract) match no indicator column -> zero rows.
+    slice starts at the ARBITRARY sublane-aligned row base ``lb[t]`` — an
+    in-VMEM dynamic slice, no extra DMA).  Ids outside the slice (only
+    padding slots, by the regroup contract) match no indicator column ->
+    zero rows.  SPAN_BASE_ALIGN (16 rows) is a whole number of sublanes for
+    both f32 (8 rows/sublane-tile) and bf16 (16) tables.
     """
     if lbr and span:
-        base = pl.multiple_of(lb_ref[t], 8)
+        base = pl.multiple_of(lb_ref[t], SPAN_BASE_ALIGN)
         return projl_ref[pl.ds(base, lbr), :], lab_ref[:] - base
     if lbr:
         return projl_ref[:], lab_ref[:] - lb_ref[t] * lbr
@@ -262,7 +264,7 @@ def _bwd_kernel(
         ).astype(in_dt)
         dblock = jnp.dot(p_lab_t, dpre0, preferred_element_type=jnp.float32)
         if lbr and span:
-            base = pl.multiple_of(lb_ref[t], 8)
+            base = pl.multiple_of(lb_ref[t], SPAN_BASE_ALIGN)
             dprojl_ref[pl.ds(base, lbr), :] += dblock
         elif lbr:
             base = pl.multiple_of(lb_ref[t] * lbr, lbr)
@@ -346,7 +348,7 @@ def _fused_fwd(
 )
 def _fused_bwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    tile_mask, lab_block_map, lab_block_zero, g_out,
+    tile_mask, lab_block_map, g_out,
     num_windows, rate, interpret, lbr, span,
 ):
     e_win = win_local.shape[0]
@@ -430,10 +432,10 @@ def _fused_bwd(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
 def fused_pair_head(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    tile_mask, lab_block_map, lab_block_zero,
+    tile_mask, lab_block_map,
     num_windows, rate=0.0, interpret=False, lab_block_rows=0,
     lab_span_mode=False,
 ):
@@ -450,25 +452,26 @@ def fused_pair_head(
     this head's value (the degree gate in HeteroRGCN.predict_lab_values) or
     padding slots; the kernel does not check this.
 
-    ``lab_block_rows > 0`` (with ``lab_block_map`` / ``lab_block_zero`` from
-    the span-bounded plan, graph/hetero.py regroup_slots_by_lab_block):
-    every tile's real labs live in lab-table block ``lab_block_map[t]``, so
-    the dominant one-hot lab gather narrows from [TILE_E, labs_pad] to
+    ``lab_block_rows > 0`` (with ``lab_block_map`` from the span-bounded
+    plan, graph/hetero.py regroup_slots_by_lab_block): every tile's real
+    labs live in lab-table block ``lab_block_map[t]``, so the dominant
+    one-hot lab gather narrows from [TILE_E, labs_pad] to
     [TILE_E, lab_block_rows] — num_labs/lab_block_rows x fewer MXU FLOPs.
 
     ``lab_span_mode=True`` (with ``lab_block_map`` holding per-tile
-    8-aligned ROW BASES from graph/hetero.py regroup_slots_by_lab_span):
-    the same narrowing, but each tile's rows come from an in-kernel dynamic
-    slice of the VMEM-resident table at an arbitrary sublane-aligned base —
-    no per-tile DMA and (almost) no regroup slot inflation.
+    SPAN_BASE_ALIGN-aligned ROW BASES from graph/hetero.py
+    regroup_slots_by_lab_span): the same narrowing, but each tile's rows
+    come from an in-kernel dynamic slice of the VMEM-resident table at an
+    arbitrary sublane-aligned base — no per-tile DMA and (almost) no
+    regroup slot inflation.
     """
     if lab_block_rows and lab_block_map is None:
         # a zeros-default map would silently gather every tile from block 0
         # (all labs >= lab_block_rows match nothing and predict/backprop 0)
         raise ValueError(
             "lab_block_rows > 0 requires the span-bounded plan's "
-            "lab_block_map/lab_block_zero (graph/hetero.py "
-            "regroup_slots_by_lab_block / regroup_slots_by_lab_span)"
+            "lab_block_map (graph/hetero.py regroup_slots_by_lab_block / "
+            "regroup_slots_by_lab_span)"
         )
     return _fused_fwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
@@ -479,7 +482,7 @@ def fused_pair_head(
 
 def _fph_fwd(
     proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-    tile_mask, lab_block_map, lab_block_zero,
+    tile_mask, lab_block_map,
     num_windows, rate, interpret, lab_block_rows, lab_span_mode,
 ):
     out = _fused_fwd(
@@ -489,23 +492,23 @@ def _fph_fwd(
     )
     return out, (
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-        tile_mask, lab_block_map, lab_block_zero,
+        tile_mask, lab_block_map,
     )
 
 
 def _fph_bwd(num_windows, rate, interpret, lab_block_rows, lab_span_mode, res, g_out):
     (proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-     tile_mask, lab_block_map, lab_block_zero) = res
+     tile_mask, lab_block_map) = res
     grads = _fused_bwd(
         proj_p, proj_l, w1, b1, w2, b2, lab_idx, win_local, win_tile_map, seed,
-        tile_mask, lab_block_map, lab_block_zero, g_out,
+        tile_mask, lab_block_map, g_out,
         num_windows, rate, interpret, lab_block_rows, lab_span_mode,
     )
     zero_i = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
     zopt = lambda a: None if a is None else zero_i(a)  # noqa: E731
     return (
         *grads, zero_i(lab_idx), zero_i(win_local), zero_i(win_tile_map),
-        zero_i(seed), zopt(tile_mask), zopt(lab_block_map), zopt(lab_block_zero),
+        zero_i(seed), zopt(tile_mask), zopt(lab_block_map),
     )
 
 

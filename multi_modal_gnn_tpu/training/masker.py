@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
+from multi_modal_gnn_tpu.graph.hetero import SPAN_BASE_ALIGN, HeteroGraph
 
 
 # below this many train rows the slot-major layout's window padding costs
@@ -137,15 +137,12 @@ def _pad_batch(
                 wl = np.asarray(patient_plan.win_local)
                 wtm = np.asarray(patient_plan.win_tile_map)
                 span = lab_tile_mode == "span"
-                if span:
-                    moves, e2, local2, tmap2, lbm = regroup_slots_by_lab_span(
-                        wl, wtm, l_pad, num_labs, lab_block_rows
-                    )
-                    lbz = np.zeros(len(lbm), dtype=np.int32)  # unused in span mode
-                else:
-                    moves, e2, local2, tmap2, lbm, lbz = regroup_slots_by_lab_block(
-                        wl, wtm, l_pad, num_labs, lab_block_rows
-                    )
+                regroup = (
+                    regroup_slots_by_lab_span if span else regroup_slots_by_lab_block
+                )
+                moves, e2, local2, tmap2, lbm = regroup(
+                    wl, wtm, l_pad, num_labs, lab_block_rows
+                )
 
                 def _relay(a, fill, dtype):
                     out = np.full(e2, fill, dtype=dtype)
@@ -166,7 +163,6 @@ def _pad_batch(
                     num_rows=patient_plan.num_rows,
                     identity=True,
                     lab_block_map=jnp.asarray(lbm),
-                    lab_block_zero=jnp.asarray(lbz),
                     lab_block_rows=int(lab_block_rows),
                     lab_span_mode=span,
                 )
@@ -247,6 +243,11 @@ class EdgeMasker:
         self.lab_block_rows = int(lab_block_rows)
         if lab_tile_mode not in ("block", "span"):
             raise ValueError(f"lab_tile_mode must be 'block' or 'span', got {lab_tile_mode!r}")
+        if lab_tile_mode == "span" and self.lab_block_rows % SPAN_BASE_ALIGN:
+            raise ValueError(
+                f"span-mode lab_block_rows must be a multiple of "
+                f"{SPAN_BASE_ALIGN}, got {self.lab_block_rows}"
+            )
         self.lab_tile_mode = lab_tile_mode
         self._row_slots: Dict[str, Optional[np.ndarray]] = {}
         counts = graph.node_count_map if graph is not None else {}

@@ -19,8 +19,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 from pathlib import Path
+
+
+def _remote_relay_backend() -> bool:
+    """True when the live backend is the sitecustomize-registered remote TPU
+    relay (readback timings through it are unreliable — CLAUDE.md)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return False
+    return os.path.isdir(os.path.expanduser("~/.axon_site")) or any(
+        "axon" in p for p in sys.path
+    )
 
 
 def _percentiles(xs):
@@ -42,7 +56,17 @@ def main() -> None:
     ap.add_argument("--tag", type=str, default="")
     args = ap.parse_args()
 
-    if args.cpu:
+    cpu = args.cpu
+    if not cpu:
+        # probe the accelerator in a subprocess first (a wedged remote claim
+        # hangs any in-process backend touch — bench.py does the same)
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from bench import _tpu_reachable
+
+        if not _tpu_reachable(float(os.environ.get("BENCH_TPU_PROBE_TIMEOUT", 540))):
+            print("TPU backend unreachable; falling back to host CPU", file=sys.stderr)
+            cpu = True
+    if cpu:
         from multi_modal_gnn_tpu.utils.platform import force_cpu_devices
 
         force_cpu_devices(1)
@@ -59,6 +83,15 @@ def main() -> None:
     from multi_modal_gnn_tpu.serving import ServingModel, export_serving
     from multi_modal_gnn_tpu.training.masker import EdgeMasker
     from multi_modal_gnn_tpu.training.trainer import Trainer
+
+    if not cpu and _remote_relay_backend():
+        print(
+            "WARNING: the live backend is a remote-attached TPU relay; "
+            "whole-array readback timings through it are unreliable on this "
+            "machine (see CLAUDE.md / PERFORMANCE.md measurement notes). "
+            "Use --cpu, or run on a locally attached accelerator.",
+            file=sys.stderr,
+        )
 
     cfg = Config()
     spec = SyntheticSpec.eicu_demo()

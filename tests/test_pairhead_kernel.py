@@ -46,7 +46,7 @@ def _fused(plan, p_s, l_s, real, proj_p, proj_l, w1, b1, w2, b2, tile_mask=None)
     return fused_pair_head(
         proj_p, proj_l, w1, b1, w2, b2, jnp.asarray(l_s),
         plan.win_local, plan.win_tile_map, seed, tile_mask,
-        getattr(plan, "lab_block_map", None), getattr(plan, "lab_block_zero", None),
+        getattr(plan, "lab_block_map", None),
         plan.num_windows, 0.0, True,
         getattr(plan, "lab_block_rows", 0),
         getattr(plan, "lab_span_mode", False),
@@ -132,7 +132,7 @@ def _block_problem(block_rows=128):
     l_s = np.where(real, l_idx[win_src], 0).astype(np.int32)
     p_s = np.where(real, p_idx[win_src], 0).astype(np.int32)
 
-    moves, e2, local2, tmap2, lbm, lbz = regroup_slots_by_lab_block(
+    moves, e2, local2, tmap2, lbm = regroup_slots_by_lab_block(
         win_local, np.asarray(plan.win_tile_map), l_s, num_l, block_rows
     )
 
@@ -152,7 +152,6 @@ def _block_problem(block_rows=128):
         num_rows=plan.num_rows,
         identity=True,
         lab_block_map=jnp.asarray(lbm),
-        lab_block_zero=jnp.asarray(lbz),
         lab_block_rows=block_rows,
     )
     params = dict(
@@ -167,8 +166,10 @@ def _block_problem(block_rows=128):
 
 
 def test_lab_block_regroup_contract():
-    """Every tile's REAL labs live in one 128-row block; every block of the
-    padded table is visited at least once; windows stay monotone."""
+    """Every tile's REAL labs live in one 128-row block; windows stay
+    monotone.  (All-blocks-visited padding tiles and first-visit flags were
+    removed with the resident-accumulator backward — the full dprojl table
+    zeroes once at tile 0.)"""
     plan2, p2, l2, real2, _ = _block_problem()
     lbm = np.asarray(plan2.lab_block_map)
     tmap = np.asarray(plan2.win_tile_map)
@@ -179,13 +180,8 @@ def test_lab_block_regroup_contract():
         r = local[sl] < WINDOW
         if r.any():
             assert (l2[sl][r] // 128 == lbm[t]).all()
-    assert set(np.asarray(lbm)) >= set(range(3))  # 300 labs -> blocks 0..2
+    assert set(np.asarray(lbm)) >= set(range(3))  # 300 labs -> blocks 0..2 used
     assert (np.diff(tmap) >= 0).all()
-    zb = np.asarray(plan2.lab_block_zero)
-    # first visit of each block flagged exactly once
-    for b in set(lbm.tolist()):
-        firsts = np.nonzero((lbm == b) & (zb == 1))[0]
-        assert len(firsts) == 1 and firsts[0] == np.nonzero(lbm == b)[0][0]
 
 
 def test_lab_block_mode_parity():
@@ -252,7 +248,6 @@ def _span_problem(block_rows=128):
         num_rows=plan.num_rows,
         identity=True,
         lab_block_map=jnp.asarray(bases),
-        lab_block_zero=None,
         lab_block_rows=block_rows,
         lab_span_mode=True,
     )

@@ -140,12 +140,12 @@ def test_regroup_slots_by_lab_block_invariants(num_p, num_l, n, block_rows, seed
     else:
         l_s = np.zeros(len(win_local), np.int32)
 
-    moves, e2, local2, tmap2, lbm, lbz = regroup_slots_by_lab_block(
+    moves, e2, local2, tmap2, lbm = regroup_slots_by_lab_block(
         win_local, np.asarray(plan.win_tile_map), l_s, num_l, block_rows
     )
 
     assert e2 % TILE_E == 0 and len(local2) == e2 and len(tmap2) == e2 // TILE_E
-    assert len(lbm) == len(tmap2) == len(lbz)
+    assert len(lbm) == len(tmap2)
 
     # bijection: real slots map to distinct new slots; padding maps nowhere
     m = moves >= 0
@@ -213,7 +213,7 @@ def test_regroup_slots_by_lab_span_invariants(num_p, num_l, n, block_rows, seed)
     assert len(np.unique(moves[m])) == int(m.sum())
 
     labs_pad = max(-(-max(num_l, 1) // 128) * 128, block_rows)
-    assert (bases % 8 == 0).all()
+    assert (bases % 16 == 0).all()  # SPAN_BASE_ALIGN: sublane-safe for f32+bf16
     assert (bases >= 0).all() and (bases + block_rows <= labs_pad).all()
 
     l2 = np.zeros(e2, np.int32)
