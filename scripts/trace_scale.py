@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--eicu", action="store_true", help="trace the eICU-sized config")
     ap.add_argument("--no-dense", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--lab-tile-rows", type=int, default=0,
+                    help="narrow lab tiles (0=off); enables lab-frequency clustering")
+    ap.add_argument("--lab-tile-mode", type=str, default="span",
+                    choices=["block", "span"])
     ap.add_argument("--out", type=str, default="outputs/trace")
     args = ap.parse_args()
 
@@ -51,11 +55,17 @@ def main() -> None:
     ))
     if args.no_dense:
         cfg = cfg.replace(graph=dataclasses.replace(cfg.graph, dense_adjacency_max_bytes=0))
+    if args.lab_tile_rows:
+        cfg = cfg.replace(
+            graph=dataclasses.replace(cfg.graph, cluster_labs_by_frequency=True)
+        )
     spec = SyntheticSpec.eicu_demo() if args.eicu else SyntheticSpec.scale_100k()
     bundle = make_synthetic_bundle(spec, cfg)
     masker = EdgeMasker(
         bundle.graph, seed=0, host_edges=bundle.patient_lab_host(),
         slot_major_train=use_pallas,
+        lab_block_rows=args.lab_tile_rows,
+        lab_tile_mode=args.lab_tile_mode,
     )
     trainer = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
 
