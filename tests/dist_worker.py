@@ -41,6 +41,8 @@ from multi_modal_gnn_tpu.config import Config  # noqa: E402
 from multi_modal_gnn_tpu.graph.distributed import load_graph_distributed  # noqa: E402
 from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB  # noqa: E402
 from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer  # noqa: E402
+from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer  # noqa: E402
+from multi_modal_gnn_tpu.parallel.mesh import make_2d_mesh  # noqa: E402
 from multi_modal_gnn_tpu.training.masker import EdgeMasker  # noqa: E402
 
 assert len(jax.devices()) == nprocs * local_devices, (
@@ -50,12 +52,20 @@ assert len(jax.devices()) == nprocs * local_devices, (
 )
 assert len(jax.local_devices()) == local_devices
 
-mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+trainer_kind = os.environ.get("DW_TRAINER", "dp")
+if trainer_kind == "2d":
+    # data axis ACROSS processes (DCN analogue), model axis within each
+    # process (ICI analogue): devices reshape (data=2, model=2) row-major,
+    # so each process's 2 local devices form one data row
+    mesh = make_2d_mesh(nprocs * local_devices, model_parallel=local_devices)
+else:
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
 loaded = load_graph_distributed(graph_path, mesh)
 masker = EdgeMasker(
     loaded.graph, seed=7, host_edges=loaded.host_edges[PATIENT_LAB]
 )
-trainer = DataParallelTrainer(loaded.graph, masker, Config(), mesh=mesh)
+cls = TwoDTrainer if trainer_kind == "2d" else DataParallelTrainer
+trainer = cls(loaded.graph, masker, Config(), mesh=mesh)
 loss = trainer.train_epoch()
 val = trainer.validate()
 print(

@@ -33,21 +33,29 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_matches_single_process(tmp_path):
+@pytest.mark.parametrize("kind", ["dp", "2d"])
+def test_two_process_training_matches_single_process(tmp_path, kind):
     # bounded by the workers' communicate(timeout=540) below
     bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=5), Config())
-    base = save_graph_sharded(bundle, tmp_path / "g", num_shards=4)
+    # dp: 1-D data mesh, one shard per device; 2d: data axis across the two
+    # processes (DCN analogue), model axis within each (ICI analogue)
+    num_shards = 4 if kind == "dp" else 2
+    base = save_graph_sharded(bundle, tmp_path / "g", num_shards=num_shards)
 
-    # single-process reference on the same 4-way mesh
     from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer
-    from multi_modal_gnn_tpu.parallel.mesh import make_mesh
+    from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer
+    from multi_modal_gnn_tpu.parallel.mesh import make_2d_mesh, make_mesh
     from multi_modal_gnn_tpu.training.masker import EdgeMasker
 
-    ref = DataParallelTrainer(
+    if kind == "dp":
+        ref_mesh, cls = make_mesh(4), DataParallelTrainer
+    else:
+        ref_mesh, cls = make_2d_mesh(4, model_parallel=2), TwoDTrainer
+    ref = cls(
         bundle.graph,
         EdgeMasker(bundle.graph, seed=7, host_edges=bundle.patient_lab_host()),
         Config(),
-        mesh=make_mesh(4),
+        mesh=ref_mesh,
     )
     ref_loss = float(ref.train_epoch())
     ref_val = float(ref.validate())
@@ -59,6 +67,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
         "DW_PORT": str(port),
         "DW_GRAPH": str(base),
         "DW_LOCAL_DEVICES": "2",
+        "DW_TRAINER": kind,
         # workers must not inherit the parent's virtual-device XLA flag
         "XLA_FLAGS": "",
     }
