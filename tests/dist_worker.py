@@ -53,7 +53,7 @@ assert len(jax.devices()) == nprocs * local_devices, (
 assert len(jax.local_devices()) == local_devices
 
 trainer_kind = os.environ.get("DW_TRAINER", "dp")
-if trainer_kind == "2d":
+if trainer_kind in ("2d", "gspmd"):
     # data axis ACROSS processes (DCN analogue), model axis within each
     # process (ICI analogue): devices reshape (data=2, model=2) row-major,
     # so each process's 2 local devices form one data row
@@ -64,7 +64,12 @@ loaded = load_graph_distributed(graph_path, mesh)
 masker = EdgeMasker(
     loaded.graph, seed=7, host_edges=loaded.host_edges[PATIENT_LAB]
 )
-cls = TwoDTrainer if trainer_kind == "2d" else DataParallelTrainer
+if trainer_kind == "gspmd":
+    from multi_modal_gnn_tpu.parallel.gspmd import GSPMDTrainer
+
+    cls = GSPMDTrainer
+else:
+    cls = TwoDTrainer if trainer_kind == "2d" else DataParallelTrainer
 trainer = cls(loaded.graph, masker, Config(), mesh=mesh)
 loss = trainer.train_epoch()
 val = trainer.validate()

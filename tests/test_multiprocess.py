@@ -33,24 +33,26 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("kind", ["dp", "2d"])
+@pytest.mark.parametrize("kind", ["dp", "2d", "gspmd"])
 def test_two_process_training_matches_single_process(tmp_path, kind):
     # bounded by the workers' communicate(timeout=540) below
     bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=5), Config())
-    # dp: 1-D data mesh, one shard per device; 2d: data axis across the two
-    # processes (DCN analogue), model axis within each (ICI analogue)
+    # dp: 1-D data mesh, one shard per device; 2d/gspmd: data axis across
+    # the two processes (DCN analogue), model axis within each (ICI analogue)
     num_shards = 4 if kind == "dp" else 2
     base = save_graph_sharded(bundle, tmp_path / "g", num_shards=num_shards)
 
     from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer
     from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer
+    from multi_modal_gnn_tpu.parallel.gspmd import GSPMDTrainer
     from multi_modal_gnn_tpu.parallel.mesh import make_2d_mesh, make_mesh
     from multi_modal_gnn_tpu.training.masker import EdgeMasker
 
     if kind == "dp":
         ref_mesh, cls = make_mesh(4), DataParallelTrainer
     else:
-        ref_mesh, cls = make_2d_mesh(4, model_parallel=2), TwoDTrainer
+        ref_mesh = make_2d_mesh(4, model_parallel=2)
+        cls = TwoDTrainer if kind == "2d" else GSPMDTrainer
     ref = cls(
         bundle.graph,
         EdgeMasker(bundle.graph, seed=7, host_edges=bundle.patient_lab_host()),
