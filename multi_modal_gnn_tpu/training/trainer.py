@@ -770,6 +770,10 @@ def train_pipeline(
         # slot-major train batches pay off exactly when the Pallas head path
         # consumes the plans (see EdgeMasker doc)
         slot_major_train=config.model.use_pallas,
+        # narrow lab tiles (PERFORMANCE.md "span-bounded lab tiles"): opt-in
+        # via train.extras — worth it on large lab vocabularies
+        lab_block_rows=int(tc.extras.get("lab_tile_rows", 0) or 0),
+        lab_tile_mode=str(tc.extras.get("lab_tile_mode", "span")),
     )
     logger.info("Edge splits: %s", masker.split_sizes())
 

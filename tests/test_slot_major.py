@@ -166,6 +166,26 @@ def test_train_step_parity_span_mode(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-4)
 
 
+def test_train_pipeline_routes_lab_tile_extras(tmp_path, setup):
+    """train.extras.lab_tile_rows/lab_tile_mode reach the pipeline's masker."""
+    cfg, bundle, _, _ = setup
+    cfg2 = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, use_pallas=True),
+        train=dataclasses.replace(
+            cfg.train, epochs=2,
+            extras={**cfg.train.extras, "lab_tile_rows": 128,
+                    "lab_tile_mode": "span"},
+        ),
+    )
+    from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
+    trainer, results = train_pipeline(cfg2, bundle, tmp_path)
+    assert trainer.masker.lab_block_rows == 128
+    assert trainer.masker.lab_tile_mode == "span"
+    assert np.isfinite(results["test_loss"])
+
+
 def test_value_context_positions_slot_major(setup):
     """train_positions places each edge's padded-array position at its slot."""
     _, bundle, _, m_slot = setup
