@@ -64,8 +64,12 @@ def run_bench(
     import jax
     import numpy as np
 
-    # persistent compile cache: repeat runs skip the (slow) remote compile
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # persistent compile cache: repeat runs skip the (slow) remote compile.
+    # Per-backend dirs: entries compiled via the remote relay embed foreign
+    # CPU feature sets that spray loader warnings when a CPU-fallback run
+    # reads them (ROADMAP "compile-cache hygiene").
+    cache = ".jax_cache" if jax.default_backend() == "tpu" else ".jax_cache_cpu"
+    jax.config.update("jax_compilation_cache_dir", f"/root/repo/{cache}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     if use_pallas is None:  # the fused MXU segment kernel needs real TPU

@@ -38,7 +38,12 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        "/root/repo/.jax_cache"
+        if jax.default_backend() == "tpu"
+        else "/root/repo/.jax_cache_cpu",
+    )
 
     from multi_modal_gnn_tpu.config import Config
     from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
