@@ -51,6 +51,7 @@ def _tpu_reachable(timeout_s: float) -> bool:
 
 def run_bench(
     scale: bool = False,
+    mimic: bool = False,
     quick: bool = False,
     epochs: int | None = None,
     use_pallas: bool | None = None,
@@ -97,7 +98,11 @@ def run_bench(
         cfg = cfg.replace(
             graph=dataclasses.replace(cfg.graph, cluster_labs_by_frequency=True)
         )
-    spec = SyntheticSpec.scale_100k() if scale else SyntheticSpec.eicu_demo()
+    if mimic:
+        spec = SyntheticSpec.mimic_scale()
+        scale = True  # same epoch counts / chunk sizes as the scale config
+    else:
+        spec = SyntheticSpec.scale_100k() if scale else SyntheticSpec.eicu_demo()
 
     t0 = time.perf_counter()
     bundle = make_synthetic_bundle(spec, cfg)
@@ -157,7 +162,9 @@ def run_bench(
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / REFERENCE_EDGES_PER_SEC, 2),
-        "config": "scale_100k" if scale else "eicu_demo_synthetic",
+        "config": (
+            "mimic_scale" if mimic else "scale_100k" if scale else "eicu_demo_synthetic"
+        ),
         "aggregation_impl": (
             ("dense+pallas" if dense else "pallas") if use_pallas else "xla"
         ),
@@ -176,6 +183,8 @@ def run_bench(
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--scale", action="store_true", help="100k-patient scale config")
+    parser.add_argument("--mimic", action="store_true",
+                        help="MIMIC-III-shaped config (46k patients, 720 labs, ~5.5M edges)")
     parser.add_argument("--quick", action="store_true", help="fewer timed epochs")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--pallas", dest="pallas", action="store_true", default=None,
@@ -207,7 +216,7 @@ def main() -> int:
 
     try:
         result = run_bench(
-            scale=args.scale, quick=args.quick, epochs=args.epochs,
+            scale=args.scale, mimic=args.mimic, quick=args.quick, epochs=args.epochs,
             use_pallas=args.pallas, dense=args.dense, bf16=args.bf16,
             lab_tile_rows=args.lab_tile_rows, lab_tile_mode=args.lab_tile_mode,
         )

@@ -65,6 +65,23 @@ class SyntheticSpec:
         )
 
     @staticmethod
+    def mimic_scale() -> "SyntheticSpec":
+        """MIMIC-III-shaped cohort: ~46k adult ICU patients, 700+ distinct
+        labs (the reference's top-K filter default keeps ~100-500 of 726,
+        io_mimic.py:442-516) — the vocabulary regime where the pair-head
+        kernel's narrow lab tiles pay off (labs_pad 768 -> 3-6x narrowing
+        at 128-256 rows vs 500-lab scale_100k's 2-4x)."""
+        return SyntheticSpec(
+            num_patients=46_000,
+            num_labs=720,
+            num_diagnoses=800,
+            num_medications=400,
+            mean_labs_per_patient=120.0,
+            mean_diagnoses_per_patient=6.0,
+            mean_medications_per_patient=15.0,
+        )
+
+    @staticmethod
     def tiny(seed: int = 0) -> "SyntheticSpec":
         """Small config for fast unit tests."""
         return SyntheticSpec(
