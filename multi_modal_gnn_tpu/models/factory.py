@@ -69,7 +69,14 @@ def build_model(
             dual_head_fusion=str(mc.extras.get("dual_head_fusion", "auto")),
         )
     elif mc.architecture == "HGT":
-        model = HeteroGT(**common, num_heads=mc.num_heads, axis_name=axis_name)
+        model = HeteroGT(
+            **common,
+            num_heads=mc.num_heads,
+            axis_name=axis_name,
+            bilinear_rank=int(mc.edge_head.extras.get("bilinear_rank", 0)),
+            bilinear_source=bl_source,
+            value_context=value_context,
+        )
     else:
         raise ValueError(f"Unknown architecture: {mc.architecture}")
     logger.info("Built %s model (hidden=%d, layers=%d)", mc.architecture, mc.hidden_dim, mc.num_layers)

@@ -7,6 +7,15 @@ segment-softmax over each destination's incoming edges across all relations —
 no PyG ``HGTConv``.  Unlike the reference variant (which consumes handcrafted
 patient features), this uses the same learnable ID-embedding tables as the
 production model, so it runs on the same graph artifact.
+
+Beyond-reference opt-ins (shared with HeteroRGCN, same config keys):
+``value_context`` (models/context.py — condition on observed lab values,
+leakage-gated by ``EdgeSet.val_vis``) and the embedding-bilinear channel
+(``edge_head.extras.bilinear_rank/bilinear_source``) that
+training/warmstart.py plants the exact ALS solution into.  Without them,
+typed attention over featureless ID embeddings cannot beat the per-lab mean
+on the synthetic cohort (README "Results"); with them the HGT trunk gets
+the same information channels the RGCN quality ladder measured.
 """
 
 from __future__ import annotations
@@ -18,7 +27,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multi_modal_gnn_tpu.graph.hetero import HeteroGraph
-from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey, LAB, PATIENT
+from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey, LAB, PATIENT, PATIENT_LAB
+from multi_modal_gnn_tpu.models.context import (
+    inject_value_context,
+    patient_value_context,
+)
 from multi_modal_gnn_tpu.models.layers import EdgeRegressionHead, make_dense
 from multi_modal_gnn_tpu.ops.segment import segment_softmax, segment_sum
 
@@ -100,6 +113,12 @@ class HeteroGT(nn.Module):
     dropout: float = 0.2
     head_hidden_dims: Tuple[int, ...] = (64, 32)
     axis_name: str | None = None  # set under shard_map data parallelism
+    # beyond-reference opt-ins, same semantics as HeteroRGCN's fields (see
+    # models/rgcn.py ``bilinear_rank``/``bilinear_source``/``value_context``
+    # docs); factory wires them from the same config keys for both archs
+    bilinear_rank: int = 0
+    bilinear_source: str = "head"
+    value_context: bool = False
     dtype: jnp.dtype | None = None
 
     @property
@@ -132,8 +151,25 @@ class HeteroGT(nn.Module):
             input_dim=2 * self.hidden_dim,
             hidden_dims=self.head_hidden_dims,
             dropout=self.dropout,
+            bilinear_rank=self.bilinear_rank if self.bilinear_source == "head" else 0,
             name="edge_predictor",
         )
+        if self.bilinear_rank > 0 and self.bilinear_source in ("embedding", "context"):
+            scale = nn.initializers.normal(stddev=1.0 / jnp.sqrt(self.hidden_dim))
+            self.bilinear_u = self.param(
+                "bilinear_u", scale, (self.hidden_dim, self.bilinear_rank)
+            )
+            self.bilinear_l = self.param(
+                "bilinear_l", scale, (self.hidden_dim, self.bilinear_rank)
+            )
+        if self.value_context:
+            # input = [value-weighted mean context (D), visible-count channel (1)]
+            self.vctx_patient = make_dense(
+                self.hidden_dim, self.hidden_dim + 1, dtype=self.dtype, name="vctx_patient"
+            )
+            self.vctx_lab = make_dense(
+                self.hidden_dim, self.hidden_dim + 1, dtype=self.dtype, name="vctx_lab"
+            )
 
     def encode_nodes(self, train: bool = False) -> Dict[str, jax.Array]:
         counts = dict(self.node_counts)
@@ -144,9 +180,35 @@ class HeteroGT(nn.Module):
 
     def __call__(self, graph: HeteroGraph, train: bool = False) -> Dict[str, jax.Array]:
         x_dict = self.encode_nodes(train=train)
+        if self.value_context:
+            x_dict = inject_value_context(
+                x_dict, graph, self.vctx_patient, self.vctx_lab, self.axis_name
+            )
         for layer in self.layers:
             x_dict = layer(x_dict, graph)
         return x_dict
+
+    def _bilinear_term(
+        self, graph: HeteroGraph, patient_indices: jax.Array, lab_indices: jax.Array
+    ) -> jax.Array | None:
+        """Shared low-rank MF readout over the raw ID tables (or the
+        value-context statistic) — the channel training/warmstart.py plants
+        the exact ALS solution into.  None when not configured."""
+        if self.bilinear_rank <= 0 or self.bilinear_source == "head":
+            return None
+        c = self.embeddings[LAB](lab_indices)
+        if self.bilinear_source == "embedding":
+            u = self.embeddings[PATIENT](patient_indices)
+        else:  # "context" — requires value_context (enforced by the factory)
+            ctx_p, _ = patient_value_context(
+                self.embeddings[LAB](
+                    jnp.arange(dict(self.node_counts)[LAB], dtype=jnp.int32)
+                ),
+                graph.edges[PATIENT_LAB],
+                self.axis_name,
+            )
+            u = ctx_p[patient_indices]
+        return jnp.sum((u @ self.bilinear_u) * (c @ self.bilinear_l), axis=-1)
 
     def predict_lab_values(
         self,
@@ -162,16 +224,37 @@ class HeteroGT(nn.Module):
         pair = jnp.concatenate(
             [x_dict[PATIENT][patient_indices], x_dict[LAB][lab_indices]], axis=-1
         )
-        return self.edge_predictor(pair, train=train)[..., 0]
+        pred = self.edge_predictor(pair, train=train)[..., 0]
+        bl = self._bilinear_term(graph, patient_indices, lab_indices)
+        return pred if bl is None else pred + bl
 
     # -- serving (cached node state) — see HeteroRGCN.compute_node_state -----
 
     def compute_node_state(self, graph: HeteroGraph):
         x_dict = self(graph, train=False)
-        return {"final_p": x_dict[PATIENT], "final_l": x_dict[LAB]}
+        state = {"final_p": x_dict[PATIENT], "final_l": x_dict[LAB]}
+        if self.bilinear_rank > 0 and self.bilinear_source in ("embedding", "context"):
+            counts = dict(self.node_counts)
+            lab_ids = jnp.arange(counts[LAB], dtype=jnp.int32)
+            c = self.embeddings[LAB](lab_ids)
+            if self.bilinear_source == "embedding":
+                pat_ids = jnp.arange(counts[PATIENT], dtype=jnp.int32)
+                u = self.embeddings[PATIENT](pat_ids)
+            else:  # "context"
+                u, _ = patient_value_context(
+                    c, graph.edges[PATIENT_LAB], self.axis_name
+                )
+            state["bl_u"] = u @ self.bilinear_u
+            state["bl_l"] = c @ self.bilinear_l
+        return state
 
     def predict_pairs_cached(self, state, patient_indices, lab_indices):
         pair = jnp.concatenate(
             [state["final_p"][patient_indices], state["final_l"][lab_indices]], axis=-1
         )
-        return self.edge_predictor(pair, train=False)[..., 0]
+        pred = self.edge_predictor(pair, train=False)[..., 0]
+        if "bl_u" in state:
+            pred = pred + jnp.sum(
+                state["bl_u"][patient_indices] * state["bl_l"][lab_indices], axis=-1
+            )
+        return pred

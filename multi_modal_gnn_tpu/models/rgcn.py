@@ -29,6 +29,10 @@ from flax import linen as nn
 
 from multi_modal_gnn_tpu.graph.hetero import TILE_E, HeteroGraph
 from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey, PATIENT, LAB, PATIENT_LAB
+from multi_modal_gnn_tpu.models.context import (
+    inject_value_context,
+    patient_value_context,
+)
 from multi_modal_gnn_tpu.models.layers import (
     EdgeRegressionHead,
     FactoredEdgeHead,
@@ -321,62 +325,14 @@ class HeteroRGCN(nn.Module):
     def _inject_value_context(
         self, x_dict: Dict[str, jax.Array], graph: HeteroGraph
     ) -> Dict[str, jax.Array]:
-        """Add the observed-value channel to patient/lab features (one
-        value-weighted aggregation per side; see the ``value_context`` field
-        doc).  ``EdgeSet.val_vis`` gates which values this forward may see;
-        absent (e.g. during init) it falls back to the structural mask,
-        which the trainer never allows at train/eval time."""
-        es = graph.edges.get(PATIENT_LAB)
-        if es is None or es.val is None:
-            return x_dict
-        x_p, x_l = x_dict[PATIENT], x_dict[LAB]
-        vis = es.val_vis if es.val_vis is not None else es.mask
-        v = (es.val * vis).astype(x_p.dtype)
-
-        # per-lab context: edges are dst(=lab)-sorted — the fast segment path
-        num_seg = es.num_dst + 1  # dummy segment swallows padding
-        wsum_l = jax.ops.segment_sum(
-            jnp.take(x_p, es.src, axis=0) * v[:, None],
-            es.dst, num_segments=num_seg, indices_are_sorted=True,
-        )[: es.num_dst]
-        cnt_l = jax.ops.segment_sum(
-            vis, es.dst, num_segments=num_seg, indices_are_sorted=True
-        )[: es.num_dst]
-        ctx_p, cnt_p = self._patient_value_context(x_l, es)
-        if self.axis_name is not None:  # edge-sharded SPMD: combine partials
-            wsum_l = jax.lax.psum(wsum_l, self.axis_name)
-            cnt_l = jax.lax.psum(cnt_l, self.axis_name)
-
-        def with_frac(mean, cnt, total):
-            frac = (cnt / float(total)).astype(mean.dtype)
-            return jnp.concatenate([mean, frac[:, None]], axis=-1)
-
-        ctx_l = wsum_l / jnp.maximum(cnt_l, 1.0)[:, None].astype(wsum_l.dtype)
-        out = dict(x_dict)
-        out[PATIENT] = x_p + self.vctx_patient(with_frac(ctx_p, cnt_p, es.num_dst))
-        out[LAB] = x_l + self.vctx_lab(with_frac(ctx_l, cnt_l, es.num_src))
-        return out
+        """Observed-value channel (shared impl: models/context.py)."""
+        return inject_value_context(
+            x_dict, graph, self.vctx_patient, self.vctx_lab, self.axis_name
+        )
 
     def _patient_value_context(self, x_l: jax.Array, es) -> Tuple[jax.Array, jax.Array]:
-        """(mean value-weighted lab-feature context [num_patients, D],
-        visible count [num_patients]) — the sufficient statistic the Bayes
-        predictor conditions on (evaluation/ceiling.py: the posterior mean of
-        a patient's latent state is a linear map of sum_obs val * w_lab).
-        Unsorted segment over src — off the reference hot path (opt-in)."""
-        vis = es.val_vis if es.val_vis is not None else es.mask
-        v = (es.val * vis).astype(x_l.dtype)
-        # mode="clip": padding rows carry dst == num_dst (one past the lab
-        # table; the default fill mode would gather NaN, and NaN * 0 = NaN)
-        wsum_p = jax.ops.segment_sum(
-            jnp.take(x_l, es.dst, axis=0, mode="clip") * v[:, None],
-            es.src, num_segments=es.num_src,
-        )
-        cnt_p = jax.ops.segment_sum(vis, es.src, num_segments=es.num_src)
-        if self.axis_name is not None:
-            wsum_p = jax.lax.psum(wsum_p, self.axis_name)
-            cnt_p = jax.lax.psum(cnt_p, self.axis_name)
-        ctx = wsum_p / jnp.maximum(cnt_p, 1.0)[:, None].astype(wsum_p.dtype)
-        return ctx, cnt_p
+        """Patient-side context statistic (shared impl: models/context.py)."""
+        return patient_value_context(x_l, es, self.axis_name)
 
     def propagate(
         self, x_dict: Dict[str, jax.Array], graph: HeteroGraph, train: bool = False

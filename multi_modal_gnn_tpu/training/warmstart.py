@@ -55,11 +55,11 @@ def als_warm_start_params(
     r = als.rank
     if "bilinear_u" not in params:
         raise ValueError(
-            "ALS warm start plants into the embedding-bilinear head channel, "
+            "ALS warm start plants into the embedding-bilinear channel, "
             "which this model has no parameters for — it requires "
-            "model.architecture=RGCN with edge_head.extras bilinear_rank >= "
-            f"{r + 1} and bilinear_source='embedding' (HGT's reference-"
-            "faithful concat head has no such channel)"
+            f"edge_head.extras bilinear_rank >= {r + 1} and "
+            "bilinear_source='embedding' (both RGCN and HGT support it; "
+            "models/factory.py wires the keys for either architecture)"
         )
     bl_u = params["bilinear_u"]  # shape/dtype are metadata — no readback
     if bl_u.shape[1] < r + 1:

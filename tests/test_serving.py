@@ -79,6 +79,26 @@ def test_cached_state_matches_hgt(config):
     _assert_serving_matches_full(bundle, cfg)
 
 
+def test_cached_state_matches_hgt_value_context_bilinear(config):
+    """HGT with the shared beyond-reference channels (value_context +
+    embedding-bilinear) is node-factorable for serving exactly like RGCN."""
+    from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
+
+    cfg = config.replace(
+        model=dataclasses.replace(
+            config.model,
+            architecture="HGT",
+            extras={"value_context": True},
+            edge_head=dataclasses.replace(
+                config.model.edge_head, extras={"bilinear_rank": 4,
+                                                "bilinear_source": "embedding"},
+            ),
+        )
+    )
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(), cfg)
+    _assert_serving_matches_full(bundle, cfg)
+
+
 class TestExportedArtifact:
     @pytest.fixture(scope="class")
     def artifact(self, tiny_bundle, tmp_path_factory):

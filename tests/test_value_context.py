@@ -25,16 +25,21 @@ from multi_modal_gnn_tpu.training.masker import EdgeMasker
 from multi_modal_gnn_tpu.training.trainer import Trainer
 
 
-def _vctx_config(**model_extras):
+def _vctx_config(arch="RGCN", **model_extras):
     cfg = Config()
     return dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, extras={"value_context": True, **model_extras})
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, architecture=arch, extras={"value_context": True, **model_extras}
+        ),
     )
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cfg = _vctx_config()
+# the channel is shared (models/context.py) — pin the leakage properties for
+# both architectures
+@pytest.fixture(scope="module", params=["RGCN", "HGT"])
+def setup(request):
+    cfg = _vctx_config(arch=request.param)
     bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=11), cfg)
     masker = EdgeMasker(bundle.graph, seed=5, host_edges=bundle.patient_lab_host())
     trainer = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)

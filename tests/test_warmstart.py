@@ -16,12 +16,13 @@ from multi_modal_gnn_tpu.training.trainer import Trainer
 from multi_modal_gnn_tpu.training.warmstart import als_warm_start_params, warm_start_trainer
 
 
-def _mf_config(rank=5):
+def _mf_config(rank=5, arch="RGCN"):
     cfg = Config()
     return dataclasses.replace(
         cfg,
         model=dataclasses.replace(
             cfg.model,
+            architecture=arch,
             edge_head=dataclasses.replace(
                 cfg.model.edge_head,
                 extras={"bilinear_rank": rank, "bilinear_source": "embedding"},
@@ -30,9 +31,11 @@ def _mf_config(rank=5):
     )
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cfg = _mf_config()
+# the warm start plants into params (embed_* + bilinear_u/l + zeroed head
+# output layers) — architecture-agnostic by design; run the contract for both
+@pytest.fixture(scope="module", params=["RGCN", "HGT"])
+def setup(request):
+    cfg = _mf_config(arch=request.param)
     bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=3), cfg)
     masker = EdgeMasker(bundle.graph, seed=7, host_edges=bundle.patient_lab_host())
     return cfg, bundle, masker
