@@ -119,6 +119,25 @@ def test_warm_start_replicates_across_data_seeds(data_seed, floor):
     )
 
 
+def test_hgt_warm_start_hits_als_quality(realistic):
+    """HGT with the shared quality channels (embedding-bilinear head + ALS
+    warm start) matches the RGCN headline on the realistic cohort: measured
+    epoch-0 R^2 = 0.178 raw / 0.182 winsorized, retained through a
+    1,300-epoch fine-tune (outputs/diagnostics/quality_hgt_alsinit.json).
+    Pinned >= 0.15 with the same margin as the RGCN pin."""
+    cfg, bundle, _, _, _ = realistic
+    hgt_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, architecture="HGT")
+    )
+    masker = EdgeMasker(bundle.graph, seed=42, host_edges=bundle.patient_lab_host())
+    trainer = Trainer(build_model(hgt_cfg, bundle.graph), bundle.graph, masker, hgt_cfg)
+    warm_start_trainer(trainer, rank=RANK, reg=12.0)
+    _, _, tev = masker.split_arrays("test")
+    m = compute_regression_metrics(trainer.predict("test").astype(np.float64), tev)
+    assert m["r2"] >= 0.15, f"HGT warm-start quality regressed: R^2={m['r2']:.4f}"
+    assert m["mae"] <= 0.76, f"HGT warm-start MAE regressed: {m['mae']:.4f}"
+
+
 def test_fine_tune_retains_quality(realistic):
     """30 epochs of fine-tuning at lr 1e-4 must keep the best-val-selected
     state at ALS-level quality (the seeding makes regression impossible by
