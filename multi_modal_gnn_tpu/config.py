@@ -163,6 +163,12 @@ class GraphConfig:
     # (EdgeMasker lab_block_rows; PERFORMANCE.md "negative results") — off by
     # default so the default layout matches first-seen (reference) order.
     cluster_labs_by_frequency: bool = False
+    # TPU-specific: span-DMA plan block height for relations whose SOURCE
+    # side exceeds VMEM (10k+ patients) and has no dense adjacency — the
+    # aggregation kernel DMAs one [src_span_rows, D] contiguous table block
+    # per 1024-edge tile instead of an HBM row-gather of every edge
+    # (ops/pallas_segment.span_dma_aggregate).  0 disables plan building.
+    src_span_rows: int = 256
     extras: Dict[str, Any] = field(default_factory=dict)
 
     @staticmethod

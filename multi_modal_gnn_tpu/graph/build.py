@@ -282,6 +282,7 @@ def assemble_graph(
         dense_max_bytes = (
             config.graph.dense_adjacency_max_bytes if config is not None else 0
         )
+    src_span_rows = config.graph.src_span_rows if config is not None else 0
     enabled_bidirectional = {
         PATIENT_LAB: True,
         PATIENT_DIAGNOSIS: True,
@@ -312,6 +313,7 @@ def assemble_graph(
             pad_multiple=pad_multiple,
             return_host=True,
             dense_max_bytes=dense_max_bytes,
+            src_span_rows=src_span_rows,
         )
         if host_edges_out is not None:
             host_edges_out[et] = host
@@ -325,6 +327,7 @@ def assemble_graph(
                 val=None,
                 pad_multiple=pad_multiple,
                 dense_max_bytes=dense_max_bytes,
+                src_span_rows=src_span_rows,
             )
 
     # degree from the host arrays — avoids a device->host readback

@@ -68,6 +68,17 @@ class EdgeSet(struct.PyTreeNode):
     # At ~10%+ density one MXU matmul beats the sparse gather+segment path
     # outright, and its backward is just the transposed matmul.
     dense_adj: Optional[jax.Array] = None
+    # Span-DMA layout for over-VMEM source tables (ops/pallas_segment
+    # span_dma_aggregate): the windowed slots re-laid so every TILE_E tile's
+    # REAL sources live in ONE ``span_rows``-row span of the source table —
+    # the kernel DMAs that one contiguous block per tile (double-buffered)
+    # instead of an HBM row-gather of every edge.  Built by
+    # build_src_span_plan when the source side is too large for the
+    # VMEM-resident fused-table tier and no dense adjacency exists.
+    span_src: Optional[jax.Array] = None  # int32 [E_span] source id per slot
+    span_local: Optional[jax.Array] = None  # int32 [E_span] dst offset in window
+    span_tile_map: Optional[jax.Array] = None  # int32 [E_span/TILE_E] window of tile
+    span_base: Optional[jax.Array] = None  # int32 [E_span/TILE_E] table row base
     # Value-visibility mask float32[E_pad], set per-step by the trainer when
     # the model's value-context channel is enabled (models/rgcn.py
     # value_context): 1.0 where this forward may CONDITION on ``val`` (train
@@ -81,6 +92,8 @@ class EdgeSet(struct.PyTreeNode):
     num_src: int = struct.field(pytree_node=False, default=0)
     num_dst: int = struct.field(pytree_node=False, default=0)
     num_windows: int = struct.field(pytree_node=False, default=0)
+    # span-DMA block height (rows DMA'd per tile); 0 = no span plan
+    span_rows: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_padded(self) -> int:
@@ -98,6 +111,7 @@ def pad_edge_set(
     return_host: bool = False,
     dense_max_bytes: int = 0,
     as_numpy: bool = False,
+    src_span_rows: int = 0,
 ):
     """Build an :class:`EdgeSet` from host COO arrays (vectorized, no loops).
 
@@ -152,6 +166,13 @@ def pad_edge_set(
         src, dst, num_dst, row_ptr=row_ptr
     )
     dense = build_dense_adjacency(src, dst, num_src, num_dst, counts, dense_max_bytes)
+    # span-DMA plan: only for over-VMEM source tables the faster tiers
+    # (dense adjacency, VMEM-resident fused table) cannot serve
+    span = None
+    if src_span_rows and dense is None and num_src >= SPAN_MIN_SRC and e:
+        span = build_src_span_plan(
+            win_src, win_local, win_tile_map, num_src, src_span_rows
+        )
     # as_numpy: leave leaves host-resident (numpy) — jit transfers them per
     # call.  Used by the mini-batch trainer's host_resident mode so only the
     # in-flight cluster's edge arrays ever occupy HBM.
@@ -167,10 +188,15 @@ def pad_edge_set(
         win_local=place(win_local),
         win_tile_map=place(win_tile_map),
         dense_adj=place(dense) if dense is not None else None,
+        span_src=place(span[0]) if span is not None else None,
+        span_local=place(span[1]) if span is not None else None,
+        span_tile_map=place(span[2]) if span is not None else None,
+        span_base=place(span[3]) if span is not None else None,
         num_valid=e,
         num_src=int(num_src),
         num_dst=int(num_dst),
         num_windows=num_windows,
+        span_rows=int(src_span_rows) if span is not None else 0,
     )
     if return_host:
         return es, (src, dst, val)
@@ -503,6 +529,49 @@ def regroup_slots_by_lab_span(
         np.asarray(tile_windows, dtype=np.int32),
         np.asarray(tile_bases, dtype=np.int32),
     )
+
+
+# span-DMA plan gates: below SPAN_MIN_SRC rows the VMEM-resident fused-table
+# tier owns the relation outright; above SPAN_MAX_INFLATION slot growth the
+# tile splitting costs more matmul passes than the DMA saves in gather traffic
+SPAN_MIN_SRC = 4096
+SPAN_MAX_INFLATION = 0.25
+
+
+def build_src_span_plan(
+    win_src: np.ndarray,
+    win_local: np.ndarray,
+    win_tile_map: np.ndarray,
+    num_src: int,
+    span_rows: int,
+):
+    """Span-DMA plan for over-VMEM aggregation sources.
+
+    Re-lays the windowed slots (sorting each 128-dst window's edges by
+    SOURCE — legal, window accumulation is order-independent; the dst-sorted
+    invariant is at window granularity) so every TILE_E tile's real sources
+    live in one ``span_rows``-row span of the source table, at a
+    SPAN_BASE_ALIGN-aligned base.  The aggregation kernel then DMAs one
+    contiguous ``[span_rows, D]`` block per tile instead of an HBM row-gather
+    of every edge — traffic drops from O(E·D) to O(tiles·span_rows·D).
+
+    This is :func:`regroup_slots_by_lab_span` pointed at the src axis: the
+    same greedy packer, with per-slot "lab" ids = source ids and the source
+    table standing in for the lab table.
+
+    Returns ``(span_src, span_local, span_tile_map, span_base)`` or ``None``
+    when tile splitting inflates the slot count beyond SPAN_MAX_INFLATION
+    (sparse relations whose per-window source spans exceed ``span_rows``).
+    """
+    slot_moves, new_len, local2, tile_map2, base = regroup_slots_by_lab_span(
+        win_local, win_tile_map, win_src, num_src, block_rows=span_rows
+    )
+    if new_len > len(win_local) * (1.0 + SPAN_MAX_INFLATION):
+        return None
+    src2 = np.zeros(new_len, dtype=np.int32)
+    m = slot_moves >= 0
+    src2[slot_moves[m]] = np.asarray(win_src, dtype=np.int32)[m]
+    return src2, local2, tile_map2, base
 
 
 class HeteroGraph(struct.PyTreeNode):

@@ -108,6 +108,28 @@ def load_graph(path: str | Path) -> GraphBundle:
                 data[f"{key}{_SEP}dst_count"],
                 dense_budget,
             )
+            # span-DMA plan is likewise derived, under the bundle's config
+            from multi_modal_gnn_tpu.graph.hetero import (
+                SPAN_MIN_SRC,
+                build_src_span_plan,
+            )
+
+            span_rows_cfg = (
+                (sidecar.get("meta", {}).get("config") or {})
+                .get("graph", {})
+                .get("src_span_rows", 256)
+            )
+            span = None
+            if (
+                span_rows_cfg
+                and dense is None
+                and int(entry["num_src"]) >= SPAN_MIN_SRC
+                and n_valid
+            ):
+                span = build_src_span_plan(
+                    win_src, win_local, win_tile_map,
+                    int(entry["num_src"]), int(span_rows_cfg),
+                )
             edges[et] = EdgeSet(
                 src=jnp.asarray(data[f"{key}{_SEP}src"]),
                 dst=jnp.asarray(data[f"{key}{_SEP}dst"]),
@@ -119,10 +141,15 @@ def load_graph(path: str | Path) -> GraphBundle:
                 win_local=jnp.asarray(win_local),
                 win_tile_map=jnp.asarray(win_tile_map),
                 dense_adj=jnp.asarray(dense) if dense is not None else None,
+                span_src=jnp.asarray(span[0]) if span is not None else None,
+                span_local=jnp.asarray(span[1]) if span is not None else None,
+                span_tile_map=jnp.asarray(span[2]) if span is not None else None,
+                span_base=jnp.asarray(span[3]) if span is not None else None,
                 num_valid=int(entry["num_valid"]),
                 num_src=int(entry["num_src"]),
                 num_dst=int(entry["num_dst"]),
                 num_windows=num_windows,
+                span_rows=int(span_rows_cfg) if span is not None else 0,
             )
         degree = jnp.asarray(data["patient_lab_degree"])
 

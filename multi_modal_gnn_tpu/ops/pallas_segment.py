@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 import logging
-from typing import Literal
+from typing import Literal, Optional
 
 import jax
 import jax.numpy as jnp
@@ -417,6 +417,182 @@ def fused_table_aggregate(
             g32, edges.win_src, edges.win_local, edges.win_tile_map,
             num_src_pad, interpret, mode,
         )[: edges.num_src]
+        return (dx.astype(g.dtype),)
+
+    agg.defvjp(fwd, bwd)
+    return agg(x_src)
+
+
+# ---------------------------------------------------------------------------
+# Span-DMA tier: over-VMEM source tables, the gather STILL moves in-kernel
+# ---------------------------------------------------------------------------
+#
+# When the source side is too large for a VMEM-resident table (the patient
+# axis at 10k+ rows), the windowed tier's XLA row-gather writes E x D to HBM
+# and re-reads it — the measured bandwidth bound of the scale epoch
+# (PERFORMANCE.md "Roofline": ~7.8 GB per 5M-edge traversal).  Per-row
+# in-kernel DMA is infeasible (1024 descriptors per tile, issue-latency
+# bound).  Instead the graph build re-lays each window's edges sorted by
+# SOURCE (build_src_span_plan) so a tile's real sources live in ONE
+# span_rows-row span of the table; the kernel then:
+#
+#   * keeps the table in ANY memory space (HBM) and DMAs the tile's single
+#     contiguous [span_rows, D] block into a double-buffered VMEM scratch
+#     (the copy for tile t+1 is issued before tile t computes);
+#   * gathers in-VMEM via the span-local indicator matmul
+#     P[e, s-base] — same MXU primitive as the fused-table tier;
+#   * accumulates windows exactly like _segment_kernel.
+#
+# Traffic per 5M-edge traversal drops to ~tiles * span_rows * D * 4 bytes
+# (~0.6 GB at span 256, D 128) and nothing E x D ever touches HBM.  The
+# BACKWARD needs no DMA at all: d x_src is the REVERSE relation's windowed
+# aggregation of the (small) destination-side gradient — the paired plan.
+
+
+def _span_dma_kernel(
+    tile_map_ref, base_ref, local_ref, src_ref, table_ref, out_ref,
+    scratch, sems, *, span_rows: int,
+):
+    """One grid step: DMA table[base_t : base_t+span_rows] -> VMEM, then
+    out[window] += indicator(local) @ (P_span @ block)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    _zero_out_on_new_window(tile_map_ref, out_ref)
+
+    def _copy(tile, slot):
+        base = pl.multiple_of(base_ref[tile], 16)  # SPAN_BASE_ALIGN
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(base, span_rows)], scratch.at[slot], sems.at[slot]
+        )
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        _copy(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        _copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+    _copy(t, slot).wait()
+    block = scratch[slot]  # [span_rows, D]
+    src_rel = src_ref[:] - base_ref[t]
+    # padding slots carry local == WINDOW (killed by the window indicator)
+    # and src 0, whose src_rel may be negative — matching no indicator column
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, span_rows), 1)
+    p_span = (src_rel.reshape(TILE_E, 1) == cols).astype(block.dtype)
+    gathered = jnp.dot(p_span, block, preferred_element_type=jnp.float32)
+    s_ind = _window_indicator(local_ref, block.dtype)
+    out_ref[:] += jnp.dot(
+        s_ind, gathered.astype(block.dtype), preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_windows", "span_rows", "interpret")
+)
+def _span_dma_segment_sum_fwd(
+    table: jax.Array,  # [num_src, D] — the over-VMEM source table (HBM)
+    span_src: jax.Array,  # [E_span] int32 source ids, span-plan slot order
+    span_local: jax.Array,  # [E_span] int32 dst offset in window (128 = pad)
+    span_tile_map: jax.Array,  # [E_span / TILE_E] int32 window of each tile
+    span_base: jax.Array,  # [E_span / TILE_E] int32 table row base of each tile
+    num_windows: int,
+    span_rows: int,
+    interpret: bool = False,
+) -> jax.Array:
+    e_span = span_src.shape[0]
+    d = table.shape[1]
+    num_tiles = e_span // TILE_E
+    # pad rows to the plan's table extent: every base satisfies
+    # base + span_rows <= round_up(num_src, 128) (clamped at plan build)
+    rows_pad = max(-(-table.shape[0] // 128) * 128, span_rows)
+    if table.shape[0] != rows_pad:
+        table = jnp.pad(table, ((0, rows_pad - table.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # span_tile_map, span_base
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_E,), lambda t, tm, sb: (t,)),
+            pl.BlockSpec((TILE_E,), lambda t, tm, sb: (t,)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec((WINDOW, d), lambda t, tm, sb: (tm[t], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, span_rows, d), table.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_span_dma_kernel, span_rows=span_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_windows * WINDOW, d), jnp.float32),
+        interpret=interpret,
+    )(span_tile_map, span_base, span_local, span_src, table)
+
+
+def span_dma_enabled() -> bool:
+    """Dispatch gate for the span-DMA tier.  ``MMGNN_SPAN_DMA=0`` disables it
+    (escape hatch while the Mosaic lowering of the in-kernel DMA is pending
+    hardware validation — see ROADMAP; interpret mode is exact by tests)."""
+    import os
+
+    return os.environ.get("MMGNN_SPAN_DMA", "1") != "0"
+
+
+def span_dma_applicable(edges: EdgeSet, edges_rev: Optional[EdgeSet]) -> bool:
+    """The span tier needs the forward span plan AND the mirror relation's
+    windowed plan (its backward is the reverse aggregation)."""
+    return (
+        edges.span_rows > 0
+        and edges.span_src is not None
+        and edges_rev is not None
+        and edges_rev.win_src is not None
+    )
+
+
+def span_dma_aggregate(
+    x_src: jax.Array,
+    edges: EdgeSet,
+    edges_rev: EdgeSet,
+    aggregation: Literal["mean", "sum"] = "mean",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Neighbor aggregation for over-VMEM source tables: the gather runs
+    in-kernel on one DMA'd [span_rows, D] block per tile (see module note).
+    Backward rides the mirror relation's windowed plan, exactly like
+    :func:`gather_segment_aggregate_paired`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    @jax.custom_vjp
+    def agg(x):
+        out = _span_dma_segment_sum_fwd(
+            x, edges.span_src, edges.span_local, edges.span_tile_map,
+            edges.span_base, edges.num_windows, edges.span_rows, interpret,
+        )[: edges.num_dst]
+        if aggregation == "mean":
+            out = out / jnp.maximum(edges.dst_count, 1.0)[:, None]
+        return out.astype(x.dtype)
+
+    def fwd(x):
+        return agg(x), None
+
+    def bwd(_res, g):
+        if aggregation == "mean":
+            g = (
+                g.astype(jnp.float32) / jnp.maximum(edges.dst_count, 1.0)[:, None]
+            ).astype(g.dtype)
+        g_gathered = jnp.take(g, edges_rev.win_src, axis=0)
+        dx = windowed_segment_sum(
+            g_gathered,
+            edges_rev.win_local,
+            edges_rev.win_tile_map,
+            edges_rev.num_windows,
+            interpret,
+        )[: edges_rev.num_dst]
         return (dx.astype(g.dtype),)
 
     agg.defvjp(fwd, bwd)

@@ -137,6 +137,16 @@ def aggregate_neighbors(
 
             if fused_table_applicable(edges, x_src.shape[1], x_src.dtype.itemsize):
                 return fused_table_aggregate(x_src, edges, aggregation)
+            # over-VMEM source table with a span plan: the gather still runs
+            # in-kernel, on one DMA'd [span_rows, D] block per tile
+            from multi_modal_gnn_tpu.ops.pallas_segment import (
+                span_dma_aggregate,
+                span_dma_applicable,
+                span_dma_enabled,
+            )
+
+            if span_dma_applicable(edges, edges_rev) and span_dma_enabled():
+                return span_dma_aggregate(x_src, edges, edges_rev, aggregation)
         if edges_rev is not None and aggregation in ("mean", "sum"):
             from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate_paired
 

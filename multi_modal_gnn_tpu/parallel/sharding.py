@@ -34,11 +34,16 @@ def _edge_set_pspec(es: EdgeSet, axis: str) -> EdgeSet:
         win_local=P() if es.win_local is not None else None,
         win_tile_map=P() if es.win_tile_map is not None else None,
         dense_adj=P() if es.dense_adj is not None else None,
+        span_src=P() if es.span_src is not None else None,
+        span_local=P() if es.span_local is not None else None,
+        span_tile_map=P() if es.span_tile_map is not None else None,
+        span_base=P() if es.span_base is not None else None,
         val_vis=P(axis) if es.val_vis is not None else None,
         num_valid=es.num_valid,
         num_src=es.num_src,
         num_dst=es.num_dst,
         num_windows=es.num_windows,
+        span_rows=es.span_rows,
     )
 
 

@@ -14,8 +14,14 @@ could crash the remote compiler (a Mosaic crash wedges the device claim):
   3. (--span) the arbitrary-base span-tile kernel — FIRST hardware compile
      of the dynamic-slice lowering.  Run LAST, once 1-2 are green and any
      bench numbers you care about are already recorded.
+  4. (--span-dma) the span-DMA aggregation kernel — FIRST hardware compile
+     of the in-kernel make_async_copy / ANY-memory-space / DMA-semaphore
+     lowering (ops/pallas_segment.span_dma_aggregate).  Same crash-risk
+     ordering as --span: run after everything else is recorded.  If Mosaic
+     rejects it, set MMGNN_SPAN_DMA=0 (dispatch falls back to the paired
+     tier) and record the failure in ROADMAP.
 
-Usage: python scripts/validate_tpu.py [--span] [--rate 0.2]
+Usage: python scripts/validate_tpu.py [--span] [--span-dma] [--rate 0.2]
 """
 
 from __future__ import annotations
@@ -99,12 +105,73 @@ def _fused(plan, l_s, params, rate, seed):
     )
 
 
+def _check_span_dma() -> None:
+    """First hardware compile of the span-DMA aggregation kernel: forward
+    + gradient parity vs the XLA segment path at scale-like density, plus a
+    timing loop vs the paired windowed tier."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_modal_gnn_tpu.graph.hetero import pad_edge_set
+    from multi_modal_gnn_tpu.ops.pallas_segment import (
+        gather_segment_aggregate_paired,
+        span_dma_aggregate,
+    )
+    from multi_modal_gnn_tpu.ops.segment import aggregate_neighbors
+
+    rng = np.random.default_rng(0)
+    num_src, num_dst, e = 50_000, 512, 2_000_000  # scale-like density
+    src = rng.integers(0, num_src, size=e).astype(np.int32)
+    dst = rng.integers(0, num_dst, size=e).astype(np.int32)
+    fwd = pad_edge_set(src, dst, num_src, num_dst, src_span_rows=256)
+    rev = pad_edge_set(dst, src, num_dst, num_src)
+    assert fwd.span_src is not None, "span plan refused — density too low"
+    x = jnp.asarray(rng.normal(size=(num_src, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(num_dst, 128)).astype(np.float32))
+
+    got = span_dma_aggregate(x, fwd, rev, "mean", interpret=False)
+    want = aggregate_neighbors(x, fwd, "mean", impl="xla")
+    err = float(jnp.max(jnp.abs(got - want)))
+    print(f"4. span-DMA fwd parity on hardware: max err {err:.2e}")
+    assert err < 1e-3
+
+    g = jax.grad(
+        lambda a: jnp.sum(span_dma_aggregate(a, fwd, rev, "mean", interpret=False) * w)
+    )(x)
+    gw = jax.grad(
+        lambda a: jnp.sum(aggregate_neighbors(a, fwd, "mean", impl="xla") * w)
+    )(x)
+    gerr = float(jnp.max(jnp.abs(g - gw)))
+    print(f"4b. span-DMA bwd parity on hardware: max err {gerr:.2e}")
+    assert gerr < 1e-3
+
+    # relay-safe timing: reduce to a scalar, read 4 bytes (PERFORMANCE.md)
+    span_step = jax.jit(lambda a: jnp.sum(span_dma_aggregate(a, fwd, rev, "mean", interpret=False)))
+    paired_step = jax.jit(lambda a: jnp.sum(gather_segment_aggregate_paired(a, fwd, rev, "mean", interpret=False)))
+    for name, fn in (("span-dma", span_step), ("paired(gather)", paired_step)):
+        float(fn(x))  # compile + warm
+        t0 = time.perf_counter()
+        reps = 20
+        acc = 0.0
+        for _ in range(reps):
+            acc += float(fn(x))
+        dt = (time.perf_counter() - t0) / reps
+        print(f"4c. {name}: {dt*1e3:.2f} ms per {e/1e6:.1f}M-edge traversal "
+              f"({e/dt/1e6:.1f}M edges/s)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rate", type=float, default=0.2)
     ap.add_argument("--span", action="store_true",
                     help="ALSO compile the span-tile kernel (Mosaic "
                          "dynamic-slice lowering; run last)")
+    ap.add_argument("--span-dma", action="store_true",
+                    help="ALSO compile the span-DMA aggregation kernel "
+                         "(in-kernel make_async_copy lowering; run last)")
     args = ap.parse_args()
 
     import jax
@@ -153,9 +220,15 @@ def main() -> None:
     np.testing.assert_allclose(base, ref, atol=2e-4)
     print("2. compiled fwd parity vs unfused reference: OK")
 
+    if not args.span and not args.span_dma:
+        print("done (safe checks). Re-run with --span / --span-dma for the "
+              "dynamic-slice and DMA kernel compiles once bench numbers are "
+              "recorded.")
+        return
+
+    if args.span_dma:
+        _check_span_dma()
     if not args.span:
-        print("done (safe checks). Re-run with --span for the dynamic-slice "
-              "kernel compile once bench numbers are recorded.")
         return
 
     # --- 3. span-tile kernel: first hardware compile --------------------
