@@ -476,6 +476,32 @@ def regroup_slots_by_lab_span(
     win_local = np.asarray(win_local)
     win_tile_map = np.asarray(win_tile_map)
     lab_idx = np.asarray(lab_idx)
+
+    # native packer when built (bit-identical contract, tests/test_native.py);
+    # the numpy path below stays as the always-available fallback
+    from multi_modal_gnn_tpu import native
+
+    if native.available():
+        result = native.span_plan(
+            win_local, win_tile_map, lab_idx, int(num_labs),
+            int(block_rows), WINDOW, TILE_E, SPAN_BASE_ALIGN,
+        )
+        if result is not None:
+            return result
+    return _regroup_slots_by_lab_span_numpy(
+        win_local, win_tile_map, lab_idx, num_labs, block_rows
+    )
+
+
+def _regroup_slots_by_lab_span_numpy(
+    win_local: np.ndarray,
+    win_tile_map: np.ndarray,
+    lab_idx: np.ndarray,
+    num_labs: int,
+    block_rows: int,
+):
+    """Pure-numpy span packer (fallback; the native packer is bit-identical
+    by contract — parity pinned in tests/test_native.py)."""
     e_win = len(win_local)
     num_tiles = e_win // TILE_E
     real = win_local < WINDOW

@@ -54,6 +54,17 @@ def _load() -> Optional[ctypes.CDLL]:
             _i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, _i32p, _i32p, _i32p,
         ]
+        lib.span_plan_sizes.restype = ctypes.c_int64
+        lib.span_plan_sizes.argtypes = [
+            _i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.span_plan.restype = ctypes.c_int
+        lib.span_plan.argtypes = [
+            _i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, _i64p, _i32p, _i32p, _i32p,
+        ]
         lib.labevents_scan.restype = ctypes.c_void_p
         lib.labevents_scan.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -157,6 +168,49 @@ def window_plan(
         return None
     num_windows = max((num_dst + window - 1) // window, 1)
     return win_src, win_local, tile_map[:n_tiles], num_windows
+
+
+def span_plan(
+    win_local: np.ndarray,
+    win_tile_map: np.ndarray,
+    row_idx: np.ndarray,
+    num_rows: int,
+    block_rows: int,
+    window: int,
+    tile_e: int,
+    align: int,
+) -> Optional[Tuple[np.ndarray, int, np.ndarray, np.ndarray, np.ndarray]]:
+    """Native span-bounded tile packer (graph/hetero.py
+    regroup_slots_by_lab_span contract, bit-identical by test_native.py).
+    Returns (slot_moves, new_len, local2, tile_map2, base) or None when the
+    library is unavailable — callers fall back to the numpy packer."""
+    lib = _load()
+    if lib is None:
+        return None
+    win_local = np.ascontiguousarray(win_local, dtype=np.int32)
+    win_tile_map = np.ascontiguousarray(win_tile_map, dtype=np.int32)
+    row_idx = np.ascontiguousarray(row_idx, dtype=np.int32)
+    e_win = len(win_local)
+    e_span = lib.span_plan_sizes(
+        win_local, win_tile_map, row_idx, e_win, num_rows,
+        block_rows, window, tile_e, align,
+    )
+    if e_span < 0:
+        logger.warning("native span_plan_sizes failed rc=%d; numpy fallback", e_span)
+        return None
+    slot_moves = np.empty(e_win, dtype=np.int64)
+    local2 = np.empty(e_span, dtype=np.int32)
+    tile_map2 = np.empty(e_span // tile_e, dtype=np.int32)
+    base = np.empty(e_span // tile_e, dtype=np.int32)
+    rc = lib.span_plan(
+        win_local, win_tile_map, row_idx, e_win, num_rows,
+        block_rows, window, tile_e, align,
+        e_span, slot_moves, local2, tile_map2, base,
+    )
+    if rc != 0:
+        logger.warning("native span_plan failed rc=%d; numpy fallback", rc)
+        return None
+    return slot_moves, int(e_span), local2, tile_map2, base
 
 
 def labevents_scan(path, col_subj: int, col_item: int, col_val: int,

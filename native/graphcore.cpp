@@ -167,6 +167,192 @@ int window_plan(
 }
 
 // ---------------------------------------------------------------------------
+// Span-bounded tile packer (graph/hetero.py regroup_slots_by_lab_span
+// contract, bit-identical to the numpy implementation — the plans are
+// derived at load time, so both code paths must agree exactly).
+//
+// Re-lays a windowed slot layout so every `tile_e`-slot tile's REAL slots
+// address table rows inside ONE `block_rows`-row span starting at an
+// `align`-aligned base.  Within each window, real slots sort by (row id,
+// original slot) — two stable counting-sort passes — then tiles pack
+// greedily: a tile closes when full or when the next row falls outside
+// [base, base + block_rows).  Windows that end up with no real slots get
+// one all-padding tile so the window sequence stays monotone for the
+// kernels' first-tile-of-window zeroing.
+//
+// Call span_plan_sizes first for the output slot count, then span_plan.
+// ---------------------------------------------------------------------------
+
+}  // extern "C" — the packer helpers below need C++ linkage (templates)
+
+namespace {
+
+struct SpanSortResult {
+    std::vector<int64_t> order;   // real slots, sorted by (window, row, slot)
+    std::vector<int64_t> w_start; // per window 0..max_w: run start in `order`
+    std::vector<int64_t> w_end;
+    int32_t max_w = -1;
+};
+
+static int span_sort(
+    const int32_t* win_local, const int32_t* win_tile_map,
+    const int32_t* row_idx, int64_t e_win, int32_t num_rows,
+    int32_t window, int32_t tile_e, SpanSortResult& out
+) {
+    if (e_win % tile_e) return -1;
+    const int64_t ntiles = e_win / tile_e;
+    out.max_w = -1;
+    for (int64_t t = 0; t < ntiles; ++t)
+        if (win_tile_map[t] > out.max_w) out.max_w = win_tile_map[t];
+
+    std::vector<int64_t> real;
+    real.reserve(e_win);
+    for (int64_t i = 0; i < e_win; ++i) {
+        if (win_local[i] < window) {
+            if (row_idx[i] < 0 || row_idx[i] >= num_rows) return -2;
+            real.push_back(i);
+        }
+    }
+    const int64_t n = static_cast<int64_t>(real.size());
+
+    // stable counting sort by row id
+    std::vector<int64_t> cnt(static_cast<size_t>(num_rows) + 1, 0);
+    for (int64_t k = 0; k < n; ++k) cnt[row_idx[real[k]] + 1]++;
+    for (int32_t r = 0; r < num_rows; ++r) cnt[r + 1] += cnt[r];
+    std::vector<int64_t> by_row(n);
+    {
+        std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
+        for (int64_t k = 0; k < n; ++k) by_row[cur[row_idx[real[k]]]++] = real[k];
+    }
+    // stable counting sort by window (slot's window = tile_map[slot / tile_e])
+    std::vector<int64_t> wcnt(static_cast<size_t>(out.max_w) + 2, 0);
+    for (int64_t k = 0; k < n; ++k) wcnt[win_tile_map[by_row[k] / tile_e] + 1]++;
+    for (int32_t w = 0; w <= out.max_w; ++w) wcnt[w + 1] += wcnt[w];
+    out.w_start.assign(wcnt.begin(), wcnt.end() - 1);
+    out.w_end.assign(wcnt.begin() + 1, wcnt.end());
+    out.order.resize(n);
+    {
+        std::vector<int64_t> cur(wcnt.begin(), wcnt.end() - 1);
+        for (int64_t k = 0; k < n; ++k)
+            out.order[cur[win_tile_map[by_row[k] / tile_e]]++] = by_row[k];
+    }
+    return 0;
+}
+
+// greedy packing of one window run; emits per-tile (base, slot count)
+template <typename EmitTile>
+static void span_pack_window(
+    const int32_t* row_idx, const std::vector<int64_t>& order,
+    int64_t s, int64_t e, int32_t block_rows, int32_t align,
+    int32_t max_base, int32_t tile_e, EmitTile emit
+) {
+    int64_t i = s;
+    while (i < e) {
+        int32_t base = (row_idx[order[i]] / align) * align;
+        if (base > max_base) base = max_base;
+        const int32_t limit_row = base + block_rows;
+        int64_t j = i;
+        while (j < e && j < i + tile_e && row_idx[order[j]] < limit_row) ++j;
+        emit(base, i, j);
+        i = j;
+    }
+}
+
+static int32_t span_labs_pad(int32_t num_rows, int32_t block_rows) {
+    int32_t base = num_rows > 1 ? num_rows : 1;
+    int32_t pad = ((base + 127) / 128) * 128;
+    return pad < block_rows ? block_rows : pad;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t span_plan_sizes(
+    const int32_t* win_local,    // [e_win]
+    const int32_t* win_tile_map, // [e_win / tile_e]
+    const int32_t* row_idx,      // [e_win] table row per slot (lab or src id)
+    int64_t e_win,
+    int32_t num_rows,
+    int32_t block_rows,
+    int32_t window,
+    int32_t tile_e,
+    int32_t align
+) {
+    if (block_rows % align) return -3;
+    SpanSortResult sr;
+    int rc = span_sort(win_local, win_tile_map, row_idx, e_win, num_rows,
+                       window, tile_e, sr);
+    if (rc) return rc;
+    const int32_t max_base = span_labs_pad(num_rows, block_rows) - block_rows;
+    int64_t tiles = 0;
+    for (int32_t w = 0; w <= sr.max_w; ++w) {
+        int64_t before = tiles;
+        span_pack_window(row_idx, sr.order, sr.w_start[w], sr.w_end[w],
+                         block_rows, align, max_base, tile_e,
+                         [&](int32_t, int64_t, int64_t) { ++tiles; });
+        if (tiles == before) ++tiles;  // empty window: one all-padding tile
+    }
+    return tiles * tile_e;
+}
+
+int span_plan(
+    const int32_t* win_local,
+    const int32_t* win_tile_map,
+    const int32_t* row_idx,
+    int64_t e_win,
+    int32_t num_rows,
+    int32_t block_rows,
+    int32_t window,
+    int32_t tile_e,
+    int32_t align,
+    int64_t e_span,              // from span_plan_sizes
+    int64_t* slot_moves_out,     // [e_win] new slot per real old slot, -1 pad
+    int32_t* local2_out,         // [e_span]
+    int32_t* tile_map2_out,      // [e_span / tile_e] window of each tile
+    int32_t* base_out            // [e_span / tile_e] table row base of tile
+) {
+    if (block_rows % align) return -3;
+    SpanSortResult sr;
+    int rc = span_sort(win_local, win_tile_map, row_idx, e_win, num_rows,
+                       window, tile_e, sr);
+    if (rc) return rc;
+    const int32_t max_base = span_labs_pad(num_rows, block_rows) - block_rows;
+
+    for (int64_t i = 0; i < e_win; ++i) slot_moves_out[i] = -1;
+    for (int64_t i = 0; i < e_span; ++i) local2_out[i] = window;  // padding
+
+    int64_t tile = 0;
+    const int64_t ntiles2 = e_span / tile_e;
+    for (int32_t w = 0; w <= sr.max_w; ++w) {
+        int64_t before = tile;
+        span_pack_window(
+            row_idx, sr.order, sr.w_start[w], sr.w_end[w],
+            block_rows, align, max_base, tile_e,
+            [&](int32_t base, int64_t i, int64_t j) {
+                if (tile >= ntiles2) return;  // size mismatch guard
+                base_out[tile] = base;
+                tile_map2_out[tile] = w;
+                const int64_t out0 = tile * tile_e;
+                for (int64_t k = i; k < j; ++k) {
+                    const int64_t old_slot = sr.order[k];
+                    const int64_t new_slot = out0 + (k - i);
+                    slot_moves_out[old_slot] = new_slot;
+                    local2_out[new_slot] = win_local[old_slot];
+                }
+                ++tile;
+            });
+        if (tile == before) {  // empty window: one all-padding tile
+            if (tile >= ntiles2) return -4;
+            base_out[tile] = 0;
+            tile_map2_out[tile] = w;
+            ++tile;
+        }
+    }
+    return tile == ntiles2 ? 0 : -4;
+}
+
+// ---------------------------------------------------------------------------
 // Streaming LABEVENTS CSV scanner (plain or gzip via zlib; gzopen reads both
 // transparently).  One pass over a 27M-row table extracting only the columns
 // the preprocessing pipeline consumes — SUBJECT_ID, ITEMID, VALUENUM,

@@ -105,6 +105,56 @@ def _numpy_plan(src, dst, num_dst):
     )
 
 
+@pytest.mark.parametrize(
+    "num_src,num_dst,e,block_rows",
+    [
+        (5_000, 300, 60_000, 256),   # dense: few tile splits
+        (5_000, 300, 6_000, 256),    # sparse: heavy splitting
+        (40, 300, 9_000, 64),        # tiny table: bases clamp to 0..pad-64
+        (5_000, 1, 2_000, 256),      # single window
+        (1_000, 2_000, 2_500, 128),  # many empty windows (padding tiles)
+    ],
+)
+def test_span_plan_matches_numpy(rng, num_src, num_dst, e, block_rows):
+    """The native span packer must be BIT-IDENTICAL to the numpy packer:
+    plans are derived (not stored), so a machine with the library built must
+    produce the same graph layout as one without."""
+    from multi_modal_gnn_tpu.graph.hetero import _regroup_slots_by_lab_span_numpy
+
+    src = rng.integers(0, num_src, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, num_dst, e)).astype(np.int32)
+    win_src, win_local, win_tile_map, _ = build_window_plan(src, dst, num_dst)
+
+    got = native.span_plan(
+        win_local, win_tile_map, win_src, num_src, block_rows, WINDOW, TILE_E, 16
+    )
+    assert got is not None
+    want = _regroup_slots_by_lab_span_numpy(
+        win_local, win_tile_map, win_src, num_src, block_rows
+    )
+    assert got[1] == want[1]  # new_len
+    np.testing.assert_array_equal(got[0], want[0])  # slot_moves
+    np.testing.assert_array_equal(got[2], want[2])  # local2
+    np.testing.assert_array_equal(got[3], want[3])  # tile_map2
+    np.testing.assert_array_equal(np.asarray(got[4]), np.asarray(want[4]))  # bases
+
+
+def test_span_plan_native_faster_at_scale(rng):
+    from multi_modal_gnn_tpu.graph.hetero import _regroup_slots_by_lab_span_numpy
+
+    num_src, num_dst, e = 50_000, 512, 1_500_000
+    src = rng.integers(0, num_src, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, num_dst, e)).astype(np.int32)
+    win_src, win_local, win_tile_map, _ = build_window_plan(src, dst, num_dst)
+    t0 = time.perf_counter()
+    native.span_plan(win_local, win_tile_map, win_src, num_src, 256, WINDOW, TILE_E, 16)
+    native_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _regroup_slots_by_lab_span_numpy(win_local, win_tile_map, win_src, num_src, 256)
+    numpy_t = time.perf_counter() - t0
+    assert native_t < numpy_t, (native_t, numpy_t)
+
+
 def test_native_sort_faster_at_scale(rng):
     e = 3_000_000
     dst = rng.integers(0, 100_000, e).astype(np.int32)
