@@ -79,6 +79,20 @@ class EdgeSet(struct.PyTreeNode):
     span_local: Optional[jax.Array] = None  # int32 [E_span] dst offset in window
     span_tile_map: Optional[jax.Array] = None  # int32 [E_span/TILE_E] window of tile
     span_base: Optional[jax.Array] = None  # int32 [E_span/TILE_E] table row base
+    # Per-shard windowed plans for the shard_map DP path (attached by
+    # parallel.sharding.shard_graph when host edges are provided): the valid
+    # edges partitioned into mesh-size contiguous chunks, each with its own
+    # windowed layout RELATIVE to the chunk's first destination window.
+    # Arrays are [n_shards * per_shard_len], sharded along the edge axis, so
+    # inside shard_map each device sees exactly its own plan; the kernel's
+    # local [k_max*128, D] output lands in the global row space via
+    # dynamic_update_slice at shard_win_offset*128, then one psum.  The MXU
+    # segment kernel thus serves multi-chip training too — previously the
+    # shard_map trainers fell back to XLA segment_sum outright.
+    shard_win_src: Optional[jax.Array] = None  # int32 [n * L] global src ids
+    shard_win_local: Optional[jax.Array] = None  # int32 [n * L]
+    shard_win_tile_map: Optional[jax.Array] = None  # int32 [n * L / TILE_E]
+    shard_win_offset: Optional[jax.Array] = None  # int32 [n] first window
     # Value-visibility mask float32[E_pad], set per-step by the trainer when
     # the model's value-context channel is enabled (models/rgcn.py
     # value_context): 1.0 where this forward may CONDITION on ``val`` (train
@@ -94,6 +108,8 @@ class EdgeSet(struct.PyTreeNode):
     num_windows: int = struct.field(pytree_node=False, default=0)
     # span-DMA block height (rows DMA'd per tile); 0 = no span plan
     span_rows: int = struct.field(pytree_node=False, default=0)
+    # per-shard local window count (k_max, equalized); 0 = no sharded plan
+    shard_win_windows: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_padded(self) -> int:
@@ -554,6 +570,99 @@ def _regroup_slots_by_lab_span_numpy(
         _relayed_locals(slot_moves, win_local, out_len),
         np.asarray(tile_windows, dtype=np.int32),
         np.asarray(tile_bases, dtype=np.int32),
+    )
+
+
+def build_sharded_window_plans(
+    src_sorted: np.ndarray,
+    dst_sorted: np.ndarray,
+    num_dst: int,
+    n_shards: int,
+    window: int = WINDOW,
+    tile_e: int = TILE_E,
+):
+    """Per-shard windowed plans for shard_map data parallelism.
+
+    Partitions the VALID dst-sorted edges into ``n_shards`` contiguous,
+    near-equal chunks and builds each chunk's windowed layout relative to
+    its first destination window.  The partition is independent of how the
+    raw edge arrays are sharded on the mesh: each device computes the
+    aggregation of exactly its plan's edges and one psum restores the total,
+    so any disjoint cover of the valid edges is correct.
+
+    Every shard's plan is equalized to the same local window count
+    (``k_max``) and tile count — all-padding tiles (``local == window``)
+    extend the window sequence monotonically and initialize every local
+    output block, because the kernel's revisit pattern leaves untouched
+    blocks undefined.  Empty shards (possible when edges < shards) emit
+    all-padding plans at offset 0 and contribute exact zeros.
+
+    Returns ``(sh_src, sh_local, sh_tile_map, sh_offset, k_max)`` with the
+    first three flat-concatenated over shards (length divisible by
+    ``n_shards`` for P(axis) sharding).
+    """
+    e = len(src_sorted)
+    bounds = [round(i * e / n_shards) for i in range(n_shards + 1)]
+    plans = []
+    k_list = []
+    offsets = np.zeros(n_shards, dtype=np.int32)
+    for s in range(n_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        if hi <= lo:
+            plans.append(None)
+            k_list.append(0)
+            continue
+        c_src = np.ascontiguousarray(src_sorted[lo:hi], dtype=np.int32)
+        c_dst = np.asarray(dst_sorted[lo:hi], dtype=np.int32)
+        first_w = int(c_dst[0]) // window
+        last_w = int(c_dst[-1]) // window
+        k_s = last_w - first_w + 1
+        offsets[s] = first_w
+        w_src, w_local, w_tm, _ = build_window_plan(
+            c_src, np.ascontiguousarray(c_dst - first_w * window),
+            k_s * window, window=window, tile_e=tile_e,
+        )
+        plans.append((w_src, w_local, w_tm))
+        k_list.append(k_s)
+
+    k_max = max(max(k_list), 1)
+    # tiles after extending each shard to k_max local windows
+    ntiles_max = max(
+        k_max if p is None else len(p[2]) + (k_max - k)
+        for p, k in zip(plans, k_list)
+    )
+    pad_tile_src = np.zeros(tile_e, np.int32)
+    pad_tile_local = np.full(tile_e, window, np.int32)
+
+    sh_src, sh_local, sh_tm = [], [], []
+    for p, k_s in zip(plans, k_list):
+        if p is None:
+            src_parts = [pad_tile_src] * ntiles_max
+            local_parts = [pad_tile_local] * ntiles_max
+            tm = list(range(k_max)) + [k_max - 1] * (ntiles_max - k_max)
+        else:
+            w_src, w_local, w_tm = p
+            n_tiles = len(w_tm)
+            src_parts = [w_src]
+            local_parts = [w_local]
+            tm = list(w_tm)
+            # initialize local windows k_s..k_max-1, then equalize tile count
+            # at window k_max-1 (monotone either way)
+            extra = list(range(k_s, k_max)) + [k_max - 1] * (
+                ntiles_max - n_tiles - (k_max - k_s)
+            )
+            src_parts += [pad_tile_src] * len(extra)
+            local_parts += [pad_tile_local] * len(extra)
+            tm += extra
+        sh_src.append(np.concatenate(src_parts))
+        sh_local.append(np.concatenate(local_parts))
+        sh_tm.append(np.asarray(tm, np.int32))
+    return (
+        np.concatenate(sh_src).astype(np.int32),
+        np.concatenate(sh_local).astype(np.int32),
+        np.concatenate(sh_tm).astype(np.int32),
+        offsets,
+        k_max,
     )
 
 

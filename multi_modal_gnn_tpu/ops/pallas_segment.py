@@ -82,6 +82,37 @@ def _segment_kernel(tile_map_ref, local_ref, g_ref, out_ref):
     out_ref[:] += jnp.dot(s, g_ref[:], preferred_element_type=jnp.float32)
 
 
+def _out_struct(shape, dtype, like) -> jax.ShapeDtypeStruct:
+    """ShapeDtypeStruct carrying the caller's varying-mesh-axes set: under
+    shard_map (the per-shard DP kernel path) pallas_call outputs must declare
+    which mesh axes they vary over; outside shard_map vma is empty."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _windowed_segment_sum_ref(gathered, win_local, win_tile_map, num_windows):
+    """Mathematically identical jnp form of the windowed kernel (f32
+    accumulation, padding slots to a dropped dummy segment).  Used under
+    shard_map in interpret mode, where the hlo interpreter's block-index
+    dynamic_slices trip the vma consistency check (the index map's jaxpr is
+    traced outside the vma context, so it cannot be repaired in user code);
+    the real TPU path still runs the Pallas kernel."""
+    e_win = win_local.shape[0]
+    tiles = e_win // TILE_E
+    window_of_slot = jnp.repeat(
+        win_tile_map[:tiles], TILE_E, total_repeat_length=e_win
+    )
+    rows = num_windows * WINDOW
+    idx = jnp.where(
+        win_local < WINDOW, window_of_slot * WINDOW + win_local, rows
+    )
+    return jax.ops.segment_sum(
+        gathered.astype(jnp.float32), idx, num_segments=rows + 1
+    )[:rows]
+
+
 @functools.partial(jax.jit, static_argnames=("num_windows", "interpret"))
 def _windowed_segment_sum_fwd(
     gathered: jax.Array,  # [E_win, D] f32/bf16 — x_src rows in windowed edge order
@@ -92,6 +123,9 @@ def _windowed_segment_sum_fwd(
 ) -> jax.Array:
     e_win, d = gathered.shape
     num_tiles = e_win // TILE_E
+
+    if interpret and getattr(jax.typeof(gathered), "vma", None):
+        return _windowed_segment_sum_ref(gathered, win_local, win_tile_map, num_windows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # win_tile_map drives the output index map
@@ -105,7 +139,7 @@ def _windowed_segment_sum_fwd(
     return pl.pallas_call(
         _segment_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_windows * WINDOW, d), jnp.float32),
+        out_shape=_out_struct((num_windows * WINDOW, d), jnp.float32, gathered),
         interpret=interpret,
     )(win_tile_map, win_local, gathered)
 

@@ -87,6 +87,41 @@ def segment_softmax(
     return exp / jnp.maximum(denom[segment_ids], 1e-16)
 
 
+def _sharded_windowed_aggregate(
+    x_src: jax.Array,
+    edges: EdgeSet,
+    aggregation: str,
+    axis_name: str,
+) -> jax.Array:
+    """Shard-local windowed segment kernel + dynamic placement + psum.
+
+    Runs INSIDE shard_map: ``edges.shard_win_*`` leaves are this device's
+    plan chunk (P(axis)-sharded arrays).  The local output covers
+    ``shard_win_windows`` consecutive global windows starting at
+    ``shard_win_offset[0]``; the global buffer is over-allocated by k_max
+    windows so dynamic_update_slice never clamps (clamping would shift the
+    block onto wrong rows)."""
+    from multi_modal_gnn_tpu.graph.hetero import WINDOW
+    from multi_modal_gnn_tpu.ops.pallas_segment import windowed_segment_sum
+
+    interpret = jax.default_backend() != "tpu"
+    k_max = edges.shard_win_windows
+    gathered = jnp.take(x_src, edges.shard_win_src, axis=0)
+    local = windowed_segment_sum(
+        gathered, edges.shard_win_local, edges.shard_win_tile_map, k_max, interpret
+    )  # [k_max * WINDOW, D] f32
+    num_windows_global = -(-edges.num_dst // WINDOW)
+    rows_full = (num_windows_global + k_max) * WINDOW
+    full = jnp.zeros((rows_full, x_src.shape[1]), jnp.float32)
+    off = edges.shard_win_offset[0] * WINDOW
+    full = jax.lax.dynamic_update_slice(full, local, (off, 0))
+    total = jax.lax.psum(full, axis_name)[: edges.num_dst]
+    if aggregation == "sum":
+        return total.astype(x_src.dtype)
+    denom = jnp.maximum(edges.dst_count, 1.0).astype(total.dtype)
+    return (total / denom[:, None]).astype(x_src.dtype)
+
+
 def aggregate_neighbors(
     x_src: jax.Array,
     edges: EdgeSet,
@@ -154,6 +189,21 @@ def aggregate_neighbors(
         from multi_modal_gnn_tpu.ops.pallas_segment import gather_segment_aggregate
 
         return gather_segment_aggregate(x_src, edges, aggregation)
+
+    import os
+
+    if (
+        impl == "pallas"
+        and axis_name is not None
+        and aggregation in ("mean", "sum")
+        and edges.shard_win_src is not None
+        and os.environ.get("MMGNN_SHARD_KERNEL", "1") != "0"
+    ):
+        # per-shard windowed MXU kernel under shard_map: each device runs
+        # the Pallas segment kernel on its OWN plan chunk (a contiguous
+        # slice of the valid edges), places its [k_max*128, D] local-window
+        # block into the global row space, and one psum restores the total
+        return _sharded_windowed_aggregate(x_src, edges, aggregation, axis_name)
 
     gathered = jnp.take(x_src, edges.src, axis=0)  # [E_local, D]
     num_segments = edges.num_dst + 1  # final segment collects padding rows

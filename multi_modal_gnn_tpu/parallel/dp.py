@@ -43,7 +43,13 @@ class DataParallelTrainer(Trainer):
         config: Config,
         mesh=None,
         rngs: Optional[RngSequence] = None,
+        host_edges=None,
     ):
+        """``host_edges``: the GraphBundle's host edge dict (sorted valid
+        (src, dst, val) numpy arrays per forward relation).  When given,
+        per-shard windowed plans are attached so aggregation runs the Pallas
+        MXU segment kernel on every device instead of XLA segment_sum
+        (parallel/sharding.attach_shard_plans)."""
         self.mesh = mesh if mesh is not None else make_mesh(config.train.num_devices)
         check_graph_divisible(graph, self.mesh.devices.size)
 
@@ -58,7 +64,7 @@ class DataParallelTrainer(Trainer):
         # (sharded with the edge arrays) and the per-epoch knockout runs
         # shard-locally after an all_gather of the supervision mask — see
         # Trainer._visible_graph's shard_map branch
-        graph = shard_graph(graph, self.mesh)
+        graph = shard_graph(graph, self.mesh, host_edges=host_edges)
         super().__init__(model, graph, masker, config, variables=variables, rngs=rngs)
         self._axis_name = DATA_AXIS
         logger.info("Data-parallel trainer over %d devices", self.mesh.devices.size)

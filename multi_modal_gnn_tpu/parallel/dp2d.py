@@ -74,11 +74,21 @@ class TwoDTrainer(Trainer):
         config: Config,
         mesh=None,
         rngs: Optional[RngSequence] = None,
+        host_edges=None,
     ):
+        """``host_edges``: the GraphBundle's host edge dict; when given,
+        per-shard windowed plans are attached over the DATA axis so every
+        device runs the Pallas MXU segment kernel on its own plan chunk
+        (parallel/sharding.attach_shard_plans; the plan leaves are replicated
+        over the MODEL axis, and the aggregation psum stays on ``data``)."""
         self.mesh = mesh if mesh is not None else make_2d_mesh()
         data_size = self.mesh.shape[DATA_AXIS]
         model_size = self.mesh.shape[MODEL_AXIS]
         check_graph_divisible(graph, data_size)
+        if host_edges is not None:
+            from multi_modal_gnn_tpu.parallel.sharding import attach_shard_plans
+
+            graph = attach_shard_plans(graph, host_edges, data_size)
         num_patients = graph.num_nodes(PATIENT)
         if num_patients % model_size:
             raise ValueError(

@@ -38,12 +38,18 @@ def _edge_set_pspec(es: EdgeSet, axis: str) -> EdgeSet:
         span_local=P() if es.span_local is not None else None,
         span_tile_map=P() if es.span_tile_map is not None else None,
         span_base=P() if es.span_base is not None else None,
+        # per-shard windowed plans: sharded so each device sees its own
+        shard_win_src=P(axis) if es.shard_win_src is not None else None,
+        shard_win_local=P(axis) if es.shard_win_local is not None else None,
+        shard_win_tile_map=P(axis) if es.shard_win_tile_map is not None else None,
+        shard_win_offset=P(axis) if es.shard_win_offset is not None else None,
         val_vis=P(axis) if es.val_vis is not None else None,
         num_valid=es.num_valid,
         num_src=es.num_src,
         num_dst=es.num_dst,
         num_windows=es.num_windows,
         span_rows=es.span_rows,
+        shard_win_windows=es.shard_win_windows,
     )
 
 
@@ -97,9 +103,65 @@ def check_graph_divisible(graph: HeteroGraph, n: int) -> None:
             )
 
 
-def shard_graph(graph: HeteroGraph, mesh: Mesh, axis: str = DATA_AXIS) -> HeteroGraph:
-    """Place the graph on the mesh with the DP layout (edges sharded)."""
+def attach_shard_plans(
+    graph: HeteroGraph, host_edges, n_shards: int
+) -> HeteroGraph:
+    """Attach per-shard windowed plans (graph/hetero.py
+    build_sharded_window_plans) so the shard_map trainers run the MXU
+    segment kernel instead of falling back to XLA segment_sum.
+
+    ``host_edges`` is the GraphBundle dict of sorted valid (src, dst, val)
+    numpy arrays per FORWARD relation; reverse relations reuse the same
+    pairs swapped and re-sorted host-side (any disjoint edge cover is
+    correct — see build_sharded_window_plans)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_modal_gnn_tpu import native
+    from multi_modal_gnn_tpu.graph.hetero import build_sharded_window_plans
+    from multi_modal_gnn_tpu.graph.schema import mirror_edge_type
+
+    new_edges = dict(graph.edges)
+    for et, (src, dst, _val) in host_edges.items():
+        if et not in new_edges:
+            continue
+        plan_inputs = [(et, src, dst)]
+        rev = mirror_edge_type(et)
+        if rev in new_edges:
+            order, _, _ = native.sort_edges_by_dst(
+                np.asarray(src, dtype=np.int32), new_edges[rev].num_dst
+            )
+            plan_inputs.append(
+                (rev, np.asarray(dst, np.int32)[order], np.asarray(src, np.int32)[order])
+            )
+        for key, s_sorted, d_sorted in plan_inputs:
+            es = new_edges[key]
+            sh_src, sh_local, sh_tm, sh_off, k_max = build_sharded_window_plans(
+                np.asarray(s_sorted, np.int32), np.asarray(d_sorted, np.int32),
+                es.num_dst, n_shards,
+            )
+            new_edges[key] = es.replace(
+                shard_win_src=jnp.asarray(sh_src),
+                shard_win_local=jnp.asarray(sh_local),
+                shard_win_tile_map=jnp.asarray(sh_tm),
+                shard_win_offset=jnp.asarray(sh_off),
+                shard_win_windows=int(k_max),
+            )
+    return graph.replace(edges=new_edges)
+
+
+def shard_graph(
+    graph: HeteroGraph, mesh: Mesh, axis: str = DATA_AXIS, host_edges=None
+) -> HeteroGraph:
+    """Place the graph on the mesh with the DP layout (edges sharded).
+
+    With ``host_edges`` (the GraphBundle's host edge dict), per-shard
+    windowed plans are attached first so shard_map aggregation runs the
+    Pallas MXU kernel (ops/segment.py _sharded_windowed_aggregate)."""
+    n = mesh.shape[axis]
     check_graph_divisible(graph, mesh.devices.size)
+    if host_edges is not None:
+        graph = attach_shard_plans(graph, host_edges, n)
     specs = graph_pspecs(graph, axis)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), graph, specs

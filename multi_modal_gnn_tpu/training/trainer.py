@@ -785,7 +785,46 @@ def train_pipeline(
     if tc.batch_size:
         n_train = masker.split_sizes()["train"]
         n_clusters = max(n_clusters, -(-n_train // int(tc.batch_size)))
-    if n_clusters > 1:
+    # multi-device training from config: train.extras.parallel selects the
+    # strategy (dp = 1-D shard_map; 2d = explicit data x patient-table-shard
+    # shard_map; gspmd = 2-D mesh with XLA-placed collectives), sized by
+    # train.num_devices (0 = all).  Framework addition — the reference is
+    # single-device (SURVEY.md section 2.4).  host_edges rides along when the
+    # Pallas path is on so each device gets its own windowed kernel plan.
+    parallel = str(tc.extras.get("parallel", "") or "").lower()
+    if parallel and parallel not in ("none", "off"):
+        if n_clusters > 1:
+            raise ValueError(
+                "train.extras.parallel is incompatible with mini-batch "
+                "clustering (train.batch_size / train.extras.num_clusters)"
+            )
+        plan_edges = bundle.host_edges if config.model.use_pallas else None
+        if parallel in ("dp", "data"):
+            from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer
+
+            trainer = DataParallelTrainer(graph, masker, config, host_edges=plan_edges)
+        elif parallel in ("2d", "dp2d"):
+            from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer, make_2d_mesh
+
+            mesh = make_2d_mesh(
+                tc.num_devices, int(tc.extras.get("model_parallel", 2) or 2)
+            )
+            trainer = TwoDTrainer(graph, masker, config, mesh=mesh, host_edges=plan_edges)
+        elif parallel == "gspmd":
+            from multi_modal_gnn_tpu.parallel.gspmd import GSPMDTrainer, make_2d_mesh
+
+            mesh = make_2d_mesh(
+                tc.num_devices, int(tc.extras.get("model_parallel", 2) or 2)
+            )
+            trainer = GSPMDTrainer(graph, masker, config, mesh=mesh)
+        else:
+            raise ValueError(
+                f"unknown train.extras.parallel={parallel!r} "
+                "(expected dp | 2d | gspmd)"
+            )
+        logger.info("Parallel training (%s) over mesh %s",
+                    parallel, dict(trainer.mesh.shape))
+    elif n_clusters > 1:
         from multi_modal_gnn_tpu.training.minibatch import MiniBatchTrainer
 
         logger.info("Mini-batch training over %d patient clusters", n_clusters)

@@ -20,8 +20,13 @@ could crash the remote compiler (a Mosaic crash wedges the device claim):
      ordering as --span: run after everything else is recorded.  If Mosaic
      rejects it, set MMGNN_SPAN_DMA=0 (dispatch falls back to the paired
      tier) and record the failure in ROADMAP.
+  5. (--shard-kernel) the per-shard windowed kernel under shard_map on a
+     1-device mesh — validates the NON-interpret pallas-under-shard_map
+     lowering (vma-carrying out_shape + Mosaic) that CPU tests emulate with
+     the jnp reference.  MMGNN_SHARD_KERNEL=0 is the escape hatch.
 
-Usage: python scripts/validate_tpu.py [--span] [--span-dma] [--rate 0.2]
+Usage: python scripts/validate_tpu.py [--span] [--span-dma] [--shard-kernel]
+       [--rate 0.2]
 """
 
 from __future__ import annotations
@@ -105,6 +110,66 @@ def _fused(plan, l_s, params, rate, seed):
     )
 
 
+def _check_shard_kernel() -> None:
+    """Per-shard windowed kernel under shard_map, 1-device mesh: the first
+    NON-interpret compile of pallas_call inside shard_map (vma-carrying
+    out_shape).  CPU tests route this through a jnp reference (the hlo
+    interpreter cannot run it — ops/pallas_segment._windowed_segment_sum_ref),
+    so the real lowering is hardware-only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from multi_modal_gnn_tpu.graph.hetero import HeteroGraph, pad_edge_set
+    from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
+    from multi_modal_gnn_tpu.ops.segment import aggregate_neighbors
+    from multi_modal_gnn_tpu.parallel.sharding import graph_pspecs, shard_graph
+
+    rng = np.random.default_rng(0)
+    num_src, num_dst, e = 5_000, 700, 200_000
+    src = rng.integers(0, num_src, e).astype(np.int32)
+    dst = rng.integers(0, num_dst, e).astype(np.int32)
+    es, host = pad_edge_set(src, dst, num_src, num_dst, return_host=True)
+    graph = HeteroGraph(
+        edges={PATIENT_LAB: es},
+        patient_lab_degree=jnp.zeros(num_src, jnp.int32),
+        node_counts=(("lab", num_dst), ("patient", num_src)),
+    )
+    mesh = jax.make_mesh((1,), ("data",))
+    g = shard_graph(graph, mesh, host_edges={PATIENT_LAB: host})
+    x = jnp.asarray(rng.normal(size=(num_src, 128)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(num_dst, 128)).astype(np.float32))
+
+    def body(graph, xr):
+        out = aggregate_neighbors(
+            xr, graph.edges[PATIENT_LAB], "mean", impl="pallas", axis_name="data"
+        )
+        return jnp.sum(out * w)
+
+    got = float(
+        jax.jit(
+            jax.shard_map(body, mesh=mesh, in_specs=(graph_pspecs(g), P()), out_specs=P())
+        )(g, x)
+    )
+    want = float(jnp.sum(aggregate_neighbors(x, es, "mean", impl="xla") * w))
+    print(f"5. shard_map windowed kernel on hardware: {got:.4f} vs xla {want:.4f}")
+    assert abs(got - want) < 1e-2 * max(abs(want), 1.0)
+
+    def grad_body(graph, xr):
+        return jax.grad(lambda xv: body(graph, xv))(xr)
+
+    gsh = jax.jit(
+        jax.shard_map(grad_body, mesh=mesh, in_specs=(graph_pspecs(g), P()), out_specs=P())
+    )(g, x)
+    gref = jax.grad(
+        lambda xv: jnp.sum(aggregate_neighbors(xv, es, "mean", impl="xla") * w)
+    )(x)
+    gerr = float(jnp.max(jnp.abs(gsh - gref)))
+    print(f"5b. shard_map windowed kernel bwd parity: max err {gerr:.2e}")
+    assert gerr < 1e-3
+
+
 def _check_span_dma() -> None:
     """First hardware compile of the span-DMA aggregation kernel: forward
     + gradient parity vs the XLA segment path at scale-like density, plus a
@@ -172,6 +237,10 @@ def main() -> None:
     ap.add_argument("--span-dma", action="store_true",
                     help="ALSO compile the span-DMA aggregation kernel "
                          "(in-kernel make_async_copy lowering; run last)")
+    ap.add_argument("--shard-kernel", action="store_true",
+                    help="ALSO run the per-shard windowed kernel under "
+                         "shard_map on a 1-device mesh (non-interpret "
+                         "pallas-under-shard_map lowering)")
     args = ap.parse_args()
 
     import jax
@@ -220,12 +289,14 @@ def main() -> None:
     np.testing.assert_allclose(base, ref, atol=2e-4)
     print("2. compiled fwd parity vs unfused reference: OK")
 
-    if not args.span and not args.span_dma:
-        print("done (safe checks). Re-run with --span / --span-dma for the "
-              "dynamic-slice and DMA kernel compiles once bench numbers are "
-              "recorded.")
+    if not args.span and not args.span_dma and not args.shard_kernel:
+        print("done (safe checks). Re-run with --span / --span-dma / "
+              "--shard-kernel for the remaining kernel compiles once bench "
+              "numbers are recorded.")
         return
 
+    if args.shard_kernel:
+        _check_shard_kernel()
     if args.span_dma:
         _check_span_dma()
     if not args.span:

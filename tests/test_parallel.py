@@ -118,6 +118,179 @@ def test_dp_scan_chunk_matches_loop(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
 
 
+def test_sharded_windowed_aggregate_matches_xla(setup):
+    """The shard_map Pallas tier (per-shard windowed plans + placement +
+    psum) must match replicated XLA aggregation exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
+    from multi_modal_gnn_tpu.ops.segment import aggregate_neighbors
+    from multi_modal_gnn_tpu.parallel.sharding import graph_pspecs
+
+    cfg, bundle = setup
+    mesh = make_mesh()
+    g = shard_graph(bundle.graph, mesh, host_edges=bundle.host_edges)
+    es = g.edges[PATIENT_LAB]
+    assert es.shard_win_src is not None and es.shard_win_windows > 0
+    # plan arrays sharded, offsets one per device
+    assert not es.shard_win_src.sharding.is_fully_replicated
+    num_src = es.num_src
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.normal(size=(num_src, 32)), np.float32)
+
+    for agg in ("mean", "sum"):
+        def body(graph, xr):
+            return aggregate_neighbors(
+                xr, graph.edges[PATIENT_LAB], agg, impl="pallas", axis_name="data"
+            )
+
+        out = jax.jit(
+            jax.shard_map(
+                body, mesh=mesh, in_specs=(graph_pspecs(g), P()), out_specs=P()
+            )
+        )(g, x)
+        want = aggregate_neighbors(
+            x, bundle.graph.edges[PATIENT_LAB], agg, impl="xla"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    # gradient parity through the sharded kernel's backward (kernel custom
+    # VJP -> per-shard scatter -> replicated-input psum)
+    w = np.asarray(rng.normal(size=want.shape), np.float32)
+
+    def loss_sharded(graph, xr):
+        return jnp.sum(
+            aggregate_neighbors(
+                xr, graph.edges[PATIENT_LAB], "mean", impl="pallas",
+                axis_name="data",
+            )
+            * w
+        )
+
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    def grad_body(graph, xr):
+        # vma tracking auto-restores the replicated gradient of the
+        # replicated input (the cotangent psum is inserted by shard_map)
+        return jax.grad(loss_sharded, argnums=1)(graph, xr)
+
+    g_sh = jax.jit(
+        jax.shard_map(
+            grad_body,
+            mesh=mesh, in_specs=(graph_pspecs(g), P()), out_specs=P(),
+        )
+    )(g, x)
+    g_ref = jax.grad(
+        lambda xr: jnp.sum(
+            aggregate_neighbors(xr, bundle.graph.edges[PATIENT_LAB], "mean", impl="xla") * w
+        )
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_dp_with_shard_plans_matches_single_device(setup):
+    """DataParallelTrainer(host_edges=...) routes aggregation through the
+    per-shard Pallas kernel; training numerics must still match the
+    single-device Trainer (which runs the single-chip Pallas tiers)."""
+    cfg, bundle = setup
+    # use_pallas on BOTH sides: single-device runs the single-chip tiers
+    # (dense here), DP routes through the per-shard windowed kernel.  SGD:
+    # updates are LINEAR in the gradients, so tier-level f32 accumulation
+    # noise stays tiny — Adam's first steps amplify near-zero gradient sign
+    # flips to 2*lr, which would compare optimizer chaos, not the kernel.
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, use_pallas=True),
+        train=dataclasses.replace(
+            cfg.train,
+            optimizer=dataclasses.replace(cfg.train.optimizer, type="sgd"),
+        ),
+    )
+    graph = bundle.graph
+
+    single = Trainer(build_model(cfg, graph), graph, EdgeMasker(graph, seed=42), cfg)
+    dp = DataParallelTrainer(
+        graph, EdgeMasker(graph, seed=42), cfg, mesh=make_mesh(),
+        host_edges=bundle.host_edges,
+    )
+    from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
+
+    assert dp.graph.edges[PATIENT_LAB].shard_win_src is not None
+
+    losses_s, losses_d = [], []
+    for _ in range(4):
+        losses_s.append(single.train_epoch())
+        single.epoch += 1
+        losses_d.append(dp.train_epoch())
+        dp.epoch += 1
+    # cross-TIER comparison (dense single-chip vs per-shard kernel): benign
+    # f32 accumulation differences compound through BN/L2-normalize at
+    # ~1e-4/epoch; exact kernel parity is pinned at the op level above
+    np.testing.assert_allclose(losses_s, losses_d, rtol=1e-3)
+    np.testing.assert_allclose(single.validate("val"), dp.validate("val"), rtol=1e-3)
+
+    # the scanned path shares the same graph pspecs (incl. plan leaves) and
+    # the same tier as the per-epoch DP loop -> tight tolerance
+    scan = DataParallelTrainer(
+        graph, EdgeMasker(graph, seed=42), cfg, mesh=make_mesh(),
+        host_edges=bundle.host_edges,
+    )
+    losses_scan, _ = scan.train_epochs_scanned(4, with_val=True)
+    np.testing.assert_allclose(losses_d, losses_scan, rtol=2e-4)
+
+
+def test_2d_with_shard_plans_matches_dp(setup):
+    """TwoDTrainer(host_edges=...) attaches per-shard kernel plans over the
+    DATA axis (replicated over MODEL); its trajectory must match the 1-D DP
+    trainer running the same per-shard kernel tier."""
+    from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
+    from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer, make_2d_mesh
+
+    cfg, bundle = setup
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, use_pallas=True),
+        train=dataclasses.replace(
+            cfg.train,
+            optimizer=dataclasses.replace(cfg.train.optimizer, type="sgd"),
+        ),
+    )
+    graph = bundle.graph
+
+    dp = DataParallelTrainer(
+        graph, EdgeMasker(graph, seed=42), cfg, mesh=make_mesh(),
+        host_edges=bundle.host_edges,
+    )
+    two_d = TwoDTrainer(
+        graph, EdgeMasker(graph, seed=42), cfg, mesh=make_2d_mesh(8, 2),
+        host_edges=bundle.host_edges,
+    )
+    es = two_d.graph.edges[PATIENT_LAB]
+    assert es.shard_win_src is not None and es.shard_win_windows > 0
+    # plan chunks: 4-way over data (mesh is 4 data x 2 model), so the DP
+    # trainer (8-way) builds DIFFERENT chunks — parity is cross-partition
+    losses_d, losses_t = [], []
+    for _ in range(4):
+        losses_d.append(dp.train_epoch())
+        dp.epoch += 1
+        losses_t.append(two_d.train_epoch())
+        two_d.epoch += 1
+    # different plan partitions (8-way vs 4-way chunks) accumulate in
+    # different orders; SGD keeps the drift at f32-accumulation scale
+    np.testing.assert_allclose(losses_d, losses_t, rtol=1e-3)
+    np.testing.assert_allclose(dp.validate("val"), two_d.validate("val"), rtol=1e-3)
+
+    # scanned epochs share the tier and the 4-way partition -> tight
+    scan = TwoDTrainer(
+        graph, EdgeMasker(graph, seed=42), cfg, mesh=make_2d_mesh(8, 2),
+        host_edges=bundle.host_edges,
+    )
+    losses_scan, _ = scan.train_epochs_scanned(4, with_val=True)
+    np.testing.assert_allclose(losses_t, losses_scan, rtol=2e-4)
+
+
 def test_dp_trains_with_dropout(setup):
     """With dropout on, DP training still works (per-shard independent head
     masks) and the loss goes down."""
@@ -326,3 +499,41 @@ def test_2d_scan_chunk_matches_loop(setup):
     tl_scan, vl_scan = run(True)
     np.testing.assert_allclose(tl_scan, tl_loop, rtol=2e-4)
     np.testing.assert_allclose(vl_scan, vl_loop, rtol=2e-4)
+
+
+@pytest.mark.parametrize("strategy,cls_name", [
+    ("dp", "DataParallelTrainer"), ("2d", "TwoDTrainer"), ("gspmd", "GSPMDTrainer"),
+])
+def test_train_pipeline_routes_parallel_extras(tmp_path, setup, strategy, cls_name):
+    """train.extras.parallel selects the multi-device trainer from config
+    (with model.use_pallas, dp/2d also attach per-shard kernel plans)."""
+    from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
+    from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
+    cfg, bundle = setup
+    cfg2 = cfg.replace(
+        model=dataclasses.replace(cfg.model, use_pallas=(strategy != "gspmd")),
+        train=dataclasses.replace(
+            cfg.train, epochs=2, scan_chunk=1,
+            extras={**cfg.train.extras, "parallel": strategy},
+        ),
+    )
+    trainer, results = train_pipeline(cfg2, bundle, tmp_path / strategy)
+    assert type(trainer).__name__ == cls_name
+    if strategy in ("dp", "2d"):
+        assert trainer.graph.edges[PATIENT_LAB].shard_win_src is not None
+    assert np.isfinite(results["test_loss"])
+
+
+def test_train_pipeline_parallel_rejects_clusters(tmp_path, setup):
+    cfg, bundle = setup
+    cfg2 = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, epochs=1,
+            extras={**cfg.train.extras, "parallel": "dp", "num_clusters": 2},
+        ),
+    )
+    from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
+    with pytest.raises(ValueError, match="incompatible"):
+        train_pipeline(cfg2, bundle, tmp_path)
