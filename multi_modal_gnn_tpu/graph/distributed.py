@@ -59,12 +59,20 @@ def _shard_path(base: Path, k: int, n: int) -> Path:
     return base.parent / f"{base.name}.shard{k:03d}-of-{n:03d}.npz"
 
 
-def save_graph_sharded(bundle: GraphBundle, path: str | Path, num_shards: int) -> Path:
+def save_graph_sharded(
+    bundle: GraphBundle, path: str | Path, num_shards: int, kernel_plans: bool = False
+) -> Path:
     """Write the bundle as ``num_shards`` edge-chunk files + common arrays.
 
     ``num_shards`` must divide every relation's padded edge length (pad
     multiple 1024 makes any power-of-two mesh divide; use
     ``parallel.sharding.check_graph_divisible`` semantics).
+
+    ``kernel_plans``: additionally build and store per-shard windowed kernel
+    plans (graph/hetero.py build_sharded_window_plans) so
+    ``load_graph_distributed`` brings up a graph whose shard_map aggregation
+    runs the Pallas MXU segment kernel — without any host ever holding the
+    global edge list.  Costs ~2x the edge bytes per relation on disk.
     """
     base = _base(path)
     base.parent.mkdir(parents=True, exist_ok=True)
@@ -81,16 +89,14 @@ def save_graph_sharded(bundle: GraphBundle, path: str | Path, num_shards: int) -
                 f"Edge padding of {et} ({e_pad}) not divisible by num_shards={num_shards}; "
                 "raise graph.edge_pad_multiple"
             )
-        edge_index.append(
-            {
-                "edge_type": list(et),
-                "num_valid": es.num_valid,
-                "num_src": es.num_src,
-                "num_dst": es.num_dst,
-                "has_val": es.val is not None,
-                "num_padded": e_pad,
-            }
-        )
+        entry = {
+            "edge_type": list(et),
+            "num_valid": es.num_valid,
+            "num_src": es.num_src,
+            "num_dst": es.num_dst,
+            "has_val": es.val is not None,
+            "num_padded": e_pad,
+        }
         common[f"{key}{_SEP}dst_count"] = np.asarray(es.dst_count)
         common[f"{key}{_SEP}row_ptr"] = np.asarray(es.row_ptr)
         chunk = e_pad // num_shards
@@ -100,6 +106,24 @@ def save_graph_sharded(bundle: GraphBundle, path: str | Path, num_shards: int) -
         for k in range(num_shards):
             for col, arr in cols.items():
                 shards[k][f"{key}{_SEP}{col}"] = arr[k * chunk : (k + 1) * chunk]
+        if kernel_plans:
+            from multi_modal_gnn_tpu.graph.hetero import build_sharded_window_plans
+
+            # padded arrays are dst-sorted with padding (dst == num_dst)
+            # last, so the first num_valid entries ARE the sorted valid edges
+            nv = es.num_valid
+            sh_src, sh_local, sh_tm, sh_off, k_max = build_sharded_window_plans(
+                cols["src"][:nv], cols["dst"][:nv], es.num_dst, num_shards
+            )
+            slot_chunk = len(sh_src) // num_shards
+            tile_chunk = len(sh_tm) // num_shards
+            for k in range(num_shards):
+                shards[k][f"{key}{_SEP}swin_src"] = sh_src[k * slot_chunk : (k + 1) * slot_chunk]
+                shards[k][f"{key}{_SEP}swin_local"] = sh_local[k * slot_chunk : (k + 1) * slot_chunk]
+                shards[k][f"{key}{_SEP}swin_tm"] = sh_tm[k * tile_chunk : (k + 1) * tile_chunk]
+            entry["shard_win_windows"] = int(k_max)
+            entry["shard_win_offsets"] = [int(o) for o in sh_off]
+        edge_index.append(entry)
 
     np.savez_compressed(base.parent / f"{base.name}.common.npz", **common)
     for k in range(num_shards):
@@ -205,6 +229,32 @@ def load_graph_distributed(
             if entry["has_val"]
             else None
         )
+        # per-shard windowed kernel plans (written by
+        # save_graph_sharded(kernel_plans=True)): each device loads only its
+        # own plan chunk and shard_map aggregation runs the MXU segment
+        # kernel (ops/segment.py _sharded_windowed_aggregate).  Without them
+        # the sharded trainers run the XLA segment-sum path — the single-chip
+        # tiers (window plans / dense adjacency) are never built here.
+        plan_kwargs = {}
+        if entry.get("shard_win_windows"):
+            offsets = np.asarray(entry["shard_win_offsets"], np.int32)
+            slot_len = len(_shard_data(0)[f"{key}{_SEP}swin_src"])
+            tile_len = len(_shard_data(0)[f"{key}{_SEP}swin_tm"])
+            plan_kwargs = dict(
+                shard_win_src=_device_shard_arrays(
+                    (slot_len * num_shards,), np.int32, lambda k: col("swin_src", k)
+                ),
+                shard_win_local=_device_shard_arrays(
+                    (slot_len * num_shards,), np.int32, lambda k: col("swin_local", k)
+                ),
+                shard_win_tile_map=_device_shard_arrays(
+                    (tile_len * num_shards,), np.int32, lambda k: col("swin_tm", k)
+                ),
+                shard_win_offset=_device_shard_arrays(
+                    (num_shards,), np.int32, lambda k: offsets[k : k + 1]
+                ),
+                shard_win_windows=int(entry["shard_win_windows"]),
+            )
         edges[et] = EdgeSet(
             src=src,
             dst=dst,
@@ -212,12 +262,10 @@ def load_graph_distributed(
             val=val,
             dst_count=jax.device_put(common[f"{key}{_SEP}dst_count"], replicated),
             row_ptr=jax.device_put(common[f"{key}{_SEP}row_ptr"], replicated),
-            # single-chip tiers (window plans / dense adjacency / gather
-            # plans) are not built in distributed mode: the sharded trainers
-            # run the XLA path with psum-combined partial segment sums
             num_valid=int(entry["num_valid"]),
             num_src=int(entry["num_src"]),
             num_dst=int(entry["num_dst"]),
+            **plan_kwargs,
         )
         if host_edges is not None and et == PATIENT_LAB:
             srcs, dsts, vals = [], [], []
