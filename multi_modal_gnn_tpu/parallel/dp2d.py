@@ -225,6 +225,14 @@ class TwoDTrainer(Trainer):
         # identical on every shard already (replicated inputs), nothing to do
         return new_state, loss
 
+    def restore(self, path, force: bool = False) -> None:
+        """Resume re-places the restored (host) state on the mesh: the
+        patient table and its adam moments go back to their model-axis
+        shards, everything else replicated — so the donated train step never
+        resharding-copies on the first post-resume dispatch."""
+        super().restore(path, force=force)
+        self._place_state()
+
     def _make_scan_fn(self, k: int, with_val: bool):
         # same scanned program as DP, with the patient table (+ its adam
         # moments) staying model-axis-sharded through the whole scan

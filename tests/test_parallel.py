@@ -537,3 +537,45 @@ def test_train_pipeline_parallel_rejects_clusters(tmp_path, setup):
 
     with pytest.raises(ValueError, match="incompatible"):
         train_pipeline(cfg2, bundle, tmp_path)
+
+
+def test_parallel_fit_checkpoint_resume(tmp_path, setup):
+    """fit + mid-training resume works for the sharded trainers: a DP run
+    interrupted at epoch 2 and resumed matches the uninterrupted run, and a
+    resumed TwoDTrainer re-places its patient table on the model axis."""
+    from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer, make_2d_mesh
+
+    cfg, bundle = setup
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, epochs=4, scan_chunk=1),
+        logging=dataclasses.replace(
+            cfg.logging, save_checkpoints=True, checkpoint_interval=2
+        ),
+    )
+    graph = bundle.graph
+
+    def run_dp(out, resume):
+        t = DataParallelTrainer(graph, EdgeMasker(graph, seed=11), cfg, mesh=make_mesh())
+        t.fit(output_dir=out, resume_from=resume)
+        return t
+
+    full = run_dp(tmp_path / "full", None)
+    part_cfg_dir = tmp_path / "part"
+    t_part = DataParallelTrainer(graph, EdgeMasker(graph, seed=11), cfg.replace(
+        train=dataclasses.replace(cfg.train, epochs=2)), mesh=make_mesh())
+    t_part.fit(output_dir=part_cfg_dir)
+    resumed = run_dp(part_cfg_dir, part_cfg_dir / "checkpoint_epoch_2.ckpt")
+    np.testing.assert_allclose(
+        full.history["train_loss"], resumed.history["train_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(full.validate("val"), resumed.validate("val"), rtol=1e-6)
+
+    # 2-D: restore() re-places the table shard on the model axis
+    mesh2 = make_2d_mesh(8, 2)
+    t2 = TwoDTrainer(graph, EdgeMasker(graph, seed=11), cfg, mesh=mesh2)
+    t2.fit(output_dir=tmp_path / "two_d")
+    t2b = TwoDTrainer(graph, EdgeMasker(graph, seed=11), cfg, mesh=mesh2)
+    t2b.restore(tmp_path / "two_d" / "best_model.ckpt")
+    emb = t2b.state.params["embed_patient"]["embedding"]
+    assert not emb.sharding.is_fully_replicated
+    np.testing.assert_allclose(t2.validate("val"), t2b.validate("val"), rtol=1e-6)
