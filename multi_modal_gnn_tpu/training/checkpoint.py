@@ -28,7 +28,17 @@ def save_checkpoint(
     state_pytree: Any,
     metadata: Optional[Dict] = None,
 ) -> Path:
-    """Serialize a pytree of arrays to ``<path>`` (msgpack) + ``<path>.json``."""
+    """Serialize a pytree of arrays to ``<path>`` (msgpack) + ``<path>.json``.
+
+    Multi-controller runs (``jax.process_count() > 1``) dispatch to the
+    sharded format: ``jax.device_get`` of a cross-host-sharded array (e.g.
+    the 2-D trainer's patient table when the model axis spans hosts) would
+    fail on non-addressable shards, so instead every process writes ONLY the
+    shards it owns (``<path>.procNNN.npz``) — see
+    :func:`save_checkpoint_sharded`.  Single-process saves are unchanged.
+    """
+    if jax.process_count() > 1:
+        return save_checkpoint_sharded(path, state_pytree, metadata)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     state_host = jax.device_get(state_pytree)
@@ -40,11 +50,140 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str | Path, target_pytree: Any) -> tuple[Any, Dict]:
-    """Restore a checkpoint into the structure of ``target_pytree``."""
+    """Restore a checkpoint into the structure of ``target_pytree``.
+
+    Detects the sharded multi-controller format (``<path>.procNNN.npz``
+    files next to ``path``) and reassembles each leaf against the TARGET
+    leaf's sharding — each process device_puts only its own devices' chunks.
+    """
     path = Path(path)
+    if not path.exists() and _proc_files(path):
+        return load_checkpoint_sharded(path, target_pytree)
     with open(path, "rb") as f:
         restored = serialization.from_bytes(target_pytree, f.read())
     meta_path = path.with_suffix(path.suffix + ".json")
     metadata = load_json(meta_path) if meta_path.exists() else {}
     logger.info("Loaded checkpoint from %s", path)
+    return restored, metadata
+
+
+# -- sharded (multi-controller) format ---------------------------------------
+#
+# One npz per process holding only the chunks that process OWNS, plus the
+# usual JSON sidecar (written by process 0).  Ownership of a chunk (a
+# distinct global index tuple of a leaf) goes to the lowest-device-id holder,
+# so replicated leaves are written once (by whichever process owns device 0)
+# and sharded leaves are partitioned without duplication.  Restore keys
+# chunks by (leaf position, index bounds), so any mesh/process layout that
+# produces the same global partition can load the artifact — the layout at
+# save time does not need to match the layout at load time.
+
+
+def _proc_files(path: Path) -> list[Path]:
+    return sorted(path.parent.glob(f"{path.name}.proc*.npz"))
+
+
+def _enc_index(idx, shape) -> str:
+    """Stable string key for a devices_indices_map entry."""
+    parts = []
+    for s, dim in zip(idx, shape):
+        lo = 0 if s.start is None else int(s.start)
+        hi = dim if s.stop is None else int(s.stop)
+        parts.append(f"{lo}:{hi}")
+    return ",".join(parts)
+
+
+def _flatten(pytree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(pytree)
+    return [leaf for _, leaf in flat]
+
+
+def save_checkpoint_sharded(
+    path: str | Path,
+    state_pytree: Any,
+    metadata: Optional[Dict] = None,
+) -> Path:
+    import numpy as np
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    proc = jax.process_index()
+    chunks: Dict[str, Any] = {}
+    n_leaves = 0
+    for i, leaf in enumerate(_flatten(state_pytree)):
+        n_leaves += 1
+        if isinstance(leaf, jax.Array):
+            index_map = leaf.sharding.devices_indices_map(leaf.shape)
+            owner: Dict[str, int] = {}
+            for dev, idx in index_map.items():
+                key = _enc_index(idx, leaf.shape)
+                owner[key] = min(owner.get(key, dev.id), dev.id)
+            for shard in leaf.addressable_shards:
+                key = _enc_index(shard.index, leaf.shape)
+                if shard.device.id == owner[key]:
+                    chunks[f"{i}||{key}"] = np.asarray(shard.data)
+        elif proc == 0:
+            chunks[f"{i}||host"] = np.asarray(leaf)
+    np.savez(path.parent / f"{path.name}.proc{proc:03d}.npz", **chunks)
+    if proc == 0:
+        meta = dict(metadata or {})
+        meta["sharded_checkpoint"] = {
+            "num_processes": jax.process_count(),
+            "num_leaves": n_leaves,
+        }
+        save_json(meta, path.with_suffix(path.suffix + ".json"))
+    logger.info(
+        "Saved sharded checkpoint %s (process %d: %d chunks)", path, proc, len(chunks)
+    )
+    return path
+
+
+def load_checkpoint_sharded(path: str | Path, target_pytree: Any) -> tuple[Any, Dict]:
+    import numpy as np
+
+    path = Path(path)
+    files = _proc_files(path)
+    if not files:
+        raise FileNotFoundError(f"no {path}.proc*.npz shard files found")
+    merged: Dict[str, np.ndarray] = {}
+    for f in files:
+        with np.load(f) as z:
+            for k in z.files:
+                merged[k] = z[k]
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target_pytree)
+    out = []
+    for i, (_, leaf) in enumerate(flat):
+        if isinstance(leaf, jax.Array):
+            sharding = leaf.sharding
+            index_map = sharding.devices_indices_map(leaf.shape)
+            arrays = []
+            for dev in sharding.addressable_devices:
+                key = f"{i}||{_enc_index(index_map[dev], leaf.shape)}"
+                if key not in merged:
+                    raise ValueError(
+                        f"sharded checkpoint {path} has no chunk {key} — saved "
+                        "with an incompatible global partition for this mesh?"
+                    )
+                raw = merged[key]
+                want = np.dtype(leaf.dtype)
+                if raw.dtype != want:
+                    # npz round-trips ml_dtypes (bfloat16, fp8) as opaque
+                    # void records of the same width — reinterpret, never cast
+                    raw = (
+                        raw.view(want)
+                        if raw.dtype.kind == "V" and raw.dtype.itemsize == want.itemsize
+                        else raw.astype(want)
+                    )
+                arrays.append(jax.device_put(raw, dev))
+            out.append(
+                jax.make_array_from_single_device_arrays(leaf.shape, sharding, arrays)
+            )
+        else:
+            val = merged[f"{i}||host"]
+            out.append(type(leaf)(val.item()) if np.ndim(val) == 0 else val)
+    restored = jax.tree_util.tree_unflatten(treedef, out)
+    meta_path = path.with_suffix(path.suffix + ".json")
+    metadata = load_json(meta_path) if meta_path.exists() else {}
+    logger.info("Loaded sharded checkpoint from %s (%d files)", path, len(files))
     return restored, metadata

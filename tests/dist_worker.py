@@ -53,7 +53,14 @@ assert len(jax.devices()) == nprocs * local_devices, (
 assert len(jax.local_devices()) == local_devices
 
 trainer_kind = os.environ.get("DW_TRAINER", "dp")
-if trainer_kind in ("2d", "gspmd"):
+if trainer_kind == "2d_ckpt":
+    # model axis ACROSS processes: the patient table's shards live on
+    # different hosts, so plain device_get (the single-controller
+    # checkpoint path) would die on non-addressable shards — this is the
+    # topology the sharded checkpoint format exists for
+    devs = np.array(jax.devices()).reshape(nprocs, local_devices).T
+    mesh = Mesh(devs, ("data", "model"))
+elif trainer_kind in ("2d", "gspmd"):
     # data axis ACROSS processes (DCN analogue), model axis within each
     # process (ICI analogue): devices reshape (data=2, model=2) row-major,
     # so each process's 2 local devices form one data row
@@ -69,12 +76,31 @@ if trainer_kind == "gspmd":
 
     cls = GSPMDTrainer
 else:
-    cls = TwoDTrainer if trainer_kind == "2d" else DataParallelTrainer
+    cls = TwoDTrainer if trainer_kind in ("2d", "2d_ckpt") else DataParallelTrainer
 trainer = cls(loaded.graph, masker, Config(), mesh=mesh)
 loss = trainer.train_epoch()
 val = trainer.validate()
-print(
-    "DWRESULT "
-    + json.dumps({"pid": pid, "loss": float(loss), "val": float(val)}),
-    flush=True,
-)
+
+result = {"pid": pid, "loss": float(loss), "val": float(val)}
+if trainer_kind == "2d_ckpt":
+    from jax.experimental import multihost_utils
+
+    from multi_modal_gnn_tpu.training.checkpoint import save_checkpoint
+
+    emb = trainer.state.params["embed_patient"]["embedding"]
+    result["table_fully_addressable"] = bool(emb.is_fully_addressable)
+    ckpt = Path(os.environ["DW_OUT"]) / "ckpt"
+    trainer.epoch += 1
+    trainer._save(ckpt)  # dispatches to the sharded per-process format
+    multihost_utils.sync_global_devices("ckpt_saved")
+
+    fresh = TwoDTrainer(
+        loaded.graph,
+        EdgeMasker(loaded.graph, seed=7, host_edges=loaded.host_edges[PATIENT_LAB]),
+        Config(),
+        mesh=mesh,
+    )
+    fresh.restore(ckpt)
+    result["val_restored"] = float(fresh.validate())
+    result["epoch_restored"] = fresh.epoch
+print("DWRESULT " + json.dumps(result), flush=True)

@@ -108,3 +108,66 @@ def test_two_process_training_matches_single_process(tmp_path, kind):
         np.testing.assert_allclose(results[pid]["loss"], ref_loss, rtol=1e-5)
         np.testing.assert_allclose(results[pid]["val"], ref_val, rtol=1e-5)
     np.testing.assert_allclose(results[0]["loss"], results[1]["loss"], rtol=0)
+
+
+def test_two_process_sharded_checkpoint_roundtrip(tmp_path):
+    """Cross-host checkpointing: the 2-D trainer with its patient table
+    sharded over a model axis that SPANS the two processes (device_get
+    would fail on non-addressable shards) saves per-process shard files and
+    a fresh trainer restores to identical validation loss."""
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=5), Config())
+    base = save_graph_sharded(bundle, tmp_path / "g", num_shards=2)
+
+    port = _free_port()
+    env_base = {
+        **os.environ,
+        "DW_NPROCS": "2",
+        "DW_PORT": str(port),
+        "DW_GRAPH": str(base),
+        "DW_LOCAL_DEVICES": "2",
+        "DW_TRAINER": "2d_ckpt",
+        "DW_OUT": str(tmp_path),
+        "XLA_FLAGS": "",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "dist_worker.py")],
+            env={**env_base, "DW_PID": str(pid)},
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=str(REPO),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out:\n" + "\n---\n".join(outs))
+
+    results = {}
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        for line in out.splitlines():
+            if line.startswith("DWRESULT "):
+                r = json.loads(line[len("DWRESULT "):])
+                results[r["pid"]] = r
+    assert set(results) == {0, 1}, f"missing worker results:\n{outs}"
+
+    # the topology is the point: the table must NOT be fully addressable
+    for pid in (0, 1):
+        assert results[pid]["table_fully_addressable"] is False
+        np.testing.assert_allclose(
+            results[pid]["val_restored"], results[pid]["val"], rtol=1e-6
+        )
+        assert results[pid]["epoch_restored"] == 1
+    # one shard file per process, both non-trivial
+    files = sorted(tmp_path.glob("ckpt.proc*.npz"))
+    assert [f.name for f in files] == ["ckpt.proc000.npz", "ckpt.proc001.npz"]
+    assert all(f.stat().st_size > 1000 for f in files)
+    assert (tmp_path / "ckpt.json").exists()
