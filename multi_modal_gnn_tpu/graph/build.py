@@ -398,4 +398,25 @@ def build_graph_from_preprocessed(
         from multi_modal_gnn_tpu.graph.serialize import save_graph
 
         save_graph(bundle, output_path)
+        # multi-host artifacts from config: graph.extras.num_shards > 1 also
+        # writes per-shard chunk files next to the single-file artifact, so a
+        # pod launch can load_graph_distributed the same pipeline output.
+        # graph.extras.shard_kernel_plans (default: model.use_pallas) bakes
+        # per-shard windowed MXU-kernel plans into the shards.
+        n_shards = int(config.graph.extras.get("num_shards", 0) or 0)
+        if n_shards > 1:
+            from multi_modal_gnn_tpu.graph.distributed import save_graph_sharded
+
+            base = Path(output_path)
+            base = base.with_suffix("") if base.suffix == ".npz" else base
+            save_graph_sharded(
+                bundle,
+                base.parent / f"{base.name}_sharded",
+                num_shards=n_shards,
+                kernel_plans=bool(
+                    config.graph.extras.get(
+                        "shard_kernel_plans", config.model.use_pallas
+                    )
+                ),
+            )
     return bundle

@@ -147,3 +147,32 @@ def test_kernel_plans_roundtrip(bundle, tmp_path):
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4, err_msg=str(et)
         )
+
+
+def test_pipeline_writes_sharded_artifacts(tmp_path):
+    """graph.extras.num_shards routes the build stage to ALSO write the
+    multi-host artifact (with kernel plans when model.use_pallas)."""
+    import dataclasses as dc
+
+    from multi_modal_gnn_tpu.data.synthetic import generate_synthetic_tables
+    from multi_modal_gnn_tpu.graph.build import build_graph_from_preprocessed
+    from multi_modal_gnn_tpu.utils.io import save_dataframe
+
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dc.replace(cfg.model, use_pallas=True),
+        graph=dc.replace(cfg.graph, extras={"num_shards": 4}),
+    )
+    tables = generate_synthetic_tables(SyntheticSpec.tiny(seed=5))
+    interim = tmp_path / "interim"
+    interim.mkdir()
+    for name in ("labs_normalized", "cohort", "diagnoses", "medications", "labitems"):
+        save_dataframe(tables[name], interim / f"{name}.parquet")
+
+    build_graph_from_preprocessed(interim, cfg, output_path=tmp_path / "graph")
+    assert (tmp_path / "graph.npz").exists()
+    assert (tmp_path / "graph_sharded.shard000-of-004.npz").exists()
+
+    loaded = load_graph_distributed(tmp_path / "graph_sharded", make_mesh(4))
+    es = loaded.graph.edges[PATIENT_LAB]
+    assert es.shard_win_src is not None and es.shard_win_windows > 0
