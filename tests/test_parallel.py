@@ -579,3 +579,33 @@ def test_parallel_fit_checkpoint_resume(tmp_path, setup):
     emb = t2b.state.params["embed_patient"]["embedding"]
     assert not emb.sharding.is_fully_replicated
     np.testing.assert_allclose(t2.validate("val"), t2b.validate("val"), rtol=1e-6)
+
+
+def test_shard_kernel_env_escape(setup, monkeypatch):
+    """MMGNN_SHARD_KERNEL=0 disables the per-shard kernel dispatch (the
+    Mosaic-rejection escape hatch): aggregation falls back to the XLA path
+    and still produces the same numbers."""
+    from jax.sharding import PartitionSpec as P
+
+    from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
+    from multi_modal_gnn_tpu.ops.segment import aggregate_neighbors
+    from multi_modal_gnn_tpu.parallel.sharding import graph_pspecs
+
+    cfg, bundle = setup
+    mesh = make_mesh()
+    g = shard_graph(bundle.graph, mesh, host_edges=bundle.host_edges)
+    rng = np.random.default_rng(1)
+    x = np.asarray(rng.normal(size=(g.edges[PATIENT_LAB].num_src, 16)), np.float32)
+
+    monkeypatch.setenv("MMGNN_SHARD_KERNEL", "0")
+
+    def body(graph, xr):
+        return aggregate_neighbors(
+            xr, graph.edges[PATIENT_LAB], "mean", impl="pallas", axis_name="data"
+        )
+
+    out = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(graph_pspecs(g), P()), out_specs=P())
+    )(g, x)
+    want = aggregate_neighbors(x, bundle.graph.edges[PATIENT_LAB], "mean", impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4)
