@@ -267,3 +267,44 @@ def test_cached_state_matches_head_bilinear(config):
     )
     bundle = make_synthetic_bundle(SyntheticSpec.tiny(), cfg)
     _assert_serving_matches_full(bundle, cfg)
+
+
+def test_serving_from_parallel_trainers(tiny_bundle, config, tmp_path):
+    """Serving works straight off the multi-device trainers: cached node
+    state from a DP trainer (replicated params) and a TwoDTrainer (patient
+    table sharded over the model axis) matches the single-device trainer's
+    predictions, and export round-trips."""
+    from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer
+    from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer, make_2d_mesh
+    from multi_modal_gnn_tpu.parallel.mesh import make_mesh
+    from multi_modal_gnn_tpu.serving import ServingModel, export_serving
+
+    cfg = config.replace(
+        model=dataclasses.replace(config.model, dropout=0.0),
+        train=dataclasses.replace(config.train, donate_state=False),
+    )
+    single = _train_briefly(tiny_bundle, cfg)
+    p, l = _pairs(tiny_bundle, 64)
+    want = single.predict_pairs(p, l)
+
+    dp = DataParallelTrainer(
+        tiny_bundle.graph, EdgeMasker(tiny_bundle.graph, seed=cfg.train.seed),
+        cfg, mesh=make_mesh(),
+    )
+    two_d = TwoDTrainer(
+        tiny_bundle.graph, EdgeMasker(tiny_bundle.graph, seed=cfg.train.seed),
+        cfg, mesh=make_2d_mesh(8, 2),
+    )
+    for t in (dp, two_d):
+        # NB no epoch increment — mirrors _train_briefly's single trainer so
+        # the (seed, epoch)-keyed supervision draws match step for step
+        for _ in range(3):
+            t.train_epoch()
+        fn, _ = build_serving_fn(t)
+        got = np.asarray(fn(p, l))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    out = tmp_path / "serve_dp"
+    export_serving(dp, tiny_bundle, out)
+    served = ServingModel.load(out)
+    np.testing.assert_allclose(served.predict(p, l), want, rtol=1e-3, atol=1e-4)
