@@ -241,3 +241,54 @@ def test_regroup_slots_by_lab_span_invariants(num_p, num_l, n, block_rows, seed)
         win_local, np.asarray(plan.win_tile_map), l_s, num_l, block_rows
     )
     assert e2 <= e2_block
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    edge_case,
+    st.integers(min_value=1, max_value=9),  # n_shards
+)
+def test_build_sharded_window_plans_invariants(case, n_shards):
+    """Per-shard plan invariants the shard_map kernel tier rests on: every
+    shard has identical slot/tile counts; window sequences are monotone and
+    initialize every local window 0..k_max-1; each real slot's reconstructed
+    global destination (offset + tile window)*128 + local matches a valid
+    edge, and the union over shards is EXACTLY the valid edge multiset."""
+    from multi_modal_gnn_tpu.graph.hetero import build_sharded_window_plans
+
+    num_src, num_dst, e, seed = case
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_src, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, num_dst, e).astype(np.int32))
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+
+    sh_src, sh_local, sh_tm, sh_off, k_max = build_sharded_window_plans(
+        src, dst, num_dst, n_shards
+    )
+    assert k_max >= 1
+    assert len(sh_src) == len(sh_local)
+    assert len(sh_src) % (n_shards * TILE_E) == 0
+    assert len(sh_tm) % n_shards == 0
+    slot_len = len(sh_src) // n_shards
+    tile_len = len(sh_tm) // n_shards
+    assert slot_len == tile_len * TILE_E
+
+    rec = []
+    for s in range(n_shards):
+        local = sh_local[s * slot_len : (s + 1) * slot_len]
+        srcs = sh_src[s * slot_len : (s + 1) * slot_len]
+        tm = sh_tm[s * tile_len : (s + 1) * tile_len]
+        # monotone window sequence covering 0..k_max-1 (padding tiles
+        # initialize every block the kernel's revisit pattern would skip)
+        assert (np.diff(tm) >= 0).all()
+        assert set(range(k_max)) <= set(tm.tolist())
+        assert tm.min() == 0 and tm.max() == k_max - 1
+        real = local < WINDOW
+        assert (local[~real] == WINDOW).all()
+        w_of_slot = np.repeat(tm, TILE_E)
+        g_dst = (int(sh_off[s]) + w_of_slot[real]) * WINDOW + local[real]
+        rec += list(zip(srcs[real].tolist(), g_dst.tolist()))
+        assert (np.asarray(g_dst) < num_dst).all() if real.any() else True
+
+    assert sorted(rec) == sorted(zip(src.tolist(), dst.tolist()))
