@@ -17,6 +17,7 @@ subsystem is the TPU-native scaling layer designed from scratch:
 from multi_modal_gnn_tpu.parallel.mesh import make_mesh  # noqa: F401
 from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer  # noqa: F401
 from multi_modal_gnn_tpu.parallel.sharding import (  # noqa: F401
+    attach_shard_plans,
     batch_pspec,
     graph_pspecs,
     shard_batch,
