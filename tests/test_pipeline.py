@@ -246,3 +246,50 @@ def test_patient_context_in_reports(quick_trained, tmp_path):
     # run_inference attaches context to every example
     result = run_inference(cfg, bundle, trainer, tmp_path, num_examples=2, cohort=cohort)
     assert all("context" in ex for ex in result["examples"])
+
+
+def test_pipeline_cli_distributed_knobs(tmp_path):
+    """The 8-step CLI with the config-routed scaling knobs: parallel=dp
+    training (per-shard kernel plans via use_pallas) + multi-host graph
+    artifacts (graph.extras.num_shards) in one run."""
+    from multi_modal_gnn_tpu.config import load_config, save_config
+
+    cfg = load_config("conf/config.yaml")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            dataset="synthetic",
+            interim_dir=str(tmp_path / "interim"),
+            output_dir=str(tmp_path / "out"),
+        ),
+        model=dataclasses.replace(cfg.model, hidden_dim=32, use_pallas=True),
+        graph=dataclasses.replace(cfg.graph, extras={"num_shards": 4}),
+        train=dataclasses.replace(
+            cfg.train, epochs=5, extras={"parallel": "dp"}
+        ),
+        logging=dataclasses.replace(
+            cfg.logging, log_file=str(tmp_path / "out" / "training.log")
+        ),
+    )
+    cfg_path = tmp_path / "config.yaml"
+    save_config(cfg, cfg_path)
+
+    env = dict(__import__("os").environ)
+    env["MMGNN_FORCE_CPU"] = "1"
+    env["MMGNN_CPU_DEVICES"] = "4"  # a real 4-way DP mesh, not a 1-device one
+    proc = subprocess.run(
+        [sys.executable, "run_pipeline.py", "--config", str(cfg_path), "--no-confirm"],
+        capture_output=True, text=True, timeout=1200, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    out = tmp_path / "out"
+    for artifact in (
+        "graph.npz",
+        "graph_sharded.shard000-of-004.npz",
+        "graph_sharded.common.npz",
+        "best_model.ckpt",
+        "evaluation_results.json",
+        "serving/serving.json",
+    ):
+        assert (out / artifact).exists(), artifact
