@@ -265,6 +265,44 @@ def main() -> None:
     finally:
         jax.default_backend = orig_backend
 
+    # ---- the FULL single-chip train step, all Pallas tiers engaged ----
+    print("full train step (windowed aggregation + fused pair heads + adam):")
+    import dataclasses
+
+    from multi_modal_gnn_tpu.config import Config
+    from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
+    from multi_modal_gnn_tpu.models.factory import build_model
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+    from multi_modal_gnn_tpu.training.trainer import Trainer
+
+    jax.default_backend = lambda: "tpu"
+    try:
+        cfg = Config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, use_pallas=True, dropout=0.2),
+            graph=dataclasses.replace(cfg.graph, dense_adjacency_max_bytes=0),
+            train=dataclasses.replace(cfg.train, donate_state=False),
+        )
+        bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=5), cfg)
+        t = Trainer(
+            build_model(cfg, bundle.graph),
+            bundle.graph,
+            EdgeMasker(
+                bundle.graph, seed=0,
+                host_edges=bundle.patient_lab_host(), slot_major_train=True,
+            ),
+            cfg,
+        )
+        batch = t._get_batch("train")
+        key = jax.random.PRNGKey(0)
+        sup = t._draw_sup_mask(key, batch.valid)
+        run(
+            "train step (no dense tier, slot-major, dropout)",
+            t._train_step_impl, t.state, t.graph, batch, t.lab_weights, sup, key,
+        )
+    finally:
+        jax.default_backend = orig_backend
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} LOWERING CHECK(S) FAILED: {FAILURES}")
