@@ -138,6 +138,19 @@ def save_checkpoint_sharded(
     return path
 
 
+def _fix_dtype(raw, want):
+    """npz round-trips ml_dtypes (bfloat16, fp8) as opaque void records of
+    the same width — reinterpret, never cast."""
+    import numpy as np
+
+    want = np.dtype(want)
+    if raw.dtype == want:
+        return raw
+    if raw.dtype.kind == "V" and raw.dtype.itemsize == want.itemsize:
+        return raw.view(want)
+    return raw.astype(want)
+
+
 def load_checkpoint_sharded(path: str | Path, target_pytree: Any) -> tuple[Any, Dict]:
     import numpy as np
 
@@ -151,30 +164,49 @@ def load_checkpoint_sharded(path: str | Path, target_pytree: Any) -> tuple[Any, 
             for k in z.files:
                 merged[k] = z[k]
 
+    def _assemble_full(i: int, leaf) -> "np.ndarray":
+        """ELASTIC path: the target partition differs from the saved one
+        (e.g. an 8-process run resumed on 4, or replicated -> sharded).
+        The saved chunks form a disjoint cover of the global array by
+        construction, so reassemble it and let the caller re-slice."""
+        full = np.zeros(leaf.shape, np.dtype(leaf.dtype))
+        found = False
+        prefix = f"{i}||"
+        for k, v in merged.items():
+            if not k.startswith(prefix) or k == f"{prefix}host":
+                continue
+            found = True
+            bounds = k[len(prefix):]
+            if not bounds:
+                return _fix_dtype(v, leaf.dtype).reshape(leaf.shape)
+            sl = tuple(
+                slice(*map(int, b.split(":"))) for b in bounds.split(",")
+            )
+            full[sl] = _fix_dtype(v, leaf.dtype)
+        if not found:
+            raise ValueError(
+                f"sharded checkpoint {path} has no chunks for leaf {i} "
+                f"(shape {leaf.shape}) — saved from a different state tree?"
+            )
+        return full
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(target_pytree)
     out = []
+    assembled: Dict[int, "np.ndarray"] = {}
     for i, (_, leaf) in enumerate(flat):
         if isinstance(leaf, jax.Array):
             sharding = leaf.sharding
             index_map = sharding.devices_indices_map(leaf.shape)
             arrays = []
             for dev in sharding.addressable_devices:
-                key = f"{i}||{_enc_index(index_map[dev], leaf.shape)}"
-                if key not in merged:
-                    raise ValueError(
-                        f"sharded checkpoint {path} has no chunk {key} — saved "
-                        "with an incompatible global partition for this mesh?"
-                    )
-                raw = merged[key]
-                want = np.dtype(leaf.dtype)
-                if raw.dtype != want:
-                    # npz round-trips ml_dtypes (bfloat16, fp8) as opaque
-                    # void records of the same width — reinterpret, never cast
-                    raw = (
-                        raw.view(want)
-                        if raw.dtype.kind == "V" and raw.dtype.itemsize == want.itemsize
-                        else raw.astype(want)
-                    )
+                idx = index_map[dev]
+                key = f"{i}||{_enc_index(idx, leaf.shape)}"
+                if key in merged:
+                    raw = _fix_dtype(merged[key], leaf.dtype)
+                else:
+                    if i not in assembled:
+                        assembled[i] = _assemble_full(i, leaf)
+                    raw = assembled[i][idx]
                 arrays.append(jax.device_put(raw, dev))
             out.append(
                 jax.make_array_from_single_device_arrays(leaf.shape, sharding, arrays)

@@ -77,30 +77,38 @@ def test_sharded_roundtrip_mixed_tree(tmp_path):
 
 
 def test_sharded_roundtrip_layout_independent(tmp_path):
-    """Chunks are keyed by global index bounds, so an artifact saved under
-    one mesh loads under any mesh producing the same partition — and a
-    REPLICATED save loads into a SHARDED target only if the partition
-    matches (mismatch fails loudly)."""
+    """Chunks are keyed by global index bounds: matching partitions load
+    chunk-for-chunk, and ANY other target partition loads through the
+    elastic reassembly path (saved chunks form a disjoint cover of the
+    global array) — so an 8-way run resumes on 2 devices, a replicated
+    save loads sharded, and vice versa."""
     mesh8 = make_mesh(8)
-    x = jax.device_put(
+    path = tmp_path / "ck"
+    x_repl = jax.device_put(
         jnp.arange(32, dtype=jnp.float32).reshape(16, 2), NamedSharding(mesh8, P())
     )
-    path = tmp_path / "ck"
-    save_checkpoint_sharded(path, {"x": x})
+    x_sh8 = jax.device_put(
+        jnp.arange(64, dtype=jnp.float32).reshape(16, 4), NamedSharding(mesh8, P("data"))
+    )
+    save_checkpoint_sharded(path, {"a": x_repl, "b": x_sh8})
 
-    # replicated chunk covers 0:16 — a 2-way sharded target needs 0:8/8:16
     mesh2 = make_mesh(axis_sizes=(2,), devices=jax.devices()[:2])
-    target_sharded = {
-        "x": jax.device_put(jnp.zeros((16, 2)), NamedSharding(mesh2, P("data")))
-    }
-    with pytest.raises(ValueError, match="incompatible global partition"):
-        load_checkpoint_sharded(path, target_sharded)
+    for spec_a, spec_b in ((P("data"), P()), (P(), P("data")), (P("data"), P("data"))):
+        target = {
+            "a": jax.device_put(jnp.zeros((16, 2)), NamedSharding(mesh2, spec_a)),
+            "b": jax.device_put(jnp.zeros((16, 4)), NamedSharding(mesh2, spec_b)),
+        }
+        restored, _ = load_checkpoint_sharded(path, target)
+        np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(x_repl))
+        np.testing.assert_array_equal(np.asarray(restored["b"]), np.asarray(x_sh8))
+        assert restored["a"].sharding.spec == spec_a
 
-    target_repl = {
-        "x": jax.device_put(jnp.zeros((16, 2)), NamedSharding(mesh2, P()))
-    }
-    restored, _ = load_checkpoint_sharded(path, target_repl)
-    np.testing.assert_array_equal(np.asarray(restored["x"]), np.asarray(x))
+    # a leaf the artifact never saved still fails loudly
+    with pytest.raises(ValueError, match="no chunks for leaf"):
+        load_checkpoint_sharded(
+            path,
+            {"a": jnp.zeros((16, 2)), "b": jnp.zeros((16, 4)), "c": jnp.zeros((3, 3))},
+        )
 
 
 def test_trainer_payload_roundtrip_sharded_format(tmp_path):
@@ -126,3 +134,34 @@ def test_trainer_payload_roundtrip_sharded_format(tmp_path):
     emb = t2.state.params["embed_patient"]["embedding"]
     assert not emb.sharding.is_fully_replicated
     np.testing.assert_allclose(t2.validate("val"), val, rtol=1e-6)
+
+
+def test_trainer_elastic_restore_smaller_mesh(tmp_path):
+    """Resume on a DIFFERENT mesh: a TwoDTrainer checkpoint from a
+    (4 data x 2 model) mesh restores into a (2 data x 2 model) trainer —
+    the table chunks are re-sliced by the elastic loader — and validation
+    reproduces the source value."""
+    from multi_modal_gnn_tpu.parallel.dp2d import TwoDTrainer
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+
+    cfg = Config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, hidden_dim=32, dropout=0.0))
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=5), cfg)
+
+    big = TwoDTrainer(
+        bundle.graph, EdgeMasker(bundle.graph, seed=3), cfg, mesh=make_2d_mesh(8, 2)
+    )
+    big.train_epoch()
+    big.epoch += 1
+    val = big.validate("val")
+    path = tmp_path / "ck"
+    save_checkpoint_sharded(path, big._checkpoint_payload(), big._host_metadata())
+
+    small = TwoDTrainer(
+        bundle.graph, EdgeMasker(bundle.graph, seed=3), cfg, mesh=make_2d_mesh(4, 2)
+    )
+    small.restore(path)
+    emb = small.state.params["embed_patient"]["embedding"]
+    assert not emb.sharding.is_fully_replicated
+    assert len(emb.sharding.device_set) == 4
+    np.testing.assert_allclose(small.validate("val"), val, rtol=1e-5)
