@@ -166,11 +166,13 @@ def load_graph_distributed(
         raise ValueError(f"{base}.meta.json has no 'sharded' descriptor; use load_graph")
     num_shards = int(sh["num_shards"])
     mesh_axis_size = mesh.shape[axis]
-    if num_shards != mesh_axis_size:
-        raise ValueError(
-            f"graph was sharded {num_shards}-way but mesh axis '{axis}' has "
-            f"{mesh_axis_size} devices; re-shard with save_graph_sharded"
-        )
+    # ELASTIC loading: shard files are contiguous slices of the padded edge
+    # axis, so a mesh of any size whose device count divides the padding can
+    # assemble its chunks from covering file SEGMENTS — each device still
+    # reads only the files overlapping its own index range.  Saved kernel
+    # plans are per-shard layouts and only transfer when the counts match
+    # (see below).
+    elastic = num_shards != mesh_axis_size
 
     with np.load(base.parent / f"{base.name}.common.npz") as f:
         common = {k: f[k] for k in f.files}
@@ -178,26 +180,38 @@ def load_graph_distributed(
     sharded_spec = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
 
-    # device -> shard index along the data axis (contiguous chunks)
+    # device -> covering saved-file segments along the data axis
     def _device_shard_arrays(shape, dtype, chunk_of):
         """Build a global jax.Array from per-device chunks.
 
-        ``chunk_of(k)`` returns shard k's numpy chunk (dtype-checked against
-        the declared ``dtype``); only addressable shards are requested.
+        ``chunk_of(k)`` returns saved shard k's numpy chunk (dtype-checked
+        against the declared ``dtype``); only files overlapping this
+        process's device ranges are requested.
         """
         global_shape = shape
+        if global_shape[0] % mesh_axis_size:
+            raise ValueError(
+                f"axis length {global_shape[0]} not divisible by mesh axis "
+                f"'{axis}' ({mesh_axis_size} devices)"
+            )
+        saved_chunk = global_shape[0] // num_shards
         idx_map = sharded_spec.addressable_devices_indices_map(global_shape)
         arrays = []
         for dev, idx in idx_map.items():
             lo = idx[0].start or 0
-            chunk = global_shape[0] // num_shards
-            k = lo // chunk
-            data = chunk_of(k)
-            if data.dtype != dtype:
-                raise ValueError(
-                    f"shard {k}: expected dtype {np.dtype(dtype)}, file holds "
-                    f"{data.dtype} — artifact written by an incompatible version?"
+            hi = global_shape[0] if idx[0].stop is None else idx[0].stop
+            parts = []
+            for k in range(lo // saved_chunk, -(-hi // saved_chunk)):
+                seg = chunk_of(k)
+                if seg.dtype != dtype:
+                    raise ValueError(
+                        f"shard {k}: expected dtype {np.dtype(dtype)}, file holds "
+                        f"{seg.dtype} — artifact written by an incompatible version?"
+                    )
+                parts.append(
+                    seg[max(lo - k * saved_chunk, 0) : min(hi - k * saved_chunk, saved_chunk)]
                 )
+            data = parts[0] if len(parts) == 1 else np.concatenate(parts)
             arrays.append(jax.device_put(data, dev))
         return jax.make_array_from_single_device_arrays(global_shape, sharded_spec, arrays)
 
@@ -236,7 +250,18 @@ def load_graph_distributed(
         # the sharded trainers run the XLA segment-sum path — the single-chip
         # tiers (window plans / dense adjacency) are never built here.
         plan_kwargs = {}
-        if entry.get("shard_win_windows"):
+        if entry.get("shard_win_windows") and elastic:
+            # a per-shard windowed plan is a layout FOR its shard count;
+            # chunks re-sliced to a different count would address wrong
+            # windows.  Aggregation falls back to XLA segment_sum; rebuild
+            # plans for this mesh with parallel.sharding.attach_shard_plans
+            # (host edge columns load below) if the kernel tier is wanted.
+            logger.warning(
+                "dropping saved %d-shard kernel plans for %s (mesh axis is "
+                "%d-way); attach_shard_plans can rebuild them",
+                num_shards, et, mesh_axis_size,
+            )
+        elif entry.get("shard_win_windows"):
             offsets = np.asarray(entry["shard_win_offsets"], np.int32)
             slot_len = len(_shard_data(0)[f"{key}{_SEP}swin_src"])
             tile_len = len(_shard_data(0)[f"{key}{_SEP}swin_tm"])

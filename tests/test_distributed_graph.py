@@ -54,10 +54,15 @@ def test_roundtrip_over_mesh(bundle, tmp_path_factory):
     np.testing.assert_allclose(got[2], want[2])
 
 
-def test_mesh_size_mismatch_rejected(bundle, tmp_path):
+def test_indivisible_mesh_rejected(bundle, tmp_path):
+    """Elastic loading accepts any divisible mesh size; an indivisible
+    one (3 devices vs 1024-multiple padding) still fails loudly."""
+    import jax
+
     base = save_graph_sharded(bundle, tmp_path / "g", num_shards=8)
-    with pytest.raises(ValueError, match="sharded 8-way"):
-        load_graph_distributed(base, make_mesh(4))
+    mesh3 = make_mesh(devices=jax.devices()[:3])
+    with pytest.raises(ValueError, match="not divisible"):
+        load_graph_distributed(base, mesh3)
 
 
 def test_indivisible_padding_rejected(bundle, tmp_path):
@@ -176,3 +181,60 @@ def test_pipeline_writes_sharded_artifacts(tmp_path):
     loaded = load_graph_distributed(tmp_path / "graph_sharded", make_mesh(4))
     es = loaded.graph.edges[PATIENT_LAB]
     assert es.shard_win_src is not None and es.shard_win_windows > 0
+
+
+def test_elastic_load_different_mesh_sizes(bundle, tmp_path):
+    """An 8-shard artifact loads on 4- and 2-device meshes (file segments
+    re-chunked per device) and a 2-shard artifact loads on 8 devices (files
+    split) — arrays identical in every layout; saved kernel plans transfer
+    only at the matching count and are dropped (with XLA fallback intact)
+    otherwise."""
+    import jax
+
+    base8 = save_graph_sharded(bundle, tmp_path / "g8", num_shards=8, kernel_plans=True)
+    base2 = save_graph_sharded(bundle, tmp_path / "g2", num_shards=2)
+
+    for base, mesh_n in ((base8, 4), (base8, 2), (base2, 8), (base8, 8)):
+        mesh = make_mesh(mesh_n)
+        loaded = load_graph_distributed(base, mesh)
+        for et, es in bundle.graph.edges.items():
+            got = loaded.graph.edges[et]
+            np.testing.assert_array_equal(np.asarray(got.src), np.asarray(es.src))
+            np.testing.assert_array_equal(np.asarray(got.dst), np.asarray(es.dst))
+            np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(es.mask))
+            assert len(got.src.sharding.device_set) == mesh_n
+        es = loaded.graph.edges[PATIENT_LAB]
+        if base is base8 and mesh_n == 8:
+            assert es.shard_win_src is not None  # matching count: plans ride
+        else:
+            assert es.shard_win_src is None  # dropped or never saved
+        # host columns reassemble identically in every layout
+        got = loaded.host_edges[PATIENT_LAB]
+        want = bundle.patient_lab_host()
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+
+    # one DP epoch from an elastic load matches the matching-count load
+    from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+
+    import dataclasses as dc
+
+    # dropout off: head dropout draws are per-shard by design, so only the
+    # zero-dropout trajectory is comparable across different mesh sizes
+    cfg = Config()
+    cfg = cfg.replace(model=dc.replace(cfg.model, dropout=0.0))
+    mesh4 = make_mesh(4)
+    el = load_graph_distributed(base8, mesh4)
+    t_el = DataParallelTrainer(
+        el.graph, EdgeMasker(el.graph, seed=7, host_edges=el.host_edges[PATIENT_LAB]),
+        cfg, mesh=mesh4,
+    )
+    nat = load_graph_distributed(base2, make_mesh(2))
+    t_nat = DataParallelTrainer(
+        nat.graph, EdgeMasker(nat.graph, seed=7, host_edges=nat.host_edges[PATIENT_LAB]),
+        cfg, mesh=make_mesh(2),
+    )
+    np.testing.assert_allclose(
+        float(t_el.train_epoch()), float(t_nat.train_epoch()), rtol=1e-5
+    )
