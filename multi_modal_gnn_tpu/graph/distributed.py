@@ -123,6 +123,8 @@ def save_graph_sharded(
                 shards[k][f"{key}{_SEP}swin_tm"] = sh_tm[k * tile_chunk : (k + 1) * tile_chunk]
             entry["shard_win_windows"] = int(k_max)
             entry["shard_win_offsets"] = [int(o) for o in sh_off]
+            entry["shard_win_slot_len"] = int(slot_chunk)
+            entry["shard_win_tile_len"] = int(tile_chunk)
         edge_index.append(entry)
 
     np.savez_compressed(base.parent / f"{base.name}.common.npz", **common)
@@ -230,7 +232,6 @@ def load_graph_distributed(
         et = tuple(entry["edge_type"])
         key = _SEP.join(et)
         e_pad = int(entry["num_padded"])
-        chunk = e_pad // num_shards
 
         def col(name, k, key=key):
             return _shard_data(k)[f"{key}{_SEP}{name}"]
@@ -263,8 +264,14 @@ def load_graph_distributed(
             )
         elif entry.get("shard_win_windows"):
             offsets = np.asarray(entry["shard_win_offsets"], np.int32)
-            slot_len = len(_shard_data(0)[f"{key}{_SEP}swin_src"])
-            tile_len = len(_shard_data(0)[f"{key}{_SEP}swin_tm"])
+            slot_len = int(
+                entry.get("shard_win_slot_len")
+                or len(_shard_data(0)[f"{key}{_SEP}swin_src"])
+            )
+            tile_len = int(
+                entry.get("shard_win_tile_len")
+                or len(_shard_data(0)[f"{key}{_SEP}swin_tm"])
+            )
             plan_kwargs = dict(
                 shard_win_src=_device_shard_arrays(
                     (slot_len * num_shards,), np.int32, lambda k: col("swin_src", k)

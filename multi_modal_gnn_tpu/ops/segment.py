@@ -87,12 +87,7 @@ def segment_softmax(
     return exp / jnp.maximum(denom[segment_ids], 1e-16)
 
 
-def _sharded_windowed_aggregate(
-    x_src: jax.Array,
-    edges: EdgeSet,
-    aggregation: str,
-    axis_name: str,
-) -> jax.Array:
+def _sharded_total(x: jax.Array, edges: EdgeSet, aggregation: str, axis_name: str):
     """Shard-local windowed segment kernel + dynamic placement + psum.
 
     Runs INSIDE shard_map: ``edges.shard_win_*`` leaves are this device's
@@ -106,20 +101,59 @@ def _sharded_windowed_aggregate(
 
     interpret = jax.default_backend() != "tpu"
     k_max = edges.shard_win_windows
-    gathered = jnp.take(x_src, edges.shard_win_src, axis=0)
+    gathered = jnp.take(x, edges.shard_win_src, axis=0)
     local = windowed_segment_sum(
         gathered, edges.shard_win_local, edges.shard_win_tile_map, k_max, interpret
     )  # [k_max * WINDOW, D] f32
     num_windows_global = -(-edges.num_dst // WINDOW)
     rows_full = (num_windows_global + k_max) * WINDOW
-    full = jnp.zeros((rows_full, x_src.shape[1]), jnp.float32)
+    full = jnp.zeros((rows_full, x.shape[1]), jnp.float32)
     off = edges.shard_win_offset[0] * WINDOW
     full = jax.lax.dynamic_update_slice(full, local, (off, 0))
     total = jax.lax.psum(full, axis_name)[: edges.num_dst]
     if aggregation == "sum":
-        return total.astype(x_src.dtype)
+        return total.astype(x.dtype)
     denom = jnp.maximum(edges.dst_count, 1.0).astype(total.dtype)
-    return (total / denom[:, None]).astype(x_src.dtype)
+    return (total / denom[:, None]).astype(x.dtype)
+
+
+def _sharded_windowed_aggregate(
+    x_src: jax.Array,
+    edges: EdgeSet,
+    aggregation: str,
+    axis_name: str,
+    edges_rev: Optional[EdgeSet] = None,
+) -> jax.Array:
+    """Per-shard MXU aggregation under shard_map (see :func:`_sharded_total`).
+
+    With ``edges_rev`` carrying the mirror relation's shard plan, the
+    BACKWARD also runs the kernel: the VJP of the forward gather is a
+    scatter-add into ``x_src`` grouped by source — exactly the reverse
+    relation's aggregation — so the cotangent rides the same per-shard
+    kernel + psum instead of XLA's serialized scatter (the multi-chip
+    analogue of gather_segment_aggregate_paired; CLAUDE.md "every
+    scatter-add stays off the hot path")."""
+    if edges_rev is None or edges_rev.shard_win_src is None:
+        # no mirror plan: windowed forward, XLA-transposed backward
+        return _sharded_total(x_src, edges, aggregation, axis_name)
+
+    @jax.custom_vjp
+    def agg(x):
+        return _sharded_total(x, edges, aggregation, axis_name)
+
+    def fwd(x):
+        return agg(x), None
+
+    def bwd(_res, g):
+        if aggregation == "mean":
+            g = (
+                g.astype(jnp.float32) / jnp.maximum(edges.dst_count, 1.0)[:, None]
+            ).astype(g.dtype)
+        dx = _sharded_total(g, edges_rev, "sum", axis_name)
+        return (dx.astype(g.dtype),)
+
+    agg.defvjp(fwd, bwd)
+    return agg(x_src)
 
 
 def aggregate_neighbors(
@@ -202,8 +236,11 @@ def aggregate_neighbors(
         # per-shard windowed MXU kernel under shard_map: each device runs
         # the Pallas segment kernel on its OWN plan chunk (a contiguous
         # slice of the valid edges), places its [k_max*128, D] local-window
-        # block into the global row space, and one psum restores the total
-        return _sharded_windowed_aggregate(x_src, edges, aggregation, axis_name)
+        # block into the global row space, and one psum restores the total;
+        # the mirror plan (edges_rev) keeps the backward on the kernel too
+        return _sharded_windowed_aggregate(
+            x_src, edges, aggregation, axis_name, edges_rev
+        )
 
     gathered = jnp.take(x_src, edges.src, axis=0)  # [E_local, D]
     num_segments = edges.num_dst + 1  # final segment collects padding rows

@@ -93,11 +93,6 @@ def _enc_index(idx, shape) -> str:
     return ",".join(parts)
 
 
-def _flatten(pytree):
-    flat, _ = jax.tree_util.tree_flatten_with_path(pytree)
-    return [leaf for _, leaf in flat]
-
-
 def save_checkpoint_sharded(
     path: str | Path,
     state_pytree: Any,
@@ -108,9 +103,13 @@ def save_checkpoint_sharded(
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     proc = jax.process_index()
+    if proc == 0:
+        # a stale single-controller msgpack at <path> (same output_dir
+        # reused across launch modes) would shadow this artifact at load
+        path.unlink(missing_ok=True)
     chunks: Dict[str, Any] = {}
     n_leaves = 0
-    for i, leaf in enumerate(_flatten(state_pytree)):
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(state_pytree)):
         n_leaves += 1
         if isinstance(leaf, jax.Array):
             index_map = leaf.sharding.devices_indices_map(leaf.shape)
@@ -158,64 +157,90 @@ def load_checkpoint_sharded(path: str | Path, target_pytree: Any) -> tuple[Any, 
     files = _proc_files(path)
     if not files:
         raise FileNotFoundError(f"no {path}.proc*.npz shard files found")
-    merged: Dict[str, np.ndarray] = {}
-    for f in files:
-        with np.load(f) as z:
-            for k in z.files:
-                merged[k] = z[k]
-
-    def _assemble_full(i: int, leaf) -> "np.ndarray":
-        """ELASTIC path: the target partition differs from the saved one
-        (e.g. an 8-process run resumed on 4, or replicated -> sharded).
-        The saved chunks form a disjoint cover of the global array by
-        construction, so reassemble it and let the caller re-slice."""
-        full = np.zeros(leaf.shape, np.dtype(leaf.dtype))
-        found = False
-        prefix = f"{i}||"
-        for k, v in merged.items():
-            if not k.startswith(prefix) or k == f"{prefix}host":
-                continue
-            found = True
-            bounds = k[len(prefix):]
-            if not bounds:
-                return _fix_dtype(v, leaf.dtype).reshape(leaf.shape)
-            sl = tuple(
-                slice(*map(int, b.split(":"))) for b in bounds.split(",")
-            )
-            full[sl] = _fix_dtype(v, leaf.dtype)
-        if not found:
-            raise ValueError(
-                f"sharded checkpoint {path} has no chunks for leaf {i} "
-                f"(shape {leaf.shape}) — saved from a different state tree?"
-            )
-        return full
-
-    flat, treedef = jax.tree_util.tree_flatten_with_path(target_pytree)
-    out = []
-    assembled: Dict[int, "np.ndarray"] = {}
-    for i, (_, leaf) in enumerate(flat):
-        if isinstance(leaf, jax.Array):
-            sharding = leaf.sharding
-            index_map = sharding.devices_indices_map(leaf.shape)
-            arrays = []
-            for dev in sharding.addressable_devices:
-                idx = index_map[dev]
-                key = f"{i}||{_enc_index(idx, leaf.shape)}"
-                if key in merged:
-                    raw = _fix_dtype(merged[key], leaf.dtype)
-                else:
-                    if i not in assembled:
-                        assembled[i] = _assemble_full(i, leaf)
-                    raw = assembled[i][idx]
-                arrays.append(jax.device_put(raw, dev))
-            out.append(
-                jax.make_array_from_single_device_arrays(leaf.shape, sharding, arrays)
-            )
-        else:
-            val = merged[f"{i}||host"]
-            out.append(type(leaf)(val.item()) if np.ndim(val) == 0 else val)
-    restored = jax.tree_util.tree_unflatten(treedef, out)
     meta_path = path.with_suffix(path.suffix + ".json")
     metadata = load_json(meta_path) if meta_path.exists() else {}
+    saved_procs = int(
+        (metadata.get("sharded_checkpoint") or {}).get("num_processes", 0)
+    )
+    if saved_procs and len(files) != saved_procs:
+        # a missing proc file would otherwise restore its chunks as silent
+        # zeros through the elastic reassembly path
+        raise ValueError(
+            f"sharded checkpoint {path} was written by {saved_procs} processes "
+            f"but only {len(files)} .proc*.npz file(s) are present — partial "
+            "copy or a host crashed mid-save?"
+        )
+
+    # lazy chunk access: npz (uncompressed zip) supports per-entry random
+    # reads, so the matching-partition path fetches only this process's own
+    # chunks — the artifact is NOT materialized in full on every host
+    stores = [np.load(f) for f in files]
+    try:
+        key_to_store: Dict[str, Any] = {}
+        for z in stores:
+            for k in z.files:
+                key_to_store[k] = z
+
+        def _assemble_full(i: int, leaf) -> "np.ndarray":
+            """ELASTIC path: the target partition differs from the saved one
+            (e.g. an 8-process run resumed on 4, or replicated -> sharded).
+            The saved chunks form a disjoint cover of the global array by
+            construction, so reassemble it and let the caller re-slice."""
+            full = np.zeros(leaf.shape, np.dtype(leaf.dtype))
+            found = False
+            prefix = f"{i}||"
+            for k, z in key_to_store.items():
+                if not k.startswith(prefix) or k == f"{prefix}host":
+                    continue
+                found = True
+                v = z[k]
+                bounds = k[len(prefix):]
+                if not bounds:
+                    return _fix_dtype(v, leaf.dtype).reshape(leaf.shape)
+                sl = tuple(
+                    slice(*map(int, b.split(":"))) for b in bounds.split(",")
+                )
+                full[sl] = _fix_dtype(v, leaf.dtype)
+            if not found:
+                raise ValueError(
+                    f"sharded checkpoint {path} has no chunks for leaf {i} "
+                    f"(shape {leaf.shape}) — saved from a different state tree?"
+                )
+            return full
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(target_pytree)
+        out = []
+        assembled: Dict[int, "np.ndarray"] = {}
+        for i, (_, leaf) in enumerate(flat):
+            if isinstance(leaf, jax.Array):
+                sharding = leaf.sharding
+                index_map = sharding.devices_indices_map(leaf.shape)
+                arrays = []
+                for dev in sharding.addressable_devices:
+                    idx = index_map[dev]
+                    key = f"{i}||{_enc_index(idx, leaf.shape)}"
+                    if key in key_to_store:
+                        raw = _fix_dtype(key_to_store[key][key], leaf.dtype)
+                    else:
+                        if i not in assembled:
+                            assembled[i] = _assemble_full(i, leaf)
+                        raw = assembled[i][idx]
+                    arrays.append(jax.device_put(raw, dev))
+                out.append(
+                    jax.make_array_from_single_device_arrays(leaf.shape, sharding, arrays)
+                )
+            else:
+                val = key_to_store[f"{i}||host"][f"{i}||host"]
+                if isinstance(leaf, np.ndarray):
+                    # np.ndarray(x) would treat x as a SHAPE; keep the array
+                    out.append(val.reshape(leaf.shape))
+                elif np.ndim(val) == 0:
+                    out.append(type(leaf)(val.item()))
+                else:
+                    out.append(val)
+        restored = jax.tree_util.tree_unflatten(treedef, out)
+    finally:
+        for z in stores:
+            z.close()
     logger.info("Loaded sharded checkpoint from %s (%d files)", path, len(files))
     return restored, metadata

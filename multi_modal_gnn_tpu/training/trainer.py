@@ -690,14 +690,29 @@ class Trainer:
     @staticmethod
     def latest_checkpoint(output_dir) -> Optional[Path]:
         """Newest ``checkpoint_epoch_N.ckpt`` in ``output_dir`` by epoch
-        number (None if the directory holds no periodic checkpoints)."""
-        candidates = []
+        number (None if the directory holds no periodic checkpoints).
+
+        Multi-controller runs save the sharded format —
+        ``checkpoint_epoch_N.ckpt.procMMM.npz`` with no ``.ckpt`` file
+        itself — so the scan also derives base paths from proc files
+        (load_checkpoint dispatches on them)."""
+        candidates = {}
         for p in Path(output_dir).glob("checkpoint_epoch_*.ckpt"):
+            stem = p.stem  # checkpoint_epoch_N
             try:
-                candidates.append((int(p.stem.rsplit("_", 1)[1]), p))
+                candidates[int(stem.rsplit("_", 1)[1])] = p
             except ValueError:
                 continue
-        return max(candidates)[1] if candidates else None
+        for p in Path(output_dir).glob("checkpoint_epoch_*.ckpt.proc*.npz"):
+            base_name = p.name.split(".ckpt.proc")[0] + ".ckpt"
+            try:
+                epoch = int(base_name[: -len(".ckpt")].rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            candidates.setdefault(epoch, p.parent / base_name)
+        if not candidates:
+            return None
+        return candidates[max(candidates)]
 
     def _save(self, path: Path) -> None:
         save_checkpoint(path, self._checkpoint_payload(), self._host_metadata())

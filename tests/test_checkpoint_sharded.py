@@ -165,3 +165,51 @@ def test_trainer_elastic_restore_smaller_mesh(tmp_path):
     assert not emb.sharding.is_fully_replicated
     assert len(emb.sharding.device_set) == 4
     np.testing.assert_allclose(small.validate("val"), val, rtol=1e-5)
+
+
+def test_review_fixes_sharded_checkpoint(tmp_path):
+    """Round-2 review fixes: latest_checkpoint discovers sharded periodic
+    checkpoints; a missing proc file fails loudly instead of zero-filling;
+    a stale msgpack at <path> is removed by the sharded save; 0-d ndarray
+    host leaves survive restore."""
+    from multi_modal_gnn_tpu.training.trainer import Trainer
+
+    mesh = make_mesh(8)
+    tree = {
+        "x": jax.device_put(jnp.arange(8.0), NamedSharding(mesh, P())),
+        "scalar_arr": np.array(7),
+        "vec": np.arange(3),
+    }
+
+    # 1) latest_checkpoint sees the proc files (no .ckpt file exists)
+    for epoch in (2, 4):
+        save_checkpoint_sharded(tmp_path / f"checkpoint_epoch_{epoch}.ckpt", tree)
+    latest = Trainer.latest_checkpoint(tmp_path)
+    assert latest == tmp_path / "checkpoint_epoch_4.ckpt"
+    restored, _ = load_checkpoint(latest, tree)
+    np.testing.assert_array_equal(np.asarray(restored["x"]), np.arange(8.0))
+
+    # 4) 0-d ndarray host leaf: stays a 0-d array (np.ndarray(7) would have
+    # been a shape-(7,) garbage array)
+    assert isinstance(restored["scalar_arr"], np.ndarray)
+    assert restored["scalar_arr"].shape == () and int(restored["scalar_arr"]) == 7
+    np.testing.assert_array_equal(restored["vec"], np.arange(3))
+
+    # 2) a lost proc file fails loudly (metadata records the writer count)
+    path = tmp_path / "ck_partial"
+    save_checkpoint_sharded(path, tree)
+    meta = __import__("json").load(open(str(path) + ".json"))
+    meta["sharded_checkpoint"]["num_processes"] = 2  # pretend 2 writers
+    __import__("json").dump(meta, open(str(path) + ".json", "w"))
+    with pytest.raises(ValueError, match="only 1 .proc"):
+        load_checkpoint_sharded(path, tree)
+
+    # 3) a stale single-controller msgpack is removed by the sharded save
+    from multi_modal_gnn_tpu.training.checkpoint import save_checkpoint
+
+    stale = tmp_path / "best_model.ckpt"
+    stale.write_bytes(b"stale msgpack")
+    save_checkpoint_sharded(stale, tree)
+    assert not stale.exists()
+    restored2, _ = load_checkpoint(stale, tree)
+    np.testing.assert_array_equal(np.asarray(restored2["x"]), np.arange(8.0))

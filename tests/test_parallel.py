@@ -609,3 +609,48 @@ def test_shard_kernel_env_escape(setup, monkeypatch):
     )(g, x)
     want = aggregate_neighbors(x, bundle.graph.edges[PATIENT_LAB], "mean", impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_paired_backward_matches_xla(setup):
+    """With the mirror relation's shard plan supplied, the sharded tier's
+    BACKWARD also runs the per-shard kernel (custom VJP via the reverse
+    plan + psum) — gradient must match the XLA reference exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB, mirror_edge_type
+    from multi_modal_gnn_tpu.ops.segment import aggregate_neighbors
+    from multi_modal_gnn_tpu.parallel.sharding import graph_pspecs
+
+    cfg, bundle = setup
+    mesh = make_mesh()
+    g = shard_graph(bundle.graph, mesh, host_edges=bundle.host_edges)
+    rev_et = mirror_edge_type(PATIENT_LAB)
+    assert g.edges[rev_et].shard_win_src is not None
+    rng = np.random.default_rng(2)
+    num_src = g.edges[PATIENT_LAB].num_src
+    x = np.asarray(rng.normal(size=(num_src, 32)), np.float32)
+    w = np.asarray(rng.normal(size=(g.edges[PATIENT_LAB].num_dst, 32)), np.float32)
+
+    def grad_body(graph, xr):
+        def loss(xv):
+            out = aggregate_neighbors(
+                xv, graph.edges[PATIENT_LAB], "mean", impl="pallas",
+                axis_name="data", edges_rev=graph.edges[rev_et],
+            )
+            return jnp.sum(out * w)
+
+        return jax.grad(loss)(xr)
+
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    g_sh = jax.jit(
+        jax.shard_map(
+            grad_body, mesh=mesh, in_specs=(graph_pspecs(g), P()), out_specs=P()
+        )
+    )(g, x)
+    g_ref = jax.grad(
+        lambda xr: jnp.sum(
+            aggregate_neighbors(xr, bundle.graph.edges[PATIENT_LAB], "mean", impl="xla") * w
+        )
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref), rtol=2e-4, atol=2e-4)
