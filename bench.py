@@ -221,7 +221,13 @@ def main() -> int:
             lab_tile_rows=args.lab_tile_rows, lab_tile_mode=args.lab_tile_mode,
         )
         if tpu_dead:
-            result["note"] = "TPU unreachable at bench time; CPU fallback numbers"
+            result["note"] = (
+                "TPU unreachable at bench time (wedged device claim); CPU "
+                "fallback numbers. Last chip-recorded: BENCH_r01.json 14.4M "
+                "edges/s (202x); post-round-2 kernels measured 23.8M eICU / "
+                "70.3M scale on the same chip (PERFORMANCE.md) before the "
+                "claim wedged."
+            )
     except Exception as exc:  # noqa: BLE001 — always emit a JSON line for the driver
         import traceback
 
