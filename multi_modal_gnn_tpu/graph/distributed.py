@@ -264,14 +264,18 @@ def load_graph_distributed(
             )
         elif entry.get("shard_win_windows"):
             offsets = np.asarray(entry["shard_win_offsets"], np.int32)
-            slot_len = int(
-                entry.get("shard_win_slot_len")
-                or len(_shard_data(0)[f"{key}{_SEP}swin_src"])
-            )
-            tile_len = int(
-                entry.get("shard_win_tile_len")
-                or len(_shard_data(0)[f"{key}{_SEP}swin_tm"])
-            )
+            slot_len = int(entry.get("shard_win_slot_len", 0))
+            tile_len = int(entry.get("shard_win_tile_len", 0))
+            if not slot_len or not tile_len:
+                # pre-sidecar-field artifacts: every shard's plan chunk has
+                # the same length, so learn it from any file PRESENT on this
+                # host (multi-host stages only its own shard files)
+                k_any = next(
+                    k for k in range(num_shards)
+                    if _shard_path(base, k, num_shards).exists()
+                )
+                slot_len = len(_shard_data(k_any)[f"{key}{_SEP}swin_src"])
+                tile_len = len(_shard_data(k_any)[f"{key}{_SEP}swin_tm"])
             plan_kwargs = dict(
                 shard_win_src=_device_shard_arrays(
                     (slot_len * num_shards,), np.int32, lambda k: col("swin_src", k)
@@ -300,14 +304,21 @@ def load_graph_distributed(
             **plan_kwargs,
         )
         if host_edges is not None and et == PATIENT_LAB:
+            # read ONLY patient_lab's src/dst/mask/val from each shard file
+            # (lazy npz entry access, nothing cached): routing this through
+            # _shard_data would materialize EVERY relation's columns plus
+            # the plan arrays of all num_shards files on every host —
+            # the single-host blow-up this module exists to avoid
             srcs, dsts, vals = [], [], []
             for k in range(num_shards):
-                s, d = col("src", k), col("dst", k)
-                m = col("mask", k) > 0
-                srcs.append(s[m])
-                dsts.append(d[m])
-                if entry["has_val"]:
-                    vals.append(col("val", k)[m])
+                with np.load(_shard_path(base, k, num_shards)) as z:
+                    s = z[f"{key}{_SEP}src"]
+                    d = z[f"{key}{_SEP}dst"]
+                    m = z[f"{key}{_SEP}mask"] > 0
+                    srcs.append(s[m])
+                    dsts.append(d[m])
+                    if entry["has_val"]:
+                        vals.append(z[f"{key}{_SEP}val"][m])
             host_edges[et] = (
                 np.concatenate(srcs),
                 np.concatenate(dsts),

@@ -57,10 +57,15 @@ def _serving_variables(trainer) -> dict:
     model-axis-sharded patient table with axis_index/psum, which only
     resolve under shard_map).  Outside any step, ``state.params`` is already
     the full global view for every trainer — the 2-D trainer's table is a
-    global [rows, dim] jax.Array merely *sharded* over the model axis."""
-    variables = {"params": trainer.state.params}
-    if trainer.state.batch_stats:
-        variables["batch_stats"] = trainer.state.batch_stats
+    global [rows, dim] jax.Array merely *sharded* over the model axis.
+
+    Serves the BEST-validation state when fit() recorded one (the same
+    state train_pipeline's test loss and evaluate_model report); the live
+    state is only used for trainers that never ran fit/validate."""
+    state = trainer.best_state if trainer.best_state is not None else trainer.state
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
     return variables
 
 

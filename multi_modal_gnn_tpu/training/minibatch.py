@@ -57,6 +57,7 @@ from multi_modal_gnn_tpu.graph.schema import (
     mirror_edge_type,
     reverse_edge_type,
 )
+from multi_modal_gnn_tpu.graph.hetero import _round_up
 from multi_modal_gnn_tpu.training.masker import EdgeMasker, SplitBatch, _pad_batch
 from multi_modal_gnn_tpu.training.trainer import Trainer
 
@@ -72,8 +73,6 @@ class ClusterData:
     batches: Dict[str, List[Tuple[Optional[SplitBatch], Optional[np.ndarray]]]]
 
 
-def _round_up(n: int, m: int) -> int:
-    return max(m, ((n + m - 1) // m) * m)
 
 
 def build_patient_clusters(
@@ -209,16 +208,21 @@ def build_patient_clusters(
                 num_patients=size,
                 num_labs=counts[LAB],
             )
-            # host degree copy: reading subgraphs[k].patient_lab_degree back
-            # would be a device->host transfer when host_resident=False
-            # (CLAUDE.md: host code must not read device arrays back)
-            deg = host_degrees[k][np.asarray(batch.patient_idx)]
+            # host-side padded index copies (zero padding, same as
+            # _pad_batch without slot_major) — indexing host_degrees /
+            # lab_weights with the DEVICE batch arrays would be a
+            # device->host readback per cluster per split (CLAUDE.md:
+            # host code must not read device arrays back)
+            pad_len = batch.valid.shape[0]
+            p_host = np.zeros(pad_len, np.int32)
+            p_host[: len(pos)] = (p[pos] - bases[k]).astype(np.int32)
+            l_host = np.zeros(pad_len, np.int32)
+            l_host[: len(pos)] = l[pos].astype(np.int32)
+            deg = host_degrees[k][p_host]
             sw = (
                 None
                 if lab_weights is None
-                else np.asarray(lab_weights)[np.asarray(batch.lab_idx)].astype(
-                    np.float32
-                )
+                else np.asarray(lab_weights)[l_host].astype(np.float32)
             )
             vis_pos = None
             if split_pos_global is not None:
@@ -261,6 +265,18 @@ class MiniBatchTrainer(Trainer):
     ):
         if num_clusters < 1:
             raise ValueError("num_clusters must be >= 1")
+        from multi_modal_gnn_tpu.models.rgcn import HeteroRGCN
+
+        if num_clusters > 1 and not isinstance(model, HeteroRGCN):
+            # cluster subgraphs use LOCAL patient indices resolved through
+            # HeteroGraph.patient_id_base (rgcn.py encode_nodes); a model
+            # without that support would silently read cluster-0's embedding
+            # rows for every cluster
+            raise NotImplementedError(
+                f"mini-batch cluster training requires patient_id_base "
+                f"support (HeteroRGCN); {type(model).__name__} reads the "
+                "global patient table"
+            )
         self.num_clusters = num_clusters
         self.host_resident = host_resident
         self._bundle = bundle
@@ -290,7 +306,7 @@ class MiniBatchTrainer(Trainer):
         )
         sup_key = self.rngs.key_for("supervision", self.epoch)
         drop_key = self.rngs.key_for("dropout", self.epoch)
-        tot = 0.0
+        tot = None
         n = 0
         for k in perm:
             batch, _ = cd.batches["train"][int(k)]
@@ -303,9 +319,13 @@ class MiniBatchTrainer(Trainer):
                 self.state, cd.subgraphs[int(k)], batch, self.lab_weights,
                 sup, jax.random.fold_in(drop_key, int(k)),
             )
-            tot += float(loss) * batch.num_valid
+            # accumulate ON DEVICE: a float(loss) here would block on each
+            # cluster's dispatch (one relay round-trip per cluster) and
+            # defeat the async host->device overlap of host_resident mode
+            contrib = loss * batch.num_valid
+            tot = contrib if tot is None else tot + contrib
             n += batch.num_valid
-        return tot / max(n, 1)
+        return float(tot) / max(n, 1) if tot is not None else 0.0
 
     def train_epochs_scanned(
         self, k: int, with_val: bool = False, as_numpy: bool = True

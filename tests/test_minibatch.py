@@ -306,3 +306,15 @@ def test_bilinear_embedding_uses_global_rows_across_clusters():
         if rows.any():
             np.testing.assert_allclose(got[rows], want[rows], atol=1e-4,
                                        err_msg=f"cluster {k}")
+
+
+def test_hgt_rejected_with_clusters():
+    """HGT has no patient_id_base support: cluster subgraphs' local patient
+    indices would silently read cluster-0's embedding rows, so the trainer
+    refuses instead (K=1 full-batch HGT remains fine)."""
+    cfg, bundle = _setup()
+    cfg_h = cfg.replace(model=dataclasses.replace(cfg.model, architecture="HGT"))
+    model = build_model(cfg_h, bundle.graph)
+    masker = EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
+    with pytest.raises(NotImplementedError, match="patient_id_base"):
+        MiniBatchTrainer(model, bundle, masker, cfg_h, num_clusters=2)
