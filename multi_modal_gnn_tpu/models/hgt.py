@@ -20,7 +20,7 @@ the same information channels the RGCN quality ladder measured.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +120,9 @@ class HeteroGT(nn.Module):
     bilinear_source: str = "head"
     value_context: bool = False
     dtype: jnp.dtype | None = None
+    # mini-batch cluster subgraphs (training/minibatch.py) resolve local
+    # patient rows through HeteroGraph.patient_id_base in encode_nodes
+    supports_patient_id_base = True
 
     @property
     def node_types(self) -> Tuple[str, ...]:
@@ -171,15 +174,35 @@ class HeteroGT(nn.Module):
                 self.hidden_dim, self.hidden_dim + 1, dtype=self.dtype, name="vctx_lab"
             )
 
-    def encode_nodes(self, train: bool = False) -> Dict[str, jax.Array]:
+    def encode_nodes(
+        self, graph: Optional[HeteroGraph] = None, train: bool = False
+    ) -> Dict[str, jax.Array]:
+        """Embed every node id.  On a mini-batch cluster subgraph
+        (``graph.patient_id_base`` set) the patient rows are the LOCAL
+        window of the global table — local index + base, clamped past the
+        global count to the last (edge-free, loss-masked) row — mirroring
+        HeteroRGCN.encode_nodes so cluster training works for both
+        architectures."""
         counts = dict(self.node_counts)
-        return {
-            nt: self.embeddings[nt](jnp.arange(counts[nt], dtype=jnp.int32))
-            for nt in self.node_types
-        }
+        x_dict = {}
+        for nt in self.node_types:
+            if (
+                nt == PATIENT
+                and graph is not None
+                and graph.patient_id_base is not None
+            ):
+                idx = jnp.minimum(
+                    jnp.arange(graph.num_nodes(PATIENT), dtype=jnp.int32)
+                    + graph.patient_id_base,
+                    counts[PATIENT] - 1,
+                )
+            else:
+                idx = jnp.arange(counts[nt], dtype=jnp.int32)
+            x_dict[nt] = self.embeddings[nt](idx)
+        return x_dict
 
     def __call__(self, graph: HeteroGraph, train: bool = False) -> Dict[str, jax.Array]:
-        x_dict = self.encode_nodes(train=train)
+        x_dict = self.encode_nodes(graph, train=train)
         if self.value_context:
             x_dict = inject_value_context(
                 x_dict, graph, self.vctx_patient, self.vctx_lab, self.axis_name
@@ -198,7 +221,16 @@ class HeteroGT(nn.Module):
             return None
         c = self.embeddings[LAB](lab_indices)
         if self.bilinear_source == "embedding":
-            u = self.embeddings[PATIENT](patient_indices)
+            # patient_indices are graph-LOCAL; on a cluster subgraph the
+            # global table row is local + patient_id_base (same clamp as
+            # encode_nodes)
+            p_glob = patient_indices
+            if graph.patient_id_base is not None:
+                p_glob = jnp.minimum(
+                    patient_indices + graph.patient_id_base,
+                    dict(self.node_counts)[PATIENT] - 1,
+                )
+            u = self.embeddings[PATIENT](p_glob)
         else:  # "context" — requires value_context (enforced by the factory)
             ctx_p, _ = patient_value_context(
                 self.embeddings[LAB](

@@ -206,6 +206,10 @@ class HeteroRGCN(nn.Module):
     value_context: bool = False
     dtype: jnp.dtype | None = None
 
+    # mini-batch cluster subgraphs (training/minibatch.py) resolve local
+    # patient rows through HeteroGraph.patient_id_base in encode_nodes
+    supports_patient_id_base = True
+
     @property
     def node_types(self) -> Tuple[str, ...]:
         return tuple(name for name, _ in self.node_counts)

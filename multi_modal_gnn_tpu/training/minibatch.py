@@ -265,17 +265,15 @@ class MiniBatchTrainer(Trainer):
     ):
         if num_clusters < 1:
             raise ValueError("num_clusters must be >= 1")
-        from multi_modal_gnn_tpu.models.rgcn import HeteroRGCN
-
-        if num_clusters > 1 and not isinstance(model, HeteroRGCN):
+        if num_clusters > 1 and not getattr(model, "supports_patient_id_base", False):
             # cluster subgraphs use LOCAL patient indices resolved through
-            # HeteroGraph.patient_id_base (rgcn.py encode_nodes); a model
-            # without that support would silently read cluster-0's embedding
-            # rows for every cluster
+            # HeteroGraph.patient_id_base (encode_nodes in rgcn.py/hgt.py);
+            # a model without that support would silently read cluster-0's
+            # embedding rows for every cluster
             raise NotImplementedError(
                 f"mini-batch cluster training requires patient_id_base "
-                f"support (HeteroRGCN); {type(model).__name__} reads the "
-                "global patient table"
+                f"support; {type(model).__name__} reads the global patient "
+                "table"
             )
         self.num_clusters = num_clusters
         self.host_resident = host_resident

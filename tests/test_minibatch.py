@@ -308,13 +308,65 @@ def test_bilinear_embedding_uses_global_rows_across_clusters():
                                        err_msg=f"cluster {k}")
 
 
-def test_hgt_rejected_with_clusters():
-    """HGT has no patient_id_base support: cluster subgraphs' local patient
-    indices would silently read cluster-0's embedding rows, so the trainer
-    refuses instead (K=1 full-batch HGT remains fine)."""
+def test_hgt_cluster_training():
+    """HGT now resolves cluster-local patient rows through patient_id_base
+    (hgt.py encode_nodes mirrors rgcn.py): K=1 reproduces the full-batch
+    HGT trainer exactly, and K=3 trains coherently with the
+    embedding-bilinear channel reading GLOBAL table rows per cluster."""
+    cfg, bundle = _setup(num_patients=128, mask_fraction=0.0, dropout=0.0)
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, architecture="HGT"))
+    graph = bundle.graph
+
+    full = Trainer(
+        build_model(cfg, graph), graph,
+        EdgeMasker(graph, seed=3, host_edges=bundle.patient_lab_host()), cfg,
+    )
+    mini = MiniBatchTrainer(
+        build_model(cfg, graph), bundle,
+        EdgeMasker(graph, seed=3, host_edges=bundle.patient_lab_host()), cfg,
+        num_clusters=1,
+    )
+    for _ in range(3):
+        lf = full.train_epoch()
+        full.epoch += 1
+        lm = mini.train_epoch()
+        mini.epoch += 1
+        np.testing.assert_allclose(lm, lf, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        mini.validate("val"), full.validate("val"), rtol=1e-5, atol=1e-6
+    )
+
+    # K=3 with the ALS-channel configuration (bilinear over GLOBAL rows)
+    cfg3, bundle3 = _setup(num_patients=300)
+    cfg3 = cfg3.replace(
+        model=dataclasses.replace(
+            cfg3.model, architecture="HGT",
+            edge_head=dataclasses.replace(
+                cfg3.model.edge_head,
+                extras={"bilinear_rank": 4, "bilinear_source": "embedding"},
+            ),
+        )
+    )
+    mini3 = MiniBatchTrainer(
+        build_model(cfg3, bundle3.graph), bundle3,
+        EdgeMasker(bundle3.graph, seed=0, host_edges=bundle3.patient_lab_host()),
+        cfg3, num_clusters=3,
+    )
+    losses = [mini3.train_epoch() for _ in range(8)]
+    assert np.isfinite(losses).all()
+    assert min(losses[3:]) < losses[0]
+    assert np.isfinite(mini3.validate("val"))
+
+
+def test_unsupported_model_rejected_with_clusters():
+    """A model without patient_id_base support is refused for K>1 (it would
+    silently read cluster-0's embedding rows for every cluster)."""
     cfg, bundle = _setup()
-    cfg_h = cfg.replace(model=dataclasses.replace(cfg.model, architecture="HGT"))
-    model = build_model(cfg_h, bundle.graph)
+    model = build_model(cfg, bundle.graph)
+
+    class NoBase:
+        pass
+
     masker = EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
     with pytest.raises(NotImplementedError, match="patient_id_base"):
-        MiniBatchTrainer(model, bundle, masker, cfg_h, num_clusters=2)
+        MiniBatchTrainer(NoBase(), bundle, masker, cfg, num_clusters=2)
