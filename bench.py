@@ -57,7 +57,7 @@ def run_bench(
     use_pallas: bool | None = None,
     dense: bool = True,
     bf16: bool = False,
-    lab_tile_rows: int = 0,
+    lab_tile_rows: int | None = None,  # None = auto (masker.auto_lab_tile_rows)
     lab_tile_mode: str = "span",  # matches the CLI default
 ) -> dict:
     import dataclasses
@@ -94,15 +94,19 @@ def run_bench(
         cfg = cfg.replace(
             graph=dataclasses.replace(cfg.graph, dense_adjacency_max_bytes=0)
         )
-    if lab_tile_rows:  # narrow lab tiles want frequency-clustered lab ids
-        cfg = cfg.replace(
-            graph=dataclasses.replace(cfg.graph, cluster_labs_by_frequency=True)
-        )
     if mimic:
         spec = SyntheticSpec.mimic_scale()
         scale = True  # same epoch counts / chunk sizes as the scale config
     else:
         spec = SyntheticSpec.scale_100k() if scale else SyntheticSpec.eicu_demo()
+    if lab_tile_rows is None:  # auto: the hardware-measured default
+        from multi_modal_gnn_tpu.training.masker import auto_lab_tile_rows
+
+        lab_tile_rows = auto_lab_tile_rows(spec.num_labs) if use_pallas else 0
+    if lab_tile_rows:  # narrow lab tiles want frequency-clustered lab ids
+        cfg = cfg.replace(
+            graph=dataclasses.replace(cfg.graph, cluster_labs_by_frequency=True)
+        )
 
     t0 = time.perf_counter()
     bundle = make_synthetic_bundle(spec, cfg)
@@ -169,6 +173,7 @@ def run_bench(
             ("dense+pallas" if dense else "pallas") if use_pallas else "xla"
         ),
         "compute_dtype": cfg.model.compute_dtype,
+        "lab_tile_rows": lab_tile_rows,
         "device": str(jax.devices()[0]),
         "train_edges": n_train,
         "timed_epochs": n_epochs,
@@ -195,9 +200,10 @@ def main() -> int:
                         help="disable the dense-adjacency tier (bench the windowed kernel)")
     parser.add_argument("--bf16", action="store_true",
                         help="model.compute_dtype=bfloat16 (halves the HBM-bound pair traffic)")
-    parser.add_argument("--lab-tile-rows", type=int, default=0,
-                        help="narrow lab tiles in the pair-head kernel (0=off); "
-                             "enables graph.cluster_labs_by_frequency")
+    parser.add_argument("--lab-tile-rows", type=int, default=None,
+                        help="narrow lab tiles in the pair-head kernel "
+                             "(0=off; unset=auto: 256-row span tiles at "
+                             ">=512 padded labs, the measured v5e default)")
     parser.add_argument("--lab-tile-mode", type=str, default="span",
                         choices=["block", "span"],
                         help="aligned-block vs arbitrary-base narrow tiles "

@@ -158,11 +158,14 @@ class GraphConfig:
     # the reference's first-seen order exactly.
     cluster_patients_by_degree: bool = True
     # TPU-specific layout knob (no semantic effect): index labs in DESCENDING
-    # edge-frequency order so popular labs share the leading table blocks.
-    # Only useful together with the opt-in span-bounded lab tiles
-    # (EdgeMasker lab_block_rows; PERFORMANCE.md "negative results") — off by
-    # default so the default layout matches first-seen (reference) order.
-    cluster_labs_by_frequency: bool = False
+    # edge-frequency order so popular labs share the leading table blocks —
+    # the span-bounded lab tiles (EdgeMasker lab_block_rows, auto-enabled at
+    # >=512 padded labs) then address one narrow table slice per kernel tile
+    # with near-zero slot inflation.  On by default since round 2's hardware
+    # validation (PERFORMANCE.md "span-bounded lab tiles"); node indices are
+    # internal, every artifact keys on entity IDs (like the patient ordering
+    # above), so this never changes results — only layout.
+    cluster_labs_by_frequency: bool = True
     # TPU-specific: span-DMA plan block height for relations whose SOURCE
     # side exceeds VMEM (10k+ patients) and has no dense adjacency — the
     # aggregation kernel DMAs one [src_span_rows, D] contiguous table block

@@ -39,6 +39,24 @@ from multi_modal_gnn_tpu.graph.hetero import SPAN_BASE_ALIGN, HeteroGraph
 SLOT_MAJOR_MIN_ROWS = 262_144
 
 
+def auto_lab_tile_rows(num_labs: Optional[int]) -> int:
+    """Default narrow-lab-tile setting for a given lab vocabulary size.
+
+    256-row span tiles are a measured net win on v5e once the padded lab
+    table reaches 512 rows: scale config (500 labs -> pad 512) 70.5M ->
+    75.3M edges/s, MIMIC-shaped (720 labs -> pad 768) 91.6M -> 105.3M
+    (PERFORMANCE.md "span-bounded lab tiles").  128-row tiles LOSE on both
+    (slot inflation outweighs the extra narrowing), and below 512 padded
+    rows there is nothing to narrow — so: 256 when the padded table has
+    >= 512 rows, else off.  Only consulted where the caller left the knob
+    unset; explicit values (including 0 = off) always win.
+    """
+    if not num_labs:
+        return 0
+    labs_pad = ((int(num_labs) + 127) // 128) * 128
+    return 256 if labs_pad >= 512 else 0
+
+
 class SplitBatch(struct.PyTreeNode):
     """A padded, static-shape batch of supervised patient-lab edges.
 
@@ -231,15 +249,15 @@ class EdgeMasker:
         self.slot_major_min_rows = int(slot_major_min_rows)
         # span-bounded lab tiles for the slot-major layout (0 = off): every
         # kernel tile's labs address one lab_block_rows-row table block.
-        # OFF by default: on the 500-lab scale config the narrowing is a
-        # measured net LOSS (64.3M -> 47.1M edges/s at 128 rows, 59.4M at
-        # 256 — the regroup's +10-33% slot inflation outweighs the indicator
-        # FLOP cut; PERFORMANCE.md "negative results").  Worth enabling for
-        # much larger lab vocabularies (narrowing factor labs_pad/rows).
-        # lab_tile_mode "span" (vs default "block"): arbitrary 8-aligned
-        # per-tile table bases — same FLOP cut with (almost) no inflation
-        # (graph/hetero.py regroup_slots_by_lab_span); pending hardware
-        # validation of the in-kernel dynamic-slice lowering.
+        # lab_tile_mode "span" (vs "block"): arbitrary 16-aligned per-tile
+        # table bases — same FLOP cut with (almost) no slot inflation
+        # (graph/hetero.py regroup_slots_by_lab_span).  Hardware-measured
+        # (v5e, round 2): span@256 WINS at >=512 padded labs (scale 70.5M ->
+        # 75.3M edges/s, MIMIC-shaped 91.6M -> 105.3M); 128-row tiles lose
+        # on both (inflation > narrowing), and the original aligned-BLOCK
+        # mode loses everywhere (PERFORMANCE.md).  auto_lab_tile_rows()
+        # encodes the measured rule; train_pipeline/bench consult it when
+        # the knob is unset.
         self.lab_block_rows = int(lab_block_rows)
         if lab_tile_mode not in ("block", "span"):
             raise ValueError(f"lab_tile_mode must be 'block' or 'span', got {lab_tile_mode!r}")

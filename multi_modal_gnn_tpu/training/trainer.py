@@ -756,6 +756,19 @@ class Trainer:
         logger.info("Resumed training at epoch %d (best val %.4f)", self.epoch, self.best_val_loss)
 
 
+def _resolve_lab_tile_rows(raw, num_labs, use_pallas: bool) -> int:
+    """Config knob -> lab_block_rows: explicit values (incl. 0) win; unset
+    (None or "auto") falls back to the hardware-measured default, which only
+    applies on the Pallas head path (the plans are kernel layouts)."""
+    if raw is not None and str(raw) != "auto":
+        return int(raw)
+    if not use_pallas:
+        return 0
+    from multi_modal_gnn_tpu.training.masker import auto_lab_tile_rows
+
+    return auto_lab_tile_rows(num_labs)
+
+
 def train_pipeline(
     config: Config,
     bundle: GraphBundle,
@@ -785,9 +798,14 @@ def train_pipeline(
         # slot-major train batches pay off exactly when the Pallas head path
         # consumes the plans (see EdgeMasker doc)
         slot_major_train=config.model.use_pallas,
-        # narrow lab tiles (PERFORMANCE.md "span-bounded lab tiles"): opt-in
-        # via train.extras — worth it on large lab vocabularies
-        lab_block_rows=int(tc.extras.get("lab_tile_rows", 0) or 0),
+        # narrow lab tiles (PERFORMANCE.md "span-bounded lab tiles"):
+        # train.extras.lab_tile_rows overrides; unset -> the measured
+        # default (256-row span tiles at >=512 padded labs, pallas only)
+        lab_block_rows=_resolve_lab_tile_rows(
+            tc.extras.get("lab_tile_rows"),
+            graph.node_count_map.get("lab"),
+            config.model.use_pallas,
+        ),
         lab_tile_mode=str(tc.extras.get("lab_tile_mode", "span")),
     )
     logger.info("Edge splits: %s", masker.split_sizes())

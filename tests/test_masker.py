@@ -58,3 +58,23 @@ def test_supervision_mask_fraction(masker):
     assert not np.array_equal(m, m2)  # fresh mask per epoch
     m3 = np.asarray(masker.supervision_mask(jax.random.key(0), batch))
     np.testing.assert_array_equal(m, m3)  # but reproducible per key
+
+
+def test_auto_lab_tile_rows_rule():
+    """The measured v5e default: 256-row span tiles at >=512 padded labs."""
+    from multi_modal_gnn_tpu.training.masker import auto_lab_tile_rows
+    from multi_modal_gnn_tpu.training.trainer import _resolve_lab_tile_rows
+
+    assert auto_lab_tile_rows(None) == 0
+    assert auto_lab_tile_rows(0) == 0
+    assert auto_lab_tile_rows(50) == 0  # eICU: labs_pad 128
+    assert auto_lab_tile_rows(384) == 0  # labs_pad 384 < 512
+    assert auto_lab_tile_rows(500) == 256  # scale config: labs_pad 512
+    assert auto_lab_tile_rows(720) == 256  # MIMIC-shaped: labs_pad 768
+
+    # explicit values (including 0) always win; auto needs the pallas path
+    assert _resolve_lab_tile_rows(0, 720, True) == 0
+    assert _resolve_lab_tile_rows(128, 720, True) == 128
+    assert _resolve_lab_tile_rows(None, 720, True) == 256
+    assert _resolve_lab_tile_rows("auto", 720, True) == 256
+    assert _resolve_lab_tile_rows(None, 720, False) == 0
