@@ -59,6 +59,7 @@ def run_bench(
     bf16: bool = False,
     lab_tile_rows: int | None = None,  # None = auto (masker.auto_lab_tile_rows)
     lab_tile_mode: str = "span",  # matches the CLI default
+    src_span_rows: int | None = None,  # None = config default (256)
 ) -> dict:
     import dataclasses
 
@@ -93,6 +94,10 @@ def run_bench(
     if not dense:  # exercise the windowed-kernel tier (the beyond-dense regime)
         cfg = cfg.replace(
             graph=dataclasses.replace(cfg.graph, dense_adjacency_max_bytes=0)
+        )
+    if src_span_rows is not None:  # span-DMA plan block height sweep
+        cfg = cfg.replace(
+            graph=dataclasses.replace(cfg.graph, src_span_rows=src_span_rows)
         )
     if mimic:
         spec = SyntheticSpec.mimic_scale()
@@ -208,6 +213,10 @@ def main() -> int:
                         choices=["block", "span"],
                         help="aligned-block vs arbitrary-base narrow tiles "
                              "(only with --lab-tile-rows)")
+    parser.add_argument("--src-span-rows", type=int, default=None,
+                        help="span-DMA plan block height (graph.src_span_rows; "
+                             "unset=config default 256; only matters with "
+                             "--no-dense where the span-DMA tier engages)")
     args = parser.parse_args()
 
     import os
@@ -225,6 +234,7 @@ def main() -> int:
             scale=args.scale, mimic=args.mimic, quick=args.quick, epochs=args.epochs,
             use_pallas=args.pallas, dense=args.dense, bf16=args.bf16,
             lab_tile_rows=args.lab_tile_rows, lab_tile_mode=args.lab_tile_mode,
+            src_span_rows=args.src_span_rows,
         )
         if tpu_dead:
             result["note"] = (

@@ -14,6 +14,12 @@ def test_quickstart_runs(tmp_path):
         "QUICKSTART_CPU": "1",
         "QUICKSTART_EPOCHS": "3",
         "XLA_FLAGS": "",
+        # the subprocess runs from tmp_path and the package is not installed,
+        # so the repo root must ride PYTHONPATH (keep the machine's existing
+        # entries — sitecustomize lives there)
+        "PYTHONPATH": os.pathsep.join(
+            [str(REPO)] + [p for p in [os.environ.get("PYTHONPATH", "")] if p]
+        ),
     }
     out = subprocess.run(
         [sys.executable, str(REPO / "examples" / "quickstart.py")],
