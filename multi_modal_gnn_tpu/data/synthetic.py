@@ -129,10 +129,14 @@ def _sample_memberships(
         if affinity is not None:
             scores = scores + affinity[start:stop]
         order = np.argsort(-scores, axis=1)
-        for i in range(n):
-            c = counts[start + i]
-            item_idx[offset : offset + c] = order[i, :c]
-            offset += c
+        # flat gather of each row's top-count items (bit-identical to the
+        # per-row slice loop: same ranking, same output order)
+        cc = counts[start:stop]
+        m = int(cc.sum())
+        rows = np.repeat(np.arange(n, dtype=np.int64), cc)
+        cols = np.arange(m, dtype=np.int64) - np.repeat(np.cumsum(cc) - cc, cc)
+        item_idx[offset : offset + m] = order[rows, cols]
+        offset += m
     return patient_idx, item_idx
 
 
