@@ -104,10 +104,10 @@ def run_bench(
         scale = True  # same epoch counts / chunk sizes as the scale config
     else:
         spec = SyntheticSpec.scale_100k() if scale else SyntheticSpec.eicu_demo()
-    if lab_tile_rows is None:  # auto: the hardware-measured default
-        from multi_modal_gnn_tpu.training.masker import auto_lab_tile_rows
+    if lab_tile_rows is None:  # auto: the trainer's measured-default policy
+        from multi_modal_gnn_tpu.training.trainer import _resolve_lab_tile_rows
 
-        lab_tile_rows = auto_lab_tile_rows(spec.num_labs) if use_pallas else 0
+        lab_tile_rows = _resolve_lab_tile_rows(None, spec.num_labs, use_pallas)
     if lab_tile_rows:  # narrow lab tiles want frequency-clustered lab ids
         cfg = cfg.replace(
             graph=dataclasses.replace(cfg.graph, cluster_labs_by_frequency=True)

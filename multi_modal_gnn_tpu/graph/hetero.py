@@ -181,7 +181,9 @@ def pad_edge_set(
     win_src, win_local, win_tile_map, num_windows = build_window_plan(
         src, dst, num_dst, row_ptr=row_ptr
     )
-    dense = build_dense_adjacency(src, dst, num_src, num_dst, counts, dense_max_bytes)
+    dense = build_dense_adjacency(
+        src, dst, num_src, num_dst, counts, dense_max_bytes, dst_sorted=sort_by_dst
+    )
     # span-DMA plan: only for over-VMEM source tables the faster tiers
     # (dense adjacency, VMEM-resident fused table) cannot serve
     span = None
@@ -226,19 +228,41 @@ def build_dense_adjacency(
     num_dst: int,
     counts: np.ndarray,
     dense_max_bytes: int,
+    dst_sorted: bool = False,
 ) -> Optional[np.ndarray]:
     """Mean-normalized dense adjacency A[dst, src] = multiplicity / in-degree,
     or None when it exceeds the byte budget.  ``A @ x`` then equals the
-    segment-mean aggregation (duplicate edges accumulate, like segment_sum)."""
+    segment-mean aggregation (duplicate edges accumulate, like segment_sum).
+
+    With ``dst_sorted=True`` the int64 bincount transient (8 B/cell — 2x the
+    f32 cell the budget accounts for) is chunked over ~64 MB blocks of whole
+    dst rows, so peak host memory stays ~at the budget instead of 3x it.
+    Counts are integers, so the chunked path is bit-identical."""
     if dense_max_bytes <= 0 or num_src * num_dst * 4 > dense_max_bytes:
         return None
-    # flat-index bincount: ~30x faster than np.add.at at 5M edges
-    flat = dst.astype(np.int64) * num_src + src.astype(np.int64)
-    a = (
-        np.bincount(flat, minlength=num_dst * num_src)
-        .astype(np.float32)
-        .reshape(num_dst, num_src)
-    )
+    rows_per = max(1, (8 << 20) // max(num_src, 1))
+    if dst_sorted and num_dst > rows_per:
+        a = np.empty((num_dst, num_src), dtype=np.float32)
+        r_edges = np.arange(0, num_dst + rows_per, rows_per, dtype=np.int64)
+        r_edges[-1] = num_dst
+        bounds = np.searchsorted(dst, r_edges, side="left")
+        for i in range(len(r_edges) - 1):
+            r0, r1 = int(r_edges[i]), int(r_edges[i + 1])
+            e0, e1 = int(bounds[i]), int(bounds[i + 1])
+            flat = (dst[e0:e1].astype(np.int64) - r0) * num_src + src[e0:e1]
+            a[r0:r1] = (
+                np.bincount(flat, minlength=(r1 - r0) * num_src)
+                .astype(np.float32)
+                .reshape(r1 - r0, num_src)
+            )
+    else:
+        # flat-index bincount: ~30x faster than np.add.at at 5M edges
+        flat = dst.astype(np.int64) * num_src + src.astype(np.int64)
+        a = (
+            np.bincount(flat, minlength=num_dst * num_src)
+            .astype(np.float32)
+            .reshape(num_dst, num_src)
+        )
     a /= np.maximum(counts, 1.0)[:, None]
     return a
 

@@ -8,10 +8,16 @@ per-row dictionary inserts.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Hashable, Iterable, List, Optional
 
 import numpy as np
 import pandas as pd
+
+# Process-wide NaN singleton: all NaN ids canonicalize to THIS object, so
+# dict lookups hit via identity (distinct float('nan') objects compare
+# unequal and would otherwise mint a duplicate node per occurrence).
+_NAN = float("nan")
 
 
 def _canonical_int_values(arr: np.ndarray) -> Optional[np.ndarray]:
@@ -19,6 +25,8 @@ def _canonical_int_values(arr: np.ndarray) -> Optional[np.ndarray]:
     canonicalizes to an int.  Returns int64 values, or None when the array
     holds non-integral floats / NaN / strings (element-wise fallback)."""
     if np.issubdtype(arr.dtype, np.integer):
+        if arr.dtype.kind == "u" and arr.size and int(arr.max()) > np.iinfo(np.int64).max:
+            return None  # would wrap under astype(int64); element-wise path
         return arr.astype(np.int64, copy=False)
     if np.issubdtype(arr.dtype, np.floating):
         with np.errstate(invalid="ignore"):
@@ -35,15 +43,20 @@ def canonical_id(entity_id) -> Hashable:
         return int(entity_id)
     if isinstance(entity_id, (np.floating, float)):
         f = float(entity_id)
+        if f != f:
+            return _NAN
         return int(f) if f.is_integer() else f
     if isinstance(entity_id, str):
         s = entity_id.strip()
-        # "123" and "123.0" style numeric strings normalize to ints
+        # "123" and "123.0" style numeric strings normalize to ints;
+        # "nan"/"inf" strings stay strings (a float-nan key is unfindable)
         try:
             f = float(s)
-            return int(f) if f.is_integer() else f
         except ValueError:
             return s
+        if not math.isfinite(f):
+            return s
+        return int(f) if f.is_integer() else f
     return entity_id
 
 

@@ -107,6 +107,7 @@ def load_graph(path: str | Path) -> GraphBundle:
                 int(entry["num_dst"]),
                 data[f"{key}{_SEP}dst_count"],
                 dense_budget,
+                dst_sorted=True,  # stored arrays are the sorted host view
             )
             # span-DMA plan is likewise derived, under the bundle's config
             from multi_modal_gnn_tpu.graph.hetero import (

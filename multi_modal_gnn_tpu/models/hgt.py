@@ -263,6 +263,11 @@ class HeteroGT(nn.Module):
     # -- serving (cached node state) — see HeteroRGCN.compute_node_state -----
 
     def compute_node_state(self, graph: HeteroGraph):
+        if graph.patient_id_base is not None:
+            raise ValueError(
+                "serving state must be computed on the FULL graph, not a "
+                "mini-batch cluster subgraph (patient_id_base is set)"
+            )
         x_dict = self(graph, train=False)
         state = {"final_p": x_dict[PATIENT], "final_l": x_dict[LAB]}
         if self.bilinear_rank > 0 and self.bilinear_source in ("embedding", "context"):

@@ -145,7 +145,7 @@ def _pad_batch(
                 # span-bounded lab tiles: regroup each window's slots by lab
                 # block so the pair-head kernel gathers from ONE narrow block
                 # of the lab table per tile (graph/hetero.py regroup doc).
-                # mode "span": arbitrary 8-aligned per-tile bases (near-zero
+                # mode "span": arbitrary 16-aligned per-tile bases (near-zero
                 # slot inflation); mode "block": aligned lbr-row blocks.
                 from multi_modal_gnn_tpu.graph.hetero import (
                     regroup_slots_by_lab_block,

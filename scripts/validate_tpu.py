@@ -269,11 +269,16 @@ def main() -> None:
     # E[out] is preserved by inverted dropout but E[|out|] is not: the mask
     # inflates the variance of the H1-term sum by ~1/keep, so |out| grows by
     # ~sqrt(1/keep) (~1.12 at rate 0.2) plus relu asymmetry.  Measured 1.28
-    # on v5e (2026-08); a THRESHOLD bug instead shows as frac_same ~ 1 in 1c
-    # (nothing dropped -> pure deterministic rescale).
+    # on v5e (2026-08) at rate 0.2; a THRESHOLD bug instead shows as
+    # frac_same ~ 1 in 1c (nothing dropped -> pure deterministic rescale).
+    # Bounds derive from the configured rate (not hardcoded for 0.2).
+    exp_scale = (1.0 / max(1.0 - args.rate, 1e-6)) ** 0.5
+    lo = 1.0 + 0.25 * (exp_scale - 1.0) - 0.02  # sampling-noise headroom
+    hi = exp_scale * 1.30  # relu asymmetry inflates above sqrt(1/keep)
     print(f"1. dropout fwd: |out| scale vs rate=0: {scale:.3f} "
-          f"(expect ~1.1-1.3 at rate {args.rate})")
-    assert 1.0 < scale < 1.45, "inverted-dropout scaling off — threshold bug?"
+          f"(expect ~{exp_scale:.2f}, bounds [{lo:.2f}, {hi:.2f}] "
+          f"at rate {args.rate})")
+    assert lo < scale < hi, "inverted-dropout scaling off — threshold bug?"
 
     # helper-level exact keep-rate with REAL pltpu bits: a kernel that dumps
     # the dropout mask is overkill; instead run the forward twice with the
@@ -340,10 +345,20 @@ def main() -> None:
                        + params2["b1"].astype(np.float64), 0.0)
     ref64 = np.where(real2, h1_64 @ params2["w2"].astype(np.float64)
                      + float(params2["b2"]), 0.0)
+    # calibrate against the unfused XLA default path on the SAME problem
+    # (check 2's pattern): the kernel must be in-family with XLA's own
+    # default-precision error, not merely under a fixed absolute bound
+    pp2, pl2, w12, b12, w22, b22 = map(jnp.asarray, params2.values())
+    h0s = jnp.maximum(pp2[p_s2] + pl2[l_s2], 0.0)
+    h1s = jnp.maximum(h0s @ w12 + b12, 0.0)
+    xla_def2 = np.asarray(jnp.where(jnp.asarray(real2), h1s @ w22 + b22, 0.0))
     err_span = float(np.abs(got - ref64).max())
-    print(f"3. span-tile kernel fwd vs f64 reference: err {err_span:.2e}")
-    assert err_span < 3e-2, "span-tile kernel error beyond default-precision family"
-    print("3. span-tile kernel fwd parity on hardware: OK")
+    err_xla2 = float(np.abs(xla_def2 - ref64).max())
+    print(f"3. span-tile kernel fwd vs f64 reference: kernel err "
+          f"{err_span:.2e}, xla-default err {err_xla2:.2e}")
+    assert err_span <= max(4.0 * err_xla2, 1e-4), (
+        "span-tile kernel error out of family with XLA default precision")
+    print("3. span-tile kernel fwd parity (precision-calibrated): OK")
 
     g = jnp.asarray(
         np.random.default_rng(5).standard_normal(len(l_s2)).astype(np.float32)

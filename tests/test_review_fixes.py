@@ -211,3 +211,87 @@ def test_labevents_empty_cohort_keeps_nothing(tmp_path):
     # non-empty still works on the same loader (native or pandas path)
     kept = loader.load_labevents_for_cohort([1, 3])
     assert sorted(kept["SUBJECT_ID"].tolist()) == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# Round-2 batch 3: indexer edge-case ids, chunked dense adjacency, HGT
+# serving guard
+# ---------------------------------------------------------------------------
+
+
+def test_indexer_uint64_beyond_int64_no_wrap():
+    """uint64 ids above 2**63 must not wrap: bulk add_many and scalar add
+    agree on the node identity (previously add_many minted a duplicate node
+    at the wrapped negative id)."""
+    from multi_modal_gnn_tpu.graph.indexer import NodeIndexer
+
+    big = 2**63 + 5
+    ix = NodeIndexer("n")
+    scalar_idx = ix.add(big)
+    bulk = ix.add_many(np.array([big, 7], dtype=np.uint64))
+    assert bulk[0] == scalar_idx
+    assert len(ix) == 2  # big + 7, no wrapped duplicate
+    assert ix.lookup_many(np.array([big], dtype=np.uint64))[0] == scalar_idx
+
+
+def test_indexer_nan_ids_collapse_to_one_findable_node():
+    """All NaN ids canonicalize to one singleton node, consistent across
+    add_many calls and with scalar add/get (previously every NaN minted an
+    unfindable duplicate)."""
+    from multi_modal_gnn_tpu.graph.indexer import NodeIndexer
+
+    ix = NodeIndexer("n")
+    a = ix.add_many(np.array([1.0, float("nan"), 2.0, float("nan")]))
+    assert a[1] == a[3]
+    b = ix.add_many(pd.array([float("nan"), 3.0]))
+    assert b[0] == a[1]  # same node across calls
+    assert ix.get(float("nan")) == int(a[1])  # scalar path agrees
+    assert ix.lookup_many(np.array([np.nan, 1.0]))[0] == a[1]
+    # the literal string "nan" stays a distinct STRING id (a float-nan key
+    # parsed from it would be unfindable)
+    s = ix.add("nan")
+    assert s != a[1]
+    assert ix.index_of(" nan ") == s
+
+
+def test_dense_adjacency_chunked_matches_one_shot():
+    """dst_sorted chunked bincount (bounded int64 transient) is bit-identical
+    to the one-shot path."""
+    from multi_modal_gnn_tpu.graph.hetero import build_dense_adjacency
+
+    rng = np.random.default_rng(0)
+    num_src, num_dst, e = 3000, 4000, 20000  # 12M cells: >1 chunk at 8M-cell blocks
+    src = rng.integers(0, num_src, e).astype(np.int32)
+    dst = np.sort(rng.integers(0, num_dst, e)).astype(np.int32)
+    counts = np.bincount(dst, minlength=num_dst).astype(np.float32)
+    budget = num_src * num_dst * 4
+    one = build_dense_adjacency(src, dst, num_src, num_dst, counts, budget)
+    chunked = build_dense_adjacency(
+        src, dst, num_src, num_dst, counts, budget, dst_sorted=True
+    )
+    # make sure the chunked branch actually engaged
+    assert num_dst > (8 << 20) // num_src
+    np.testing.assert_array_equal(one, chunked)
+
+
+def test_hgt_serving_state_refuses_cluster_subgraph():
+    """HGT.compute_node_state mirrors HeteroRGCN's guard: serving state on a
+    mini-batch cluster subgraph (patient_id_base set) is a loud error, not a
+    silently mislabeled cache."""
+    import jax
+
+    from multi_modal_gnn_tpu.models.factory import build_model, init_model_variables
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+    from multi_modal_gnn_tpu.training.minibatch import build_patient_clusters
+
+    cfg = Config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, architecture="HGT", hidden_dim=16))
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=0), cfg)
+    masker = EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
+    cd = build_patient_clusters(bundle, masker, cfg, num_clusters=2)
+    sub = cd.subgraphs[0]
+    assert sub.patient_id_base is not None
+    model = build_model(cfg, bundle.graph)
+    variables = init_model_variables(model, bundle.graph, jax.random.key(0))
+    with pytest.raises(ValueError, match="FULL graph"):
+        model.apply(variables, sub, method=model.compute_node_state)
