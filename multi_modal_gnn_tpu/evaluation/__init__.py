@@ -8,8 +8,12 @@ from multi_modal_gnn_tpu.evaluation.metrics import (  # noqa: F401
     stratify_by_lab_frequency,
 )
 from multi_modal_gnn_tpu.evaluation.baselines import (  # noqa: F401
+    ALSBaseline,
     GlobalMeanBaseline,
+    NearestNeighborBaseline,
     PerLabMeanBaseline,
+    SideInfoALSBaseline,
     evaluate_baselines,
+    membership_matrix,
 )
 from multi_modal_gnn_tpu.evaluation.evaluate import evaluate_model, evaluation_pipeline  # noqa: F401

@@ -200,6 +200,161 @@ class ALSBaseline:
         return self.lab_bias[q] + self.C[q] @ u
 
 
+def membership_matrix(
+    num_patients: int,
+    edge_sets: "list[tuple[np.ndarray, np.ndarray, int]]",
+    dtype=np.float32,
+) -> np.ndarray:
+    """Binary membership features [P, sum(num_items)] from relation edge
+    lists.  Each entry of ``edge_sets`` is ``(patient_idx, item_idx,
+    num_items)`` — e.g. the host arrays of the patient-diagnosis and
+    patient-medication relations.  Duplicate (patient, item) pairs collapse
+    to 1 (real-data loaders can emit repeats; the synthetic generator
+    samples without replacement)."""
+    width = sum(int(n) for _, _, n in edge_sets)
+    m = np.zeros((num_patients, width), dtype=dtype)
+    base = 0
+    for p_idx, i_idx, n in edge_sets:
+        m[np.asarray(p_idx), base + np.asarray(i_idx)] = 1.0
+        base += int(n)
+    return m
+
+
+class SideInfoALSBaseline:
+    """ALS factorization + membership side information (dx/rx relations).
+
+    The plain ALS baseline conditions only on a patient's observed lab
+    VALUES; this one also conditions on which diagnoses/medications the
+    patient has — fully-observed graph structure that the GNN's relational
+    trunk receives but gradient training demonstrably fails to exploit
+    (README "Results": on the synthetic cohort, membership carries signal
+    beyond the labs-only Bayes ceiling because dx/rx sampling is tilted by
+    the same latent state, data/synthetic.py).
+
+    Fit (train split only; closed form throughout):
+      1. ALS on train values -> patient factors U            [P, k]
+      2. per-lab ridge of values on [U_p, M_p, 1]            (M = memberships)
+      3. SVD-truncate the membership coefficient block to ``mem_rank`` ->
+         patient side G = M @ V_r, lab side H = U_r S_r — the truncation is
+         itself a regularizer (measured BETTER than the full-rank block:
+         the generator's membership signal has rank <= latent_dim)
+      4. per-lab ridge refit of the [U_p, 1] block on the residual after
+         the G.H term, so the lab factors adapt to the truncation.
+
+    Prediction: ``v(p, l) = <U_p, C_l> + b_l + <G_p, H_l>`` — exactly the
+    low-rank bilinear form of the model's embedding-bilinear channel, so
+    ``training/warmstart.py`` can plant it as an epoch-0 initialization
+    (sideinfo_warm_start_params).
+
+    No reference analogue (its baselines never condition on dx/rx,
+    src/evaluate.py:147-230).
+    """
+
+    def __init__(
+        self,
+        num_patients: int,
+        num_labs: int,
+        rank: int = 8,
+        mem_rank: int | None = None,
+        reg: float = 12.0,
+        ridge_reg: float = 30.0,
+        iters: int = 30,
+        seed: int = 0,
+        min_lab_edges: int = 3,
+    ):
+        self.num_patients = num_patients
+        self.num_labs = num_labs
+        self.rank = rank
+        self.mem_rank = rank if mem_rank is None else mem_rank
+        self.reg = reg
+        self.ridge_reg = ridge_reg
+        self.iters = iters
+        self.seed = seed
+        self.min_lab_edges = min_lab_edges
+        self.U = np.zeros((num_patients, rank))
+        self.C = np.zeros((num_labs, rank))
+        self.lab_bias = np.zeros(num_labs)
+        self.G = np.zeros((num_patients, self.mem_rank))
+        self.H = np.zeros((num_labs, self.mem_rank))
+
+    def _per_lab_ridge(
+        self,
+        feats: np.ndarray,  # [P, d] per-patient features (includes constant)
+        values: np.ndarray,
+        p: np.ndarray,
+        l: np.ndarray,
+        reg: float,
+    ) -> np.ndarray:
+        d = feats.shape[1]
+        theta = np.zeros((self.num_labs, d))
+        eye = reg * np.eye(d)
+        order = np.argsort(l, kind="stable")
+        bounds = np.searchsorted(l[order], np.arange(self.num_labs + 1))
+        for lab in range(self.num_labs):
+            rows = order[bounds[lab] : bounds[lab + 1]]
+            if len(rows) < self.min_lab_edges:
+                continue
+            x = feats[p[rows]]
+            theta[lab] = np.linalg.solve(x.T @ x + eye, x.T @ values[rows])
+        return theta
+
+    def fit(
+        self,
+        values: np.ndarray,
+        patient_indices: np.ndarray,
+        lab_indices: np.ndarray,
+        memberships: np.ndarray,  # [P, D] binary side features
+    ) -> "SideInfoALSBaseline":
+        values = np.asarray(values, dtype=np.float64)
+        p = np.asarray(patient_indices)
+        l = np.asarray(lab_indices)
+        m = np.asarray(memberships, dtype=np.float64)
+        if m.shape[0] != self.num_patients:
+            raise ValueError(
+                f"memberships rows {m.shape[0]} != num_patients {self.num_patients}"
+            )
+
+        als = ALSBaseline(
+            self.num_patients, self.num_labs, rank=self.rank, reg=self.reg,
+            iters=self.iters, seed=self.seed,
+        ).fit(values, p, l)
+        self.U = als.U
+
+        k = self.rank
+        feats = np.hstack([self.U, m, np.ones((self.num_patients, 1))])
+        theta = self._per_lab_ridge(feats, values, p, l, self.ridge_reg)
+
+        # SVD-truncate the membership block (denoises: its true rank is the
+        # generator's latent_dim, while the ridge fit spreads noise over all
+        # D membership columns)
+        theta_mem = theta[:, k:-1]
+        uu, ss, vt = np.linalg.svd(theta_mem, full_matrices=False)
+        r = min(self.mem_rank, len(ss))
+        self.H = np.zeros((self.num_labs, self.mem_rank))
+        self.G = np.zeros((self.num_patients, self.mem_rank))
+        self.H[:, :r] = uu[:, :r] * ss[:r]
+        self.G[:, :r] = m @ vt[:r].T
+
+        # refit the lab-side factors + bias against the truncated term
+        resid = values - np.einsum(
+            "er,er->e", self.G[p], self.H[l]
+        )
+        feats_u = np.hstack([self.U, np.ones((self.num_patients, 1))])
+        theta_u = self._per_lab_ridge(feats_u, resid, p, l, self.ridge_reg)
+        self.C = theta_u[:, :k]
+        self.lab_bias = theta_u[:, k]
+        return self
+
+    def predict(self, patient_indices: np.ndarray, lab_indices: np.ndarray) -> np.ndarray:
+        p = np.asarray(patient_indices)
+        l = np.asarray(lab_indices)
+        return (
+            self.lab_bias[l]
+            + np.einsum("ek,ek->e", self.U[p], self.C[l])
+            + np.einsum("er,er->e", self.G[p], self.H[l])
+        )
+
+
 def evaluate_baselines(
     train_values: np.ndarray,
     train_lab_indices: np.ndarray,

@@ -103,17 +103,127 @@ def als_warm_start_params(
     return out
 
 
-def warm_start_trainer(trainer, rank: int = 8, reg: float = 12.0, iters: int = 30):
+def sideinfo_warm_start_params(
+    params: dict,
+    sideinfo,
+    zero_heads: bool = True,
+) -> dict:
+    """Plant a fitted :class:`SideInfoALSBaseline` into the embedding-bilinear
+    channel: columns ``[U | 1 | G]`` on the patient table against
+    ``[C | b | H]`` on the lab table, identity selectors over the first
+    ``rank + 1 + mem_rank`` dims — so the epoch-0 prediction IS the
+    side-information baseline ``<U_p, C_l> + b_l + <G_p, H_l>``.
+
+    The membership factors G derive from fully-observed dx/rx graph
+    structure (never lab values), so the plant introduces no value leakage;
+    it hands the trunk the relational signal that gradient training fails
+    to extract on its own (README "Results" diagnosis).
+    """
+    r = sideinfo.rank
+    rm = sideinfo.mem_rank
+    need = r + 1 + rm
+    if "bilinear_u" not in params:
+        raise ValueError(
+            "side-info warm start plants into the embedding-bilinear channel "
+            f"— requires edge_head.extras bilinear_rank >= {need} and "
+            "bilinear_source='embedding'"
+        )
+    bl_u = params["bilinear_u"]
+    if bl_u.shape[1] < need:
+        raise ValueError(
+            f"bilinear_rank={bl_u.shape[1]} < rank+1+mem_rank={need}"
+        )
+    hidden = bl_u.shape[0]
+    if hidden < need:
+        raise ValueError(f"hidden_dim={hidden} < rank+1+mem_rank={need}")
+
+    emb_p = params["embed_patient"]["embedding"]
+    emb_p = emb_p.at[:, :r].set(jnp.asarray(sideinfo.U, dtype=emb_p.dtype))
+    emb_p = emb_p.at[:, r].set(1.0)
+    emb_p = emb_p.at[:, r + 1 : need].set(jnp.asarray(sideinfo.G, dtype=emb_p.dtype))
+    emb_l = params["embed_lab"]["embedding"]
+    emb_l = emb_l.at[:, :r].set(jnp.asarray(sideinfo.C, dtype=emb_l.dtype))
+    emb_l = emb_l.at[:, r].set(jnp.asarray(sideinfo.lab_bias, dtype=emb_l.dtype))
+    emb_l = emb_l.at[:, r + 1 : need].set(jnp.asarray(sideinfo.H, dtype=emb_l.dtype))
+
+    sel = np.zeros(bl_u.shape, dtype=np.float32)
+    sel[:need, :need] = np.eye(need, dtype=np.float32)
+
+    out = dict(params)
+    out["embed_patient"] = dict(params["embed_patient"], embedding=emb_p)
+    out["embed_lab"] = dict(params["embed_lab"], embedding=emb_l)
+    out["bilinear_u"] = jnp.asarray(sel, dtype=bl_u.dtype)
+    out["bilinear_l"] = jnp.asarray(sel, dtype=params["bilinear_l"].dtype)
+    if zero_heads:
+        for head in ("edge_predictor", "tabular_mlp"):
+            if head not in out:
+                continue
+            hp = dict(out[head])
+            if "dense_out" in hp:
+                hp["dense_out"] = {
+                    k: jnp.zeros_like(v) for k, v in hp["dense_out"].items()
+                }
+            out[head] = hp
+    return out
+
+
+def bundle_membership_matrix(bundle) -> np.ndarray:
+    """Binary [P, D_dx + D_rx] membership features from a GraphBundle's host
+    edge arrays (patient-diagnosis and patient-medication relations)."""
+    from multi_modal_gnn_tpu.evaluation.baselines import membership_matrix
+    from multi_modal_gnn_tpu.graph.schema import (
+        DIAGNOSIS,
+        MEDICATION,
+        PATIENT_DIAGNOSIS,
+        PATIENT_MEDICATION,
+    )
+
+    if not bundle.host_edges:
+        raise ValueError("GraphBundle has no host_edges (rebuild the graph)")
+    sets = []
+    for key, node_t in ((PATIENT_DIAGNOSIS, DIAGNOSIS), (PATIENT_MEDICATION, MEDICATION)):
+        if key in bundle.host_edges:
+            src, dst = bundle.host_edges[key][0], bundle.host_edges[key][1]
+            sets.append((src, dst, bundle.graph.num_nodes(node_t)))
+    if not sets:
+        raise ValueError("no dx/rx relations present in host_edges")
+    from multi_modal_gnn_tpu.graph.schema import PATIENT
+
+    return membership_matrix(bundle.graph.num_nodes(PATIENT), sets)
+
+
+def warm_start_trainer(
+    trainer,
+    rank: int = 8,
+    reg: float = 12.0,
+    iters: int = 30,
+    memberships: "np.ndarray | None" = None,
+    mem_rank: int | None = None,
+    ridge_reg: float = 30.0,
+):
     """Fit ALS on the trainer's train split and plant it into the live state
     (optimizer state re-initialized so adam moments don't fight the init).
-    Returns the fitted ALSBaseline for yardstick reporting."""
+    With ``memberships`` (binary [P, D] dx/rx features — see
+    :func:`bundle_membership_matrix`), fits the stronger
+    :class:`SideInfoALSBaseline` instead and plants its side-information
+    form.  Returns the fitted baseline for yardstick reporting."""
     masker = trainer.masker
     graph = trainer.graph
     tr_p, tr_l, tr_v = masker.split_arrays("train")
-    als = ALSBaseline(
-        graph.num_nodes(PATIENT), graph.num_nodes(LAB), rank=rank, reg=reg, iters=iters
-    ).fit(tr_v, tr_p, tr_l)
-    new_params = als_warm_start_params(trainer.state.params, als)
+    if memberships is not None:
+        from multi_modal_gnn_tpu.evaluation.baselines import SideInfoALSBaseline
+
+        als = SideInfoALSBaseline(
+            graph.num_nodes(PATIENT), graph.num_nodes(LAB), rank=rank,
+            mem_rank=mem_rank, reg=reg, ridge_reg=ridge_reg, iters=iters,
+        ).fit(tr_v, tr_p, tr_l, memberships)
+        new_params = sideinfo_warm_start_params(trainer.state.params, als)
+    else:
+        als = ALSBaseline(
+            graph.num_nodes(PATIENT), graph.num_nodes(LAB), rank=rank, reg=reg,
+            iters=iters,
+        ).fit(tr_v, tr_p, tr_l)
+        new_params = als_warm_start_params(trainer.state.params, als)
     trainer.state = trainer.state.replace(
         params=new_params, opt_state=trainer.tx.init(new_params)
     )

@@ -45,6 +45,14 @@ def main() -> None:
                     help="warm-start the embedding-bilinear channel at the ALS "
                          "solution (training/warmstart.py); implies "
                          "bilinear_source=embedding, bilinear_rank>=rank+1")
+    ap.add_argument("--sideinfo", action="store_true",
+                    help="warm-start with the dx/rx side-information baseline "
+                         "(SideInfoALSBaseline) instead of plain ALS; implies "
+                         "--als-init with bilinear_rank >= rank+1+mem_rank")
+    ap.add_argument("--mem-rank", type=int, default=None,
+                    help="membership SVD rank for --sideinfo (default: als rank)")
+    ap.add_argument("--ridge-reg", type=float, default=30.0,
+                    help="per-lab ridge regularizer for --sideinfo")
     ap.add_argument("--weight-decay", type=float, default=None)
     ap.add_argument("--loss", type=str, default=None, choices=["mae", "mse", "huber"])
     ap.add_argument("--embedding-weight-decay", type=float, default=None)
@@ -195,9 +203,15 @@ def main() -> None:
             overrides["degree_threshold"] = args.degree_threshold
         if args.value_context:
             overrides["extras"] = {**mc.extras, "value_context": True}
+        if args.sideinfo:
+            args.als_init = True
         if args.als_init:
             # the warm start plants into the embedding-bilinear channel
-            args.bilinear_rank = max(args.bilinear_rank, (args.als_rank or spec.latent_dim) + 1)
+            rank = args.als_rank or spec.latent_dim
+            need = rank + 1
+            if args.sideinfo:
+                need += args.mem_rank if args.mem_rank is not None else rank
+            args.bilinear_rank = max(args.bilinear_rank, need)
             args.bilinear_source = "embedding"
         if args.bilinear_rank:
             overrides["edge_head"] = dataclasses.replace(
@@ -236,12 +250,25 @@ def main() -> None:
         model = build_model(cfg2, bundle.graph)
         trainer = Trainer(model, bundle.graph, masker, cfg2)
         if args.als_init:
-            from multi_modal_gnn_tpu.training.warmstart import warm_start_trainer
+            from multi_modal_gnn_tpu.training.warmstart import (
+                bundle_membership_matrix,
+                warm_start_trainer,
+            )
 
             rank = args.als_rank or spec.latent_dim
+            memberships = bundle_membership_matrix(bundle) if args.sideinfo else None
             als = warm_start_trainer(
-                trainer, rank=rank, reg=args.als_reg if args.als_reg is not None else 12.0
+                trainer,
+                rank=rank,
+                reg=args.als_reg if args.als_reg is not None else 12.0,
+                memberships=memberships,
+                mem_rank=args.mem_rank,
+                ridge_reg=args.ridge_reg,
             )
+            if args.sideinfo:
+                si_m = compute_regression_metrics(als.predict(te_p, te_l), te_v)
+                print("SideInfoALS baseline test metrics:", json.dumps(si_m))
+                report["sideinfo_baseline"] = si_m
             pre = compute_regression_metrics(
                 trainer.predict("test").astype(np.float64), te_v
             )

@@ -119,6 +119,42 @@ def test_warm_start_replicates_across_data_seeds(data_seed, floor):
     )
 
 
+def test_sideinfo_warm_start_beats_labs_only_ceiling(realistic):
+    """The dx/rx side-information channel (SideInfoALSBaseline plant,
+    round 2): dx/rx membership is tilted by the same latent state
+    (data/synthetic.py), so conditioning on it carries signal BEYOND the
+    labs-only Bayes ceiling (0.195 on this cohort).  Measured epoch-0 test
+    R^2 = 0.236 vs 0.178 for the labs-only ALS plant (cross-fitted
+    oracle-combined ceiling: 0.257).  Pinned: >= 0.20 — above the labs-only
+    ceiling, so a regression to a values-only predictor fails this test."""
+    cfg, bundle, _, _, _ = realistic
+    from multi_modal_gnn_tpu.training.warmstart import bundle_membership_matrix
+
+    si_cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            edge_head=dataclasses.replace(
+                cfg.model.edge_head,
+                extras={"bilinear_rank": 2 * RANK + 1, "bilinear_source": "embedding"},
+            ),
+        ),
+    )
+    masker = EdgeMasker(bundle.graph, seed=42, host_edges=bundle.patient_lab_host())
+    trainer = Trainer(build_model(si_cfg, bundle.graph), bundle.graph, masker, si_cfg)
+    si = warm_start_trainer(
+        trainer, rank=RANK, reg=12.0, memberships=bundle_membership_matrix(bundle)
+    )
+    _, _, tev = masker.split_arrays("test")
+    m = compute_regression_metrics(trainer.predict("test").astype(np.float64), tev)
+    assert m["r2"] >= 0.20, f"side-info quality regressed: R^2={m['r2']:.4f}"
+    assert m["mae"] <= 0.73, f"side-info MAE regressed: {m['mae']:.4f}"
+    # and the baseline itself must beat plain ALS by a clear margin
+    tep, tel, _ = masker.split_arrays("test")
+    si_r2 = compute_regression_metrics(si.predict(tep, tel), tev)["r2"]
+    assert si_r2 >= 0.20
+
+
 def test_hgt_warm_start_hits_als_quality(realistic):
     """HGT with the shared quality channels (embedding-bilinear head + ALS
     warm start) matches the RGCN headline on the realistic cohort: measured

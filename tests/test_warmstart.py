@@ -81,6 +81,64 @@ def test_warm_start_seeds_best_state(setup):
     assert tr.best_val_loss <= seeded_val
 
 
+def test_membership_matrix_offsets_and_dedup():
+    from multi_modal_gnn_tpu.evaluation.baselines import membership_matrix
+
+    m = membership_matrix(
+        3,
+        [
+            (np.array([0, 0, 2, 2]), np.array([1, 1, 0, 1]), 2),  # dup (0,1)
+            (np.array([1]), np.array([0]), 3),
+        ],
+    )
+    assert m.shape == (3, 5)
+    want = np.zeros((3, 5), dtype=np.float32)
+    want[0, 1] = 1.0
+    want[2, 0] = 1.0
+    want[2, 1] = 1.0
+    want[1, 2] = 1.0  # second relation offset by 2
+    np.testing.assert_array_equal(m, want)
+
+
+@pytest.mark.parametrize("arch", ["RGCN", "HGT"])
+def test_sideinfo_epoch0_equals_baseline(arch):
+    """The side-information plant puts the model exactly AT the
+    SideInfoALSBaseline predictor (<U,C> + b + <G,H> through the
+    embedding-bilinear channel)."""
+    from multi_modal_gnn_tpu.evaluation.baselines import SideInfoALSBaseline
+    from multi_modal_gnn_tpu.training.warmstart import bundle_membership_matrix
+
+    rank, mem_rank = 4, 3
+    cfg = _mf_config(rank=rank + 1 + mem_rank, arch=arch)
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=3), cfg)
+    masker = EdgeMasker(bundle.graph, seed=7, host_edges=bundle.patient_lab_host())
+    tr = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    memberships = bundle_membership_matrix(bundle)
+    si = warm_start_trainer(tr, rank=rank, reg=3.0, memberships=memberships,
+                            mem_rank=mem_rank)
+    assert isinstance(si, SideInfoALSBaseline)
+    tep, tel, tev = masker.split_arrays("test")
+    got = tr.predict("test").astype(np.float64)
+    want = si.predict(tep, tel)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sideinfo_rank_too_small_rejected():
+    from multi_modal_gnn_tpu.evaluation.baselines import SideInfoALSBaseline
+    from multi_modal_gnn_tpu.training.warmstart import sideinfo_warm_start_params
+
+    cfg = _mf_config(rank=5)  # needs rank+1+mem_rank = 8 slots
+    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=3), cfg)
+    masker = EdgeMasker(bundle.graph, seed=7, host_edges=bundle.patient_lab_host())
+    tr = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    si = SideInfoALSBaseline(
+        bundle.graph.num_nodes("patient"), bundle.graph.num_nodes("lab"),
+        rank=4, mem_rank=3,
+    )
+    with pytest.raises(ValueError, match="bilinear_rank"):
+        sideinfo_warm_start_params(tr.state.params, si)
+
+
 def test_rank_too_large_rejected(setup):
     cfg, bundle, masker = setup
     tr = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
