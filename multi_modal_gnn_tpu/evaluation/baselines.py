@@ -367,7 +367,12 @@ def evaluate_baselines(
     include_nn: bool = True,
     include_als: bool = False,
     als_rank: int = 8,
+    memberships: np.ndarray | None = None,
 ) -> Dict[str, Dict[str, float]]:
+    """Fit-and-score the configured baselines on the train/test split arrays.
+    ``memberships`` (binary [P, D] dx/rx features — e.g.
+    training.warmstart.bundle_membership_matrix) additionally scores the
+    side-information baseline as ``sideinfo_als``."""
     results = {}
     gm = GlobalMeanBaseline().fit(train_values)
     results["global_mean"] = compute_regression_metrics(
@@ -391,5 +396,12 @@ def evaluate_baselines(
             )
             results["als_matrix_factorization"] = compute_regression_metrics(
                 als.predict(test_patient_indices, test_lab_indices), test_values
+            )
+        if memberships is not None:
+            si = SideInfoALSBaseline(num_patients, num_labs, rank=als_rank).fit(
+                train_values, train_patient_indices, train_lab_indices, memberships
+            )
+            results["sideinfo_als"] = compute_regression_metrics(
+                si.predict(test_patient_indices, test_lab_indices), test_values
             )
     return results

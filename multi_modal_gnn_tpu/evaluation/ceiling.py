@@ -117,3 +117,56 @@ def gaussian_conditional_ceiling(
     if query_values is not None:
         out["realized"] = compute_regression_metrics(predictions, np.asarray(query_values))
     return out
+
+
+def crossfit_oracle_ceiling(
+    w_lab: np.ndarray,
+    signal: float,
+    z: np.ndarray,
+    features: np.ndarray,
+    query_patient: np.ndarray,
+    query_lab: np.ndarray,
+    query_values: np.ndarray,
+    regs: tuple = (1.0, 10.0, 30.0, 100.0, 300.0),
+    folds: int = 5,
+    seed: int = 7,
+) -> Dict:
+    """Empirical oracle ceiling for NON-Gaussian conditioning information.
+
+    The closed-form ceiling above conditions only on observed lab VALUES.
+    Membership side information (dx/rx relations — data/synthetic.py tilts
+    their sampling by the same latent z) breaks the Gaussian conjugacy, so
+    the combined ceiling is estimated empirically: ridge-fit the oracle map
+    ``z ~ features`` CROSS-FITTED over patients (a patient's own realized z
+    never enters its fit — removing the memorization leak), predict
+    ``s * <w_l, zhat_p>`` on the query edges, and take the best regularizer
+    by query R^2 (optimism is fine in a ceiling).  ``features`` is anything
+    a model could condition on: labs-only posterior means, membership
+    one-hots, or their concatenation.
+    """
+    w_lab = np.asarray(w_lab, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    num_patients, k = z.shape
+    s = float(signal)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(num_patients)
+    feats = np.hstack([np.asarray(features, dtype=np.float64),
+                       np.ones((num_patients, 1))])
+    d = feats.shape[1]
+
+    best: Dict = {}
+    for reg in regs:
+        zhat = np.zeros((num_patients, k))
+        for f in range(folds):
+            hold = perm[f::folds]
+            mask = np.ones(num_patients, bool)
+            mask[hold] = False
+            a = feats[mask].T @ feats[mask] + reg * np.eye(d)
+            b = np.linalg.solve(a, feats[mask].T @ z[mask])
+            zhat[hold] = feats[hold] @ b
+        pred = s * np.einsum("qk,qk->q", w_lab[query_lab], zhat[query_patient])
+        m = compute_regression_metrics(pred, np.asarray(query_values))
+        if not best or m["r2"] > best["realized"]["r2"]:
+            best = {"realized": m, "reg": reg}
+    best["folds"] = folds
+    return best

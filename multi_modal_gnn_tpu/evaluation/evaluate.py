@@ -85,7 +85,13 @@ def evaluate_model(
         tr_p, tr_l, tr_v = trainer.masker.split_arrays("train")
         want_nn = "nearest_neighbor" in config.evaluation.baselines
         want_als = "als" in config.evaluation.baselines
-        want_pairs = want_nn or want_als
+        want_si = "sideinfo_als" in config.evaluation.baselines
+        memberships = None
+        if want_si:
+            from multi_modal_gnn_tpu.training.warmstart import bundle_membership_matrix
+
+            memberships = bundle_membership_matrix(bundle)
+        want_pairs = want_nn or want_als or want_si
         results["baselines"] = evaluate_baselines(
             tr_v, tr_l, targets, lab_idx, graph.num_nodes(LAB),
             train_patient_indices=tr_p if want_pairs else None,
@@ -93,6 +99,7 @@ def evaluate_model(
             num_patients=graph.num_nodes(PATIENT) if want_pairs else None,
             include_nn=want_nn,
             include_als=want_als,
+            memberships=memberships,
         )
         for name, m in results["baselines"].items():
             if m["mae"] > 0:

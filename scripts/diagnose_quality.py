@@ -150,6 +150,29 @@ def main() -> None:
         print("  realized:", json.dumps(ceil["realized"]))
         print("  unconditional (oracle-z) R^2:", ceil["unconditional_r2"])
 
+        # combined ceiling: labs posterior + dx/rx membership one-hots
+        from multi_modal_gnn_tpu.evaluation.ceiling import (
+            crossfit_oracle_ceiling,
+            gaussian_posterior_means,
+        )
+        from multi_modal_gnn_tpu.training.warmstart import bundle_membership_matrix
+
+        pat_indexer = bundle.meta.indexers[PATIENT]
+        z_graph = np.zeros((num_patients, latents.z.shape[1]))
+        for g in range(num_patients):
+            z_graph[g] = latents.z[int(pat_indexer.id_of(g)) - 100000]
+        mu, _ = gaussian_posterior_means(
+            w_graph, latents.signal, tr_p, tr_l, tr_v, num_patients=num_patients
+        )
+        memberships_y = bundle_membership_matrix(bundle)
+        combined = crossfit_oracle_ceiling(
+            w_graph, latents.signal, z_graph,
+            np.hstack([mu, memberships_y]), te_p, te_l, te_v,
+        )
+        report["combined_ceiling"] = combined
+        print("Combined ceiling (labs + dx/rx memberships, cross-fitted oracle ridge):")
+        print("  realized:", json.dumps(combined["realized"]))
+
         va_p, va_l, va_v = masker.split_arrays("val")
         rank = args.als_rank or spec.latent_dim
         als_kwargs = {}

@@ -77,6 +77,27 @@ def test_baselines(rng):
         np.testing.assert_allclose(plm.lab_means[lab], train_v[train_l == lab].mean())
 
 
+def test_evaluate_baselines_sideinfo(rng):
+    """With memberships provided, evaluate_baselines also scores the
+    side-information baseline under the 'sideinfo_als' key."""
+    num_p, num_l = 60, 10
+    train_p = rng.integers(0, num_p, 1000)
+    train_l = rng.integers(0, num_l, 1000)
+    train_v = rng.standard_normal(1000)
+    test_p = rng.integers(0, num_p, 200)
+    test_l = rng.integers(0, num_l, 200)
+    test_v = rng.standard_normal(200)
+    m = (rng.random((num_p, 7)) < 0.3).astype(np.float32)
+    res = evaluate_baselines(
+        train_v, train_l, test_v, test_l, num_l,
+        train_patient_indices=train_p, test_patient_indices=test_p,
+        num_patients=num_p, include_nn=False, include_als=True,
+        als_rank=4, memberships=m,
+    )
+    assert "sideinfo_als" in res and "als_matrix_factorization" in res
+    assert np.isfinite(res["sideinfo_als"]["mae"])
+
+
 def test_stratifications(rng):
     n = 200
     p_idx = rng.integers(0, 50, n)
