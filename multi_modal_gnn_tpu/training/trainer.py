@@ -16,6 +16,7 @@ host-side ReduceLROnPlateau never triggers a recompile.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from pathlib import Path
@@ -810,6 +811,46 @@ def train_pipeline(
     )
     logger.info("Edge splits: %s", masker.split_sizes())
 
+    # config-routed warm start (train.extras.warm_start: als | sideinfo):
+    # plants the closed-form ALS (or dx/rx side-information) solution into
+    # the embedding-bilinear channel before training — the measured quality
+    # recipe (README "Results").  The channel the plant needs is auto-wired
+    # into the model config here (it changes parameter shapes, which is what
+    # opting in means).
+    ws = str(tc.extras.get("warm_start", "") or "").lower()
+    if ws in ("none", "off"):
+        ws = ""
+    ws_rank = int(tc.extras.get("warm_start_rank", 8) or 8)
+    ws_mem_rank = int(tc.extras.get("warm_start_mem_rank", ws_rank) or ws_rank)
+    if ws:
+        if ws not in ("als", "sideinfo"):
+            raise ValueError(
+                f"unknown train.extras.warm_start={ws!r} (expected als | sideinfo)"
+            )
+        need = ws_rank + 1 + (ws_mem_rank if ws == "sideinfo" else 0)
+        eh = config.model.edge_head
+        have = int(eh.extras.get("bilinear_rank", 0))
+        if have < need or eh.extras.get("bilinear_source") != "embedding":
+            logger.info(
+                "warm_start=%s: wiring edge_head bilinear channel "
+                "(bilinear_rank %d -> %d, bilinear_source=embedding)",
+                ws, have, max(have, need),
+            )
+            config = dataclasses.replace(
+                config,
+                model=dataclasses.replace(
+                    config.model,
+                    edge_head=dataclasses.replace(
+                        eh,
+                        extras={
+                            **eh.extras,
+                            "bilinear_rank": max(have, need),
+                            "bilinear_source": "embedding",
+                        },
+                    ),
+                ),
+            )
+
     model = build_model(config, graph)
     # mini-batch (cluster-partitioned) training: explicit train.num_clusters,
     # or derived from the reference's batch_size knob (which the reference
@@ -864,6 +905,27 @@ def train_pipeline(
         trainer = MiniBatchTrainer(model, bundle, masker, config, num_clusters=n_clusters)
     else:
         trainer = Trainer(model, graph, masker, config)
+    if ws:
+        if parallel and parallel not in ("none", "off"):
+            raise ValueError(
+                "train.extras.warm_start currently supports the single-device "
+                "and mini-batch trainers; warm-start a parallel trainer via "
+                "training.warmstart.warm_start_trainer directly"
+            )
+        from multi_modal_gnn_tpu.training.warmstart import (
+            bundle_membership_matrix,
+            warm_start_trainer,
+        )
+
+        memberships = bundle_membership_matrix(bundle) if ws == "sideinfo" else None
+        warm_start_trainer(
+            trainer,
+            rank=ws_rank,
+            reg=float(tc.extras.get("warm_start_reg", 12.0)),
+            memberships=memberships,
+            mem_rank=ws_mem_rank,
+            ridge_reg=float(tc.extras.get("warm_start_ridge_reg", 30.0)),
+        )
     trainer.fit(
         output_dir=output_dir,
         resume_from=resume_from,

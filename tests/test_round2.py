@@ -534,3 +534,50 @@ class TestQualityYardsticks:
         # with nothing observed the posterior is the prior -> expected R^2 = 0
         assert out["expected"]["r2"] == pytest.approx(0.0, abs=1e-9)
         np.testing.assert_allclose(out["predictions"], 0.0)
+
+
+class TestConfigRoutedWarmStart:
+    """train.extras.warm_start routes train_pipeline through the quality
+    recipe (ALS / side-info plant) without touching the Python API."""
+
+    def _cfg_bundle(self, ws, **extras):
+        from multi_modal_gnn_tpu.data.synthetic import make_synthetic_bundle
+
+        cfg = Config()
+        cfg = cfg.replace(
+            train=dataclasses.replace(
+                cfg.train,
+                epochs=3,
+                extras={"warm_start": ws, "warm_start_rank": 4,
+                        "warm_start_mem_rank": 3, **extras},
+            )
+        )
+        bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=5), cfg)
+        return cfg, bundle
+
+    @pytest.mark.parametrize("ws", ["als", "sideinfo"])
+    def test_pipeline_warm_start_runs_and_wires_channel(self, ws, tmp_path):
+        from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
+        cfg, bundle = self._cfg_bundle(ws)
+        trainer, results = train_pipeline(cfg, bundle, tmp_path / ws)
+        assert np.isfinite(results["test_loss"])
+        # the bilinear channel was auto-wired and planted
+        assert "bilinear_u" in trainer.state.params
+        need = 4 + 1 + (3 if ws == "sideinfo" else 0)
+        assert trainer.state.params["bilinear_u"].shape[1] >= need
+        assert trainer.best_state is not None
+
+    def test_unknown_warm_start_rejected(self, tmp_path):
+        from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
+        cfg, bundle = self._cfg_bundle("bogus")
+        with pytest.raises(ValueError, match="warm_start"):
+            train_pipeline(cfg, bundle, tmp_path)
+
+    def test_warm_start_with_parallel_rejected(self, tmp_path):
+        from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
+        cfg, bundle = self._cfg_bundle("als", parallel="dp")
+        with pytest.raises(ValueError, match="warm_start"):
+            train_pipeline(cfg, bundle, tmp_path)
