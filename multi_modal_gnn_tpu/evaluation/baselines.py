@@ -276,6 +276,7 @@ class SideInfoALSBaseline:
         self.lab_bias = np.zeros(num_labs)
         self.G = np.zeros((num_patients, self.mem_rank))
         self.H = np.zeros((num_labs, self.mem_rank))
+        self.mem_proj = np.zeros((0, self.mem_rank))
 
     def _per_lab_ridge(
         self,
@@ -333,7 +334,11 @@ class SideInfoALSBaseline:
         self.H = np.zeros((self.num_labs, self.mem_rank))
         self.G = np.zeros((self.num_patients, self.mem_rank))
         self.H[:, :r] = uu[:, :r] * ss[:r]
-        self.G[:, :r] = m @ vt[:r].T
+        # membership projection kept for cold start: an unseen patient's
+        # side factors are just m_new @ mem_proj
+        self.mem_proj = np.zeros((m.shape[1], self.mem_rank))
+        self.mem_proj[:, :r] = vt[:r].T
+        self.G = m @ self.mem_proj
 
         # refit the lab-side factors + bias against the truncated term
         resid = values - np.einsum(
@@ -353,6 +358,45 @@ class SideInfoALSBaseline:
             + np.einsum("ek,ek->e", self.U[p], self.C[l])
             + np.einsum("er,er->e", self.G[p], self.H[l])
         )
+
+    def fold_in(
+        self,
+        obs_lab_indices: np.ndarray,
+        obs_values: np.ndarray,
+        memberships_row: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(u, g) factors for an UNSEEN patient: g directly from the
+        membership projection, u from one ridge solve against the lab
+        factors on the membership-adjusted residuals.  With ZERO observed
+        labs, u is the prior mean (0) and the prediction is driven by
+        dx/rx structure alone — the request no value-only model can answer."""
+        m = np.asarray(memberships_row, dtype=np.float64).reshape(-1)
+        if m.shape[0] != self.mem_proj.shape[0]:
+            raise ValueError(
+                f"membership width {m.shape[0]} != fitted {self.mem_proj.shape[0]}"
+            )
+        g = m @ self.mem_proj
+        l = np.asarray(obs_lab_indices)
+        if len(l) == 0:
+            return np.zeros(self.rank), g
+        v = np.asarray(obs_values, dtype=np.float64)
+        c = self.C[l]
+        resid = v - self.lab_bias[l] - self.H[l] @ g
+        gram = self.reg * np.eye(self.rank) + c.T @ c
+        return np.linalg.solve(gram, c.T @ resid), g
+
+    def predict_cold_start(
+        self,
+        obs_lab_indices: np.ndarray,
+        obs_values: np.ndarray,
+        query_lab_indices: np.ndarray,
+        memberships_row: np.ndarray,
+    ) -> np.ndarray:
+        """Predict ``query_lab_indices`` for a new patient given observed
+        (lab, value) pairs and their dx/rx membership vector."""
+        u, g = self.fold_in(obs_lab_indices, obs_values, memberships_row)
+        q = np.asarray(query_lab_indices)
+        return self.lab_bias[q] + self.C[q] @ u + self.H[q] @ g
 
 
 def evaluate_baselines(

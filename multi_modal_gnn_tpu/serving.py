@@ -147,11 +147,20 @@ def export_serving(
         (path / f"pairs_b{b}.bin").write_bytes(exported.serialize())
 
     if cold_start is not None:
+        extra = {}
+        if getattr(cold_start, "mem_proj", None) is not None and getattr(
+            cold_start, "H", None
+        ) is not None and np.size(getattr(cold_start, "mem_proj")) > 0:
+            # side-information factors (SideInfoALSBaseline): cold start can
+            # then condition on dx/rx memberships too — including patients
+            # with ZERO observed labs
+            extra = {"H": cold_start.H, "mem_proj": cold_start.mem_proj}
         np.savez(
             path / "coldstart.npz",
             C=cold_start.C,
             lab_bias=cold_start.lab_bias,
             reg=np.float64(cold_start.reg),
+            **extra,
         )
 
     meta = bundle.meta
@@ -277,31 +286,60 @@ class ServingModel:
                 for i, v in zip(labs, preds)}
 
     def predict_cold_start(
-        self, observed: Dict[int, float], denormalize: bool = False
+        self,
+        observed: Dict[int, float],
+        denormalize: bool = False,
+        memberships: "np.ndarray | None" = None,
     ) -> Dict[str, float]:
         """All-lab predictions for an UNSEEN patient from their observed
         NORMALIZED lab values, via the shipped ALS fold-in factors (one
         closed-form ridge solve — see ALSBaseline.fold_in).  Requires the
-        artifact to have been exported with ``cold_start=``."""
+        artifact to have been exported with ``cold_start=``.
+
+        ``memberships`` (binary dx/rx feature vector, same layout as
+        training.warmstart.bundle_membership_matrix rows): if the artifact
+        was exported from a SideInfoALSBaseline, predictions additionally
+        condition on the patient's diagnoses/medications — which answers
+        even the zero-observed-labs request."""
         if self._cold is None:
             raise ValueError(
                 "artifact has no coldstart.npz — re-export with "
                 "export_serving(..., cold_start=fitted_ALSBaseline)"
             )
-        from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
-
         n_lab = self.manifest["num_labs"]
         obs_l = np.asarray(sorted(observed), dtype=np.int64)
         if len(obs_l) and (obs_l.min() < 0 or obs_l.max() >= n_lab):
             raise ValueError(f"observed lab index out of range [0, {n_lab})")
         obs_v = np.asarray([observed[int(i)] for i in obs_l], dtype=np.float64)
-        # the shipped factors ARE an ALSBaseline's (C, lab_bias, reg): rebuild
-        # it so the fold-in math lives in exactly one place
-        als = ALSBaseline(1, n_lab, rank=self._cold["C"].shape[1],
-                          reg=float(self._cold["reg"]))
-        als.C = self._cold["C"]
-        als.lab_bias = self._cold["lab_bias"]
-        preds = als.predict_cold_start(obs_l, obs_v, np.arange(n_lab))
+        # the shipped factors ARE a baseline's (C, lab_bias, reg, [H,
+        # mem_proj]): rebuild it so the fold-in math lives in exactly one place
+        rank = self._cold["C"].shape[1]
+        if memberships is not None:
+            if "mem_proj" not in self._cold:
+                raise ValueError(
+                    "artifact has no side-information factors — re-export "
+                    "with export_serving(..., cold_start=fitted_SideInfoALSBaseline)"
+                )
+            from multi_modal_gnn_tpu.evaluation.baselines import SideInfoALSBaseline
+
+            si = SideInfoALSBaseline(
+                1, n_lab, rank=rank, mem_rank=self._cold["H"].shape[1],
+                reg=float(self._cold["reg"]),
+            )
+            si.C = self._cold["C"]
+            si.lab_bias = self._cold["lab_bias"]
+            si.H = self._cold["H"]
+            si.mem_proj = self._cold["mem_proj"]
+            preds = si.predict_cold_start(
+                obs_l, obs_v, np.arange(n_lab), memberships
+            )
+        else:
+            from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+
+            als = ALSBaseline(1, n_lab, rank=rank, reg=float(self._cold["reg"]))
+            als.C = self._cold["C"]
+            als.lab_bias = self._cold["lab_bias"]
+            preds = als.predict_cold_start(obs_l, obs_v, np.arange(n_lab))
         if denormalize:
             preds = preds * self._denorm_std + self._denorm_mean
         names = self.manifest["lab_names"]

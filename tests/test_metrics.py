@@ -142,3 +142,38 @@ def test_class_weights():
     w = compute_class_weights(np.array([0, 0, 0, 1]), num_classes=2)
     assert w[1] > w[0]
     assert w.mean() == pytest.approx(1.0, rel=1e-6)
+
+
+def test_sideinfo_cold_start_formula(rng):
+    """fold_in/predict_cold_start: zero-obs predictions are exactly
+    bias + H @ (m @ mem_proj); with observations the u-solve uses the
+    membership-adjusted residuals."""
+    from multi_modal_gnn_tpu.evaluation.baselines import SideInfoALSBaseline
+
+    num_p, num_l = 80, 12
+    p = rng.integers(0, num_p, 1500)
+    l = rng.integers(0, num_l, 1500)
+    v = rng.standard_normal(1500)
+    m = (rng.random((num_p, 9)) < 0.3).astype(np.float32)
+    si = SideInfoALSBaseline(num_p, num_l, rank=3, mem_rank=2, iters=5).fit(v, p, l, m)
+
+    row = m[5]
+    # zero observations
+    pred0 = si.predict_cold_start(np.zeros(0, int), np.zeros(0), np.arange(num_l), row)
+    g = row.astype(np.float64) @ si.mem_proj
+    np.testing.assert_allclose(pred0, si.lab_bias + si.H @ g, rtol=1e-10)
+
+    # with observations: manual ridge reproduction
+    obs_l = np.array([0, 3, 7])
+    obs_v = np.array([0.5, -1.0, 2.0])
+    c = si.C[obs_l]
+    resid = obs_v - si.lab_bias[obs_l] - si.H[obs_l] @ g
+    u = np.linalg.solve(si.reg * np.eye(3) + c.T @ c, c.T @ resid)
+    want = si.lab_bias + si.C @ u + si.H @ g
+    got = si.predict_cold_start(obs_l, obs_v, np.arange(num_l), row)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    # wrong membership width refuses
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="membership width"):
+        si.fold_in(obs_l, obs_v, row[:4])

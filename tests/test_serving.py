@@ -308,3 +308,54 @@ def test_serving_from_parallel_trainers(tiny_bundle, config, tmp_path):
     export_serving(dp, tiny_bundle, out)
     served = ServingModel.load(out)
     np.testing.assert_allclose(served.predict(p, l), want, rtol=1e-3, atol=1e-4)
+
+
+def test_serving_sideinfo_cold_start_roundtrip(tiny_bundle, tmp_path):
+    """Side-information cold start: the artifact ships membership factors,
+    so an unseen patient with ZERO observed labs still gets a
+    dx/rx-conditioned (non-bias) prediction."""
+    from multi_modal_gnn_tpu.evaluation.baselines import SideInfoALSBaseline
+    from multi_modal_gnn_tpu.serving import ServingModel, export_serving
+    from multi_modal_gnn_tpu.training.warmstart import bundle_membership_matrix
+
+    cfg = Config()
+    trainer = _train_briefly(tiny_bundle, cfg, epochs=1)
+    p_idx, l_idx, values = trainer.masker.split_arrays("train")
+    m = bundle_membership_matrix(tiny_bundle)
+    si = SideInfoALSBaseline(
+        tiny_bundle.graph.num_nodes("patient"), tiny_bundle.graph.num_nodes("lab"),
+        rank=3, mem_rank=2, iters=5,
+    ).fit(values, p_idx, l_idx, m)
+
+    path = tmp_path / "artifact"
+    export_serving(trainer, tiny_bundle, path, buckets=(64,), cold_start=si)
+    served = ServingModel.load(path)
+
+    n_lab = served.manifest["num_labs"]
+    new_m = m[3]  # treat a known membership row as the new patient's
+    observed = {int(l_idx[0]): float(values[0])}
+    report = served.predict_cold_start(observed, memberships=new_m)
+    obs_l = np.asarray(sorted(observed))
+    obs_v = np.asarray([observed[int(i)] for i in obs_l])
+    expected = si.predict_cold_start(obs_l, obs_v, np.arange(n_lab), new_m)
+    np.testing.assert_allclose(
+        np.asarray(list(report.values())), expected, rtol=1e-8
+    )
+
+    # zero observed labs: prediction = bias + H @ (m @ mem_proj), NOT bias-only
+    empty = served.predict_cold_start({}, memberships=new_m)
+    want = si.lab_bias + si.H @ (new_m.astype(np.float64) @ si.mem_proj)
+    np.testing.assert_allclose(np.asarray(list(empty.values())), want, rtol=1e-8)
+    assert not np.allclose(want, si.lab_bias)
+
+    # memberships against a plain-ALS artifact refuses clearly
+    from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+
+    als = ALSBaseline(
+        tiny_bundle.graph.num_nodes("patient"), tiny_bundle.graph.num_nodes("lab"),
+        rank=3, iters=5,
+    ).fit(values, p_idx, l_idx)
+    path2 = tmp_path / "plain"
+    export_serving(trainer, tiny_bundle, path2, buckets=(64,), cold_start=als)
+    with pytest.raises(ValueError, match="side-information"):
+        ServingModel.load(path2).predict_cold_start(observed, memberships=new_m)
