@@ -581,3 +581,16 @@ class TestConfigRoutedWarmStart:
         cfg, bundle = self._cfg_bundle("als", parallel="dp")
         with pytest.raises(ValueError, match="warm_start"):
             train_pipeline(cfg, bundle, tmp_path)
+
+    def test_warm_start_with_minibatch_clusters(self, tmp_path):
+        """warm_start composes with cluster training: the plant targets the
+        GLOBAL embedding tables, which minibatch steps read through
+        patient_id_base windows."""
+        from multi_modal_gnn_tpu.training.minibatch import MiniBatchTrainer
+        from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
+        cfg, bundle = self._cfg_bundle("sideinfo", num_clusters=2)
+        trainer, results = train_pipeline(cfg, bundle, tmp_path)
+        assert isinstance(trainer, MiniBatchTrainer)
+        assert np.isfinite(results["test_loss"])
+        assert trainer.best_state is not None
