@@ -261,6 +261,7 @@ class SideInfoALSBaseline:
         iters: int = 30,
         seed: int = 0,
         min_lab_edges: int = 3,
+        mem_pca: int | None = None,
     ):
         self.num_patients = num_patients
         self.num_labs = num_labs
@@ -271,6 +272,12 @@ class SideInfoALSBaseline:
         self.iters = iters
         self.seed = seed
         self.min_lab_edges = min_lab_edges
+        # the per-lab ridge costs O(sum_l n_l * d^2) with d = rank + D + 1;
+        # above ~256 membership columns the fit projects M onto its top
+        # principal components first (lossless in the useful directions —
+        # the SVD truncation below keeps only mem_rank of them anyway).
+        # None = auto: full fit for D <= 256, 128-dim PCA beyond.
+        self.mem_pca = mem_pca
         self.U = np.zeros((num_patients, rank))
         self.C = np.zeros((num_labs, rank))
         self.lab_bias = np.zeros(num_labs)
@@ -321,23 +328,38 @@ class SideInfoALSBaseline:
         ).fit(values, p, l)
         self.U = als.U
 
+        # optional PCA pre-compression of the membership block (see __init__)
+        d_mem = m.shape[1]
+        q = self.mem_pca
+        if q is None:
+            q = d_mem if d_mem <= 256 else 128
+        q = min(q, d_mem, self.num_patients)
+        if q < d_mem:
+            mc = m - m.mean(axis=0, keepdims=True)
+            # eigendecomposition of the [D, D] gram — cheap even at D ~ 1e3
+            _, vecs = np.linalg.eigh(mc.T @ mc)
+            basis = vecs[:, ::-1][:, :q]  # top-q principal directions [D, q]
+            m_feats = m @ basis
+        else:
+            basis = np.eye(d_mem)
+            m_feats = m
+
         k = self.rank
-        feats = np.hstack([self.U, m, np.ones((self.num_patients, 1))])
+        feats = np.hstack([self.U, m_feats, np.ones((self.num_patients, 1))])
         theta = self._per_lab_ridge(feats, values, p, l, self.ridge_reg)
 
         # SVD-truncate the membership block (denoises: its true rank is the
         # generator's latent_dim, while the ridge fit spreads noise over all
         # D membership columns)
-        theta_mem = theta[:, k:-1]
+        theta_mem = theta[:, k:-1]  # [L, q] — in the (possibly PCA'd) basis
         uu, ss, vt = np.linalg.svd(theta_mem, full_matrices=False)
         r = min(self.mem_rank, len(ss))
         self.H = np.zeros((self.num_labs, self.mem_rank))
-        self.G = np.zeros((self.num_patients, self.mem_rank))
         self.H[:, :r] = uu[:, :r] * ss[:r]
         # membership projection kept for cold start: an unseen patient's
-        # side factors are just m_new @ mem_proj
-        self.mem_proj = np.zeros((m.shape[1], self.mem_rank))
-        self.mem_proj[:, :r] = vt[:r].T
+        # side factors are just m_new @ mem_proj (the PCA basis composes in)
+        self.mem_proj = np.zeros((d_mem, self.mem_rank))
+        self.mem_proj[:, :r] = basis @ vt[:r].T
         self.G = m @ self.mem_proj
 
         # refit the lab-side factors + bias against the truncated term

@@ -219,7 +219,12 @@ class HeteroGT(nn.Module):
         the exact ALS solution into.  None when not configured."""
         if self.bilinear_rank <= 0 or self.bilinear_source == "head":
             return None
-        c = self.embeddings[LAB](lab_indices)
+        # project tables to rank width BEFORE gathering (row-wise identical,
+        # shrinks per-pair activations hidden_dim -> rank — see the RGCN
+        # twin for the MIMIC-scale memory rationale)
+        c_r = jnp.take(
+            self.embeddings[LAB].embedding @ self.bilinear_l, lab_indices, axis=0
+        )
         if self.bilinear_source == "embedding":
             # patient_indices are graph-LOCAL; on a cluster subgraph the
             # global table row is local + patient_id_base (same clamp as
@@ -230,7 +235,9 @@ class HeteroGT(nn.Module):
                     patient_indices + graph.patient_id_base,
                     dict(self.node_counts)[PATIENT] - 1,
                 )
-            u = self.embeddings[PATIENT](p_glob)
+            u_r = jnp.take(
+                self.embeddings[PATIENT].embedding @ self.bilinear_u, p_glob, axis=0
+            )
         else:  # "context" — requires value_context (enforced by the factory)
             ctx_p, _ = patient_value_context(
                 self.embeddings[LAB](
@@ -239,8 +246,8 @@ class HeteroGT(nn.Module):
                 graph.edges[PATIENT_LAB],
                 self.axis_name,
             )
-            u = ctx_p[patient_indices]
-        return jnp.sum((u @ self.bilinear_u) * (c @ self.bilinear_l), axis=-1)
+            u_r = (ctx_p @ self.bilinear_u)[patient_indices]
+        return jnp.sum(u_r * c_r, axis=-1)
 
     def predict_lab_values(
         self,

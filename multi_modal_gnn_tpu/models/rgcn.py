@@ -496,9 +496,20 @@ class HeteroRGCN(nn.Module):
                     patient_indices + graph.patient_id_base,
                     dict(self.node_counts)[PATIENT] - 1,
                 )
-            u = self.embeddings[PATIENT](p_glob)
-            c = self.embeddings[LAB](lab_indices)
-            pred = pred + jnp.sum((u @ self.bilinear_u) * (c @ self.bilinear_l), axis=-1)
+            # project the TABLES first, then gather rank-wide rows: row-wise
+            # identical to gathering 128-wide embeddings and projecting per
+            # pair, but the per-pair activations shrink hidden_dim -> rank
+            # (at 3.9M pairs that is ~2 GB -> ~0.25 GB per side, and the
+            # backward scatters into the small projected table instead of
+            # scattering 128-wide rows) — required headroom for long scan
+            # chunks at MIMIC scale
+            u_r = jnp.take(
+                self.embeddings[PATIENT].embedding @ self.bilinear_u, p_glob, axis=0
+            )
+            c_r = jnp.take(
+                self.embeddings[LAB].embedding @ self.bilinear_l, lab_indices, axis=0
+            )
+            pred = pred + jnp.sum(u_r * c_r, axis=-1)
         elif self.bilinear_rank > 0 and self.bilinear_source == "context":
             # conditional bilinear readout — the differentiable replica of
             # the Bayes form y(p,l) = w_l^T M (sum_obs val * w_lab)
@@ -511,9 +522,11 @@ class HeteroRGCN(nn.Module):
             ctx_p, _ = self._patient_value_context(
                 initial[LAB], graph.edges[PATIENT_LAB]
             )
-            u = ctx_p[patient_indices]
-            c = self.embeddings[LAB](lab_indices)
-            pred = pred + jnp.sum((u @ self.bilinear_u) * (c @ self.bilinear_l), axis=-1)
+            u_r = (ctx_p @ self.bilinear_u)[patient_indices]
+            c_r = jnp.take(
+                self.embeddings[LAB].embedding @ self.bilinear_l, lab_indices, axis=0
+            )
+            pred = pred + jnp.sum(u_r * c_r, axis=-1)
         return pred
 
     # -- serving (cached node state) -----------------------------------------

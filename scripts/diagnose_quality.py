@@ -60,6 +60,10 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--data-seed", type=int, default=0)
     ap.add_argument("--signal", type=float, default=0.6)
+    ap.add_argument("--spec", type=str, default="eicu",
+                    choices=["eicu", "mimic", "scale"],
+                    help="cohort shape: eicu demo (default), MIMIC-shaped "
+                         "(46k patients / 720 labs), or the 100k scale config")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-yardsticks", action="store_true")
     ap.add_argument("--als-rank", type=int, default=None, help="default: latent_dim")
@@ -94,8 +98,13 @@ def main() -> None:
 
     config = Config()
     tc = config.train
+    base_spec = {
+        "eicu": SyntheticSpec.eicu_demo,
+        "mimic": SyntheticSpec.mimic_scale,
+        "scale": SyntheticSpec.scale_100k,
+    }[args.spec]()
     spec = dataclasses.replace(
-        SyntheticSpec.eicu_demo(), seed=args.data_seed, signal_strength=args.signal
+        base_spec, seed=args.data_seed, signal_strength=args.signal
     )
     tables, latents = generate_synthetic_tables(spec, return_latents=True)
     bundle = build_heterogeneous_graph(
@@ -298,28 +307,37 @@ def main() -> None:
             print("Warm-start (epoch 0) test metrics:", json.dumps(pre))
             report["warm_start_epoch0"] = pre
         t0 = time.perf_counter()
-        trainer.fit(scan_chunk=args.scan_chunk)
-        train_s = time.perf_counter() - t0
+        try:
+            trainer.fit(scan_chunk=args.scan_chunk)
+        except Exception as exc:  # noqa: BLE001 — the yardsticks above are
+            # expensive (minutes at MIMIC scale); never lose them to a
+            # transient device fault mid-fine-tune.  Record and still write.
+            import traceback
 
-        best = trainer.best_state if trainer.best_state is not None else trainer.state
-        preds = trainer.predict("test", state=best).astype(np.float64)
-        raw = compute_regression_metrics(preds, te_v)
-        preds_w, capped = winsorize_residuals(preds, te_v, te_l, sigma=3.0)
-        wins = compute_regression_metrics(preds_w, te_v)
-        report["model"] = {
-            "raw": raw,
-            "winsorized": wins,
-            "best_val_loss": trainer.best_val_loss,
-            "final_train_loss": trainer.history["train_loss"][-1],
-            "epochs_run": len(trainer.history["train_loss"]),
-            "train_time_s": train_s,
-            "overrides": overrides,
-            "lr": args.lr,
-            "scheduler": not args.no_scheduler,
-        }
-        print("Model   raw:", json.dumps(raw))
-        print("Model  wins:", json.dumps(wins))
-        print(f"({len(trainer.history['train_loss'])} epochs in {train_s:.1f}s)")
+            traceback.print_exc()
+            report["train_error"] = f"{type(exc).__name__}: {exc}"
+        else:
+            train_s = time.perf_counter() - t0
+
+            best = trainer.best_state if trainer.best_state is not None else trainer.state
+            preds = trainer.predict("test", state=best).astype(np.float64)
+            raw = compute_regression_metrics(preds, te_v)
+            preds_w, capped = winsorize_residuals(preds, te_v, te_l, sigma=3.0)
+            wins = compute_regression_metrics(preds_w, te_v)
+            report["model"] = {
+                "raw": raw,
+                "winsorized": wins,
+                "best_val_loss": trainer.best_val_loss,
+                "final_train_loss": trainer.history["train_loss"][-1],
+                "epochs_run": len(trainer.history["train_loss"]),
+                "train_time_s": train_s,
+                "overrides": overrides,
+                "lr": args.lr,
+                "scheduler": not args.no_scheduler,
+            }
+            print("Model   raw:", json.dumps(raw))
+            print("Model  wins:", json.dumps(wins))
+            print(f"({len(trainer.history['train_loss'])} epochs in {train_s:.1f}s)")
 
     out_dir = Path("outputs/diagnostics")
     out_dir.mkdir(parents=True, exist_ok=True)
