@@ -46,10 +46,59 @@ class SyntheticSpec:
     signal_strength: float = 0.6
     seed: int = 0
 
+    # ---- phenomenology ----------------------------------------------------
+    # "flat": the original jointly-Gaussian rank-k generator (above docstring;
+    #   bit-identical RNG stream to rounds 1-2 — every existing pin depends
+    #   on it).  All fields below are ignored.
+    # "eicu": calibrated against the reference's MEASURED real-data behavior
+    #   (outputs/evaluation_results.json, per_lab_metrics.csv, the
+    #   Iteration-2->7 ladder in outputs/things_to_improve.txt).  Adds the
+    #   structure real z-scored EHR labs have that a flat isotropic Gaussian
+    #   lacks:
+    #     * a DOMINANT severity factor with a skewed heavy tail (gamma),
+    #     * per-lab heterogeneous signal shares, rising with lab rarity
+    #       (rare panels are ordered on sick patients and track severity),
+    #     * severity-coupled lab ORDERING (sicker -> more labs, and
+    #       preferentially the rare ones: MNAR missingness),
+    #     * severity-coupled noise scale (sicker -> wilder deviations: a
+    #       scale-mixture, hence heavy-tailed residuals — what the
+    #       reference's +-3-sigma winsorization guard exists for), and
+    #     * per-lab student-t measurement noise.
+    #   signal_strength is IGNORED in this mode; the per-lab share fields
+    #   below define the signal geometry.
+    phenomenology: str = "flat"
+    sev_shape: float = 2.0  # gamma shape of the severity factor (skew 2/sqrt(k))
+    sev_share_common: float = 0.05  # severity variance share, most common lab
+    sev_share_rare: float = 0.28  # ... rarest lab
+    sev_share_power: float = 1.5  # rarity->share curve exponent
+    sev_share_conc: float = 8.0  # Beta concentration of per-lab share jitter
+    minor_share_lo: float = 0.05  # per-lab share of the minor (rank k-1) factors
+    minor_share_hi: float = 0.30
+    noise_df_min: float = 4.5  # per-lab student-t dof (log-uniform)
+    noise_df_max: float = 30.0
+    hetero_noise: float = 0.38  # noise scale ~ exp(hetero_noise * severity)
+    degree_sev_coupling: float = 0.55  # lab-count rate ~ exp(coupling * severity)
+    rare_sev_affinity: float = 1.0  # rare-lab ordering tilt toward sick patients
+    # wild-value contamination (real EHR artifacts: unit mix-ups, entry
+    # errors) — a small fraction of entries displaced by several sigma.
+    # These crush RAW R^2 quadratically while barely moving MAE, which is
+    # exactly why the reference's +-3-sigma winsorization guard moves its
+    # headline metric so much (Iter 6 raw 0.034 -> Iter 7 guarded 0.242).
+    contamination_frac: float = 0.015
+    contamination_scale: float = 2.8
+
     @staticmethod
     def eicu_demo() -> "SyntheticSpec":
         """Matched to the eICU demo statistics (README.md:88-109 of reference)."""
         return SyntheticSpec()
+
+    @staticmethod
+    def eicu_real(seed: int = 0) -> "SyntheticSpec":
+        """eICU-demo-sized cohort with the calibrated real-data phenomenology
+        (``phenomenology="eicu"``) — the generator-validation cohort on which
+        the reference's measured iteration ladder is reproduced
+        (scripts/validate_generator.py, README "Generator validation")."""
+        return SyntheticSpec(phenomenology="eicu", seed=seed)
 
     @staticmethod
     def scale_100k() -> "SyntheticSpec":
@@ -104,11 +153,18 @@ def _sample_memberships(
     mean_per_patient: float,
     item_popularity: np.ndarray,
     affinity: np.ndarray | None = None,
+    rate_tilt: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample (patient, item) membership pairs with power-law item popularity
-    and optional latent affinity tilt.  Returns (patient_idx, item_idx)."""
+    and optional latent affinity tilt.  Returns (patient_idx, item_idx).
+
+    ``rate_tilt`` multiplies each patient's count rate (mean-normalized so the
+    cohort mean stays at ``mean_per_patient``) — the eicu phenomenology's
+    severity->degree coupling (sicker patients get more labs ordered)."""
     # per-patient counts: gamma-poisson for overdispersion, clipped to >= 1
     rate = rng.gamma(shape=2.5, scale=mean_per_patient / 2.5, size=num_patients)
+    if rate_tilt is not None:
+        rate = rate * (rate_tilt / rate_tilt.mean())
     counts = np.maximum(rng.poisson(rate), 1)
     counts = np.minimum(counts, num_items)
 
@@ -145,12 +201,211 @@ class SyntheticLatents:
     """The generator's ground-truth latent structure, for computing the
     Bayes-optimal conditional performance ceiling (evaluation/ceiling.py).
 
-    ``value_norm = signal * <w_lab[l], z[p]> + sqrt(1 - signal^2) * eps``.
+    Flat mode: ``value_norm = signal * <w_lab[l], z[p]> + sqrt(1-signal^2) * eps``
+    (``w_eff``/``noise_var`` are None).
+
+    eicu mode: after the per-lab observed-set standardization,
+    ``value_norm ~= <w_eff[l], z[p]> - mean_shift[l] + noise`` with per-lab
+    effective noise variance ``noise_var[l]`` (approximate: the noise is a
+    severity-coupled scale mixture of student-t's, so a linear-Gaussian
+    ceiling computed from these is LMMSE, not exact Bayes).  ``z[:, 0]`` is
+    the severity factor.
     """
 
     z: np.ndarray  # [num_patients, latent_dim]
-    w_lab: np.ndarray  # [num_labs, latent_dim], unit rows
+    w_lab: np.ndarray  # [num_labs, latent_dim], unit rows (flat mode)
     signal: float
+    w_eff: np.ndarray | None = None  # [num_labs, latent_dim] effective loadings
+    noise_var: np.ndarray | None = None  # [num_labs] effective noise variance
+    mean_shift: np.ndarray | None = None  # [num_labs] standardization offset
+    sev_share: np.ndarray | None = None  # [num_labs] pre-selection share
+
+
+def _standardized_gamma(rng: np.random.Generator, shape_k: float, size: int) -> np.ndarray:
+    """Gamma(k, 1) standardized to mean 0 / var 1 (skew 2/sqrt(k))."""
+    g = rng.gamma(shape_k, 1.0, size)
+    return (g - shape_k) / np.sqrt(shape_k)
+
+
+def _standardized_t(rng: np.random.Generator, df: np.ndarray) -> np.ndarray:
+    """Student-t with per-element dof, standardized to unit variance (df > 2)."""
+    t = rng.standard_t(df)
+    return t * np.sqrt((df - 2.0) / df)
+
+
+def _generate_eicu_tables(
+    spec: SyntheticSpec, return_latents: bool
+) -> Dict[str, pd.DataFrame] | Tuple[Dict[str, pd.DataFrame], SyntheticLatents]:
+    """The ``phenomenology="eicu"`` generator (see SyntheticSpec docstring).
+
+    Calibration targets are the reference's MEASURED real-data artifacts
+    (/root/reference/outputs/evaluation_results.json, per_lab_metrics.csv,
+    things_to_improve.txt): rare-lab R^2 above common, degree-16+ carrying
+    the overall number, a low-degree stratum with small variance and
+    negative R^2, a wide per-lab MAE spread, MAE/RMSE ~ 0.68 (heavier than
+    Gaussian), and a +-3-sigma winsorization rate near 2.35%.
+    """
+    rng = np.random.default_rng(spec.seed)
+    n, L, k = spec.num_patients, spec.num_labs, spec.latent_dim
+
+    # ---- latents: dominant severity factor + isotropic minor factors ------
+    s = _standardized_gamma(rng, spec.sev_shape, n)  # severity, skewed
+    u = rng.standard_normal((n, k - 1))
+    z = np.concatenate([s[:, None], u], axis=1)
+
+    # ---- per-lab signal geometry ------------------------------------------
+    # rarity rank: lab 0 most common (popularity below is rank-decaying)
+    r = np.arange(L) / max(L - 1, 1)
+    mean_sev = spec.sev_share_common + (
+        spec.sev_share_rare - spec.sev_share_common
+    ) * r**spec.sev_share_power
+    c = spec.sev_share_conc
+    sev_share = rng.beta(c * mean_sev, c * (1.0 - mean_sev))
+    minor_share = rng.uniform(spec.minor_share_lo, spec.minor_share_hi, L)
+    tot = sev_share + minor_share
+    over = tot > 0.9
+    sev_share = np.where(over, sev_share * 0.9 / tot, sev_share)
+    minor_share = np.where(over, minor_share * 0.9 / tot, minor_share)
+    noise_share = 1.0 - sev_share - minor_share
+    w_minor = rng.standard_normal((L, k - 1))
+    w_minor /= np.linalg.norm(w_minor, axis=1, keepdims=True) + 1e-12
+    df_lab = np.exp(
+        rng.uniform(np.log(spec.noise_df_min), np.log(spec.noise_df_max), L)
+    )
+
+    # ---- cohort / demographics (severity nudges age upward) ---------------
+    subject_ids = 100000 + np.arange(n)
+    age = np.clip(rng.normal(63, 16, n) + 3.0 * s, 18, 90).round(1)
+    gender = rng.choice(["M", "F"], size=n)
+    cohort = pd.DataFrame({"SUBJECT_ID": subject_ids, "AGE": age, "GENDER": gender})
+
+    # ---- lab ordering: severity-coupled counts + rare-lab MNAR tilt -------
+    lab_item_ids = 51000 + np.arange(L)
+    lab_popularity = (1.0 / (np.arange(L) + 1.0)) ** 1.0
+    lab_popularity /= lab_popularity.sum()
+    affinity = np.outer(s, spec.rare_sev_affinity * r**1.5).astype(np.float32)
+    tilt = np.exp(spec.degree_sev_coupling * s)
+    tilt_n = tilt / tilt.mean()
+    # clipping Poisson counts at L truncates the sick tail and drags the
+    # realized mean degree below target — solve a deterministic inflation
+    # factor on a throwaway stream so the cohort mean stays on spec
+    probe = np.random.default_rng(spec.seed ^ 0xC0FFEE)
+    g_probe = probe.gamma(2.5, 1.0 / 2.5, size=n)
+    lo_c, hi_c = 1.0, 4.0
+    for _ in range(40):
+        mid = 0.5 * (lo_c + hi_c)
+        realized = np.minimum(mid * spec.mean_labs_per_patient * g_probe * tilt_n, L).mean()
+        lo_c, hi_c = (mid, hi_c) if realized < spec.mean_labs_per_patient else (lo_c, mid)
+    p_idx, l_idx = _sample_memberships(
+        rng,
+        n,
+        L,
+        0.5 * (lo_c + hi_c) * spec.mean_labs_per_patient,
+        lab_popularity,
+        affinity=affinity,
+        rate_tilt=tilt_n,
+    )
+
+    # ---- values: severity signal + scale-mixture minor/noise --------------
+    m = np.exp(spec.hetero_noise * s)
+    m = m / np.sqrt(np.mean(m**2))  # unit mean-square noise scale
+    minor_part = np.einsum("ek,ek->e", u[p_idx], w_minor[l_idx])
+    eps = _standardized_t(rng, df_lab[l_idx])
+    core = (
+        np.sqrt(sev_share[l_idx]) * s[p_idx]
+        + m[p_idx]
+        * (np.sqrt(minor_share[l_idx]) * minor_part + np.sqrt(noise_share[l_idx]) * eps)
+    )
+    if spec.contamination_frac > 0:
+        bad = rng.random(len(core)) < spec.contamination_frac
+        wild = rng.standard_normal(len(core))
+        core = np.where(
+            bad, core + spec.contamination_scale * np.sign(wild) * (0.5 + np.abs(wild)), core
+        )
+
+    # per-lab standardization over the OBSERVED entries — exactly what the
+    # reference preprocess does (z-score fitted on aggregated observed pairs,
+    # src/preprocess.py:113-150), so VALUE_NORMALIZED has mean 0 / var 1 per
+    # lab over the observed set despite the severity-selected sampling.
+    cnt = np.bincount(l_idx, minlength=L).astype(np.float64)
+    safe = np.maximum(cnt, 1.0)
+    obs_mean = np.bincount(l_idx, weights=core, minlength=L) / safe
+    obs_var = np.bincount(l_idx, weights=core**2, minlength=L) / safe - obs_mean**2
+    obs_std = np.sqrt(np.maximum(obs_var, 1e-12))
+    value_norm = (core - obs_mean[l_idx]) / obs_std[l_idx]
+
+    lab_mean = rng.uniform(0.5, 150.0, L)
+    lab_std = rng.uniform(0.05, 30.0, L)
+    value_raw = value_norm * lab_std[l_idx] + lab_mean[l_idx]
+    labs = pd.DataFrame(
+        {
+            "SUBJECT_ID": subject_ids[p_idx],
+            "ITEMID": lab_item_ids[l_idx],
+            "VALUE": value_raw.astype(np.float32),
+            "VALUE_NORMALIZED": value_norm.astype(np.float32),
+        }
+    )
+
+    # ---- diagnoses / medications: severity-loaded membership --------------
+    def _membership_frame(num_items, mean_per, id_fmt, col):
+        w = rng.standard_normal((num_items, k))
+        w[:, 0] *= 2.0  # comorbidity burden tracks severity
+        pop = (1.0 / (np.arange(num_items) + 1.0)) ** 0.8
+        pop /= pop.sum()
+        rr = np.arange(num_items) / max(num_items - 1, 1)
+        aff = (z @ w.T * 0.5 + np.outer(s, 0.6 * rr)).astype(np.float32)
+        pi, ii = _sample_memberships(
+            rng, n, num_items, mean_per, pop, affinity=aff,
+            rate_tilt=np.exp(0.4 * s),
+        )
+        names = np.array([id_fmt(i) for i in range(num_items)])
+        return pd.DataFrame({"SUBJECT_ID": subject_ids[pi], col: names[ii]})
+
+    diagnoses = _membership_frame(
+        spec.num_diagnoses, spec.mean_diagnoses_per_patient,
+        lambda i: f"{250 + i:03d}", "ICD3_CODE",
+    )
+    medications = _membership_frame(
+        spec.num_medications, spec.mean_medications_per_patient,
+        lambda i: f"drug_{i:03d}", "DRUG",
+    )
+
+    labitems = pd.DataFrame(
+        {"ITEMID": lab_item_ids, "LABEL": [f"synthetic lab {i}" for i in range(L)]}
+    )
+    tables = {
+        "cohort": cohort,
+        "labs_normalized": labs,
+        "diagnoses": diagnoses,
+        "medications": medications,
+        "labitems": labitems,
+        "demographics": cohort.copy(),
+    }
+    if not return_latents:
+        return tables
+
+    # effective (post-standardization) linear model for the LMMSE ceiling
+    mbar = float(m.mean())
+    w_eff = np.concatenate(
+        [np.sqrt(sev_share)[:, None], np.sqrt(minor_share)[:, None] * w_minor * mbar],
+        axis=1,
+    ) / obs_std[:, None]
+    explained = np.einsum("ek,ek->e", w_eff[l_idx] * obs_std[l_idx, None], z[p_idx])
+    resid = core - explained
+    resid_mean = np.bincount(l_idx, weights=resid, minlength=L) / safe
+    noise_var = (
+        np.bincount(l_idx, weights=resid**2, minlength=L) / safe - resid_mean**2
+    ) / np.maximum(obs_var, 1e-12)
+    latents = SyntheticLatents(
+        z=z,
+        w_lab=w_eff / (np.linalg.norm(w_eff, axis=1, keepdims=True) + 1e-12),
+        signal=float(np.sqrt(np.clip(1.0 - noise_var.mean(), 0.0, 1.0))),
+        w_eff=w_eff,
+        noise_var=noise_var,
+        mean_shift=obs_mean / obs_std,
+        sev_share=sev_share,
+    )
+    return tables, latents
 
 
 def generate_synthetic_tables(
@@ -161,6 +416,10 @@ def generate_synthetic_tables(
 
     With ``return_latents=True`` also returns the ground-truth
     :class:`SyntheticLatents` (same tables, identical RNG stream)."""
+    if spec.phenomenology == "eicu":
+        return _generate_eicu_tables(spec, return_latents)
+    if spec.phenomenology != "flat":
+        raise ValueError(f"unknown phenomenology: {spec.phenomenology!r}")
     rng = np.random.default_rng(spec.seed)
 
     # ---- latent structure -------------------------------------------------

@@ -145,13 +145,19 @@ class Trainer:
         logger.info("Model parameters: %s", f"{count_parameters(self.state.params):,}")
 
         # lab-wise inverse-variance loss weights from the train split
-        # (reference src/train.py:295-330)
+        # (reference src/train.py:295-330).  ``train.extras.lab_reweighting:
+        # false`` disables them (uniform weights) — the reference's
+        # pre-Iteration-7 behavior, kept as an ablation knob for the
+        # generator-validation ladder (scripts/validate_generator.py).
         _, train_lab_idx, train_values = masker.split_arrays("train")
         # host copy kept so host-side consumers (mini-batch cluster build)
         # never read the device array back through the relay
-        self.host_lab_weights = compute_lab_weights(
-            train_values, train_lab_idx, graph.num_nodes(LAB)
-        )
+        if bool(tc.extras.get("lab_reweighting", True)):
+            self.host_lab_weights = compute_lab_weights(
+                train_values, train_lab_idx, graph.num_nodes(LAB)
+            )
+        else:
+            self.host_lab_weights = np.ones(graph.num_nodes(LAB), dtype=np.float32)
         self.lab_weights = jnp.asarray(self.host_lab_weights)
         self._aug_batches: dict = {}  # split -> (masker batch, augmented batch)
 
