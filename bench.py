@@ -165,8 +165,21 @@ def run_bench(
     elapsed = time.perf_counter() - t0
     last_loss = float(np.asarray(losses)[-1])
 
+    # MXU dtype probe (VERDICT round-2 item 7): measure the chip's actual
+    # f32-vs-bf16 matmul rate (cached per device kind in .mxu_probe.json);
+    # model.compute_dtype="auto" engages bf16 exactly when this beats 1.15
+    mxu_ratio = None
+    if jax.default_backend() == "tpu":
+        try:
+            from multi_modal_gnn_tpu.utils.mxu_probe import probe_bf16_speedup
+
+            mxu_ratio = round(probe_bf16_speedup(), 3)
+        except Exception:  # noqa: BLE001 — a probe failure must not kill the bench
+            pass
+
     edges_per_sec = n_train * n_epochs / elapsed
     return {
+        **({"mxu_bf16_speedup": mxu_ratio} if mxu_ratio is not None else {}),
         "metric": "train_patient_lab_edges_per_sec",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",

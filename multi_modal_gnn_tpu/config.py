@@ -215,7 +215,9 @@ class ModelConfig:
     degree_threshold: int = 6  # hybrid head gate (reference: src/model.py:178)
     edge_head: EdgeHeadConfig = field(default_factory=EdgeHeadConfig)
     # TPU-specific: parameter/compute dtype for message passing matmuls.
-    compute_dtype: str = "float32"  # float32 | bfloat16
+    # "auto" probes the chip's f32-vs-bf16 MXU rate at model build
+    # (utils/mxu_probe.py) and picks bfloat16 only where it measures faster.
+    compute_dtype: str = "float32"  # float32 | bfloat16 | auto
     use_pallas: bool = False  # use fused Pallas gather/segment kernels
     extras: Dict[str, Any] = field(default_factory=dict)
 
@@ -226,6 +228,11 @@ class ModelConfig:
             raise ConfigError(f"model.activation invalid: {self.activation!r}")
         if self.aggregation not in ("mean", "sum", "max"):
             raise ConfigError(f"model.aggregation invalid: {self.aggregation!r}")
+        if self.compute_dtype not in ("float32", "bfloat16", "auto"):
+            raise ConfigError(
+                f"model.compute_dtype must be float32|bfloat16|auto, "
+                f"got {self.compute_dtype!r}"
+            )
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "ModelConfig":

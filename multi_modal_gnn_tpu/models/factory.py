@@ -27,7 +27,14 @@ def build_model(
     model runs inside shard_map data parallelism (parallel/dp.py).
     """
     mc = config.model
-    dtype = _DTYPES.get(mc.compute_dtype, jnp.float32)
+    if mc.compute_dtype == "auto":
+        # probe the chip's f32-vs-bf16 MXU rate once (utils/mxu_probe.py);
+        # bf16 engages only where it measures >= 15% faster (not this v5e)
+        from multi_modal_gnn_tpu.utils.mxu_probe import resolve_compute_dtype
+
+        dtype = _DTYPES.get(resolve_compute_dtype("auto"), jnp.float32)
+    else:
+        dtype = _DTYPES.get(mc.compute_dtype, jnp.float32)
     impl = "pallas" if mc.use_pallas else "xla"
     common = dict(
         node_counts=graph.node_counts,

@@ -47,6 +47,12 @@ from multi_modal_gnn_tpu.ops.pallas_segment import _zero_out_on_new_window
 
 _LAB_PAD = 128  # pad the lab table's row count to a multiple of this
 
+# dw2 implementation toggle for the single-head backward (ROADMAP "dw2
+# drift"): False = MXU dot_general (the shipped form), True = the dual
+# kernel's VPU masked sum.  Only scripts/bench_dw2.py flips this (with
+# jax.clear_caches() — the flag is read at trace time and is NOT a jit key).
+_DW2_VPU = False
+
 
 def _dropout(x, bits, rate):
     """Inverted dropout from raw PRNG bits (VPU compare, no HBM mask).
@@ -240,13 +246,17 @@ def _bwd_kernel(
         # (TILE_E,) block; adding a size-1 minor dim is the supported 32-bit no-op
         go = jnp.where(valid, go_ref[:].reshape(TILE_E, 1), 0.0)  # [TILE_E, 1] f32
         db2_ref[:] += jnp.sum(go).reshape(1, 1)
-        # dw2[h] = sum_e go[e] * h1_d[e, h] — contract over the slot axis
-        # (MXU dot_general; the dual kernel's dw2 is a VPU masked sum instead
-        # — a known drift, ROADMAP "Factor the four pair-head kernels")
-        dw2_ref[:] += jax.lax.dot_general(
-            go.astype(in_dt), h1_d.astype(in_dt),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+        # dw2[h] = sum_e go[e] * h1_d[e, h] — contract over the slot axis.
+        # MXU dot_general vs the dual kernel's VPU masked sum: measured a
+        # tie on the v5e (scripts/bench_dw2.py, PERFORMANCE.md "dw2 drift"),
+        # MXU form kept as the default.
+        if _DW2_VPU:
+            dw2_ref[:] += jnp.sum(go * h1_d.astype(jnp.float32), axis=0, keepdims=True)
+        else:
+            dw2_ref[:] += jax.lax.dot_general(
+                go.astype(in_dt), h1_d.astype(in_dt),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
         dh1 = go * w2_ref[:].astype(jnp.float32)  # [TILE_E, H1] broadcast of [1, H1]
         dpre0 = _mlp_backward(
             dh1, h0, pre0, pre1, valid, w1_ref, dw1_ref, db1_ref,

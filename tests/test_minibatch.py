@@ -370,3 +370,86 @@ def test_unsupported_model_rejected_with_clusters():
     masker = EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
     with pytest.raises(NotImplementedError, match="patient_id_base"):
         MiniBatchTrainer(NoBase(), bundle, masker, cfg, num_clusters=2)
+
+
+def test_k_gt1_quality_on_realistic_cohort():
+    """Cluster-GCN quality at K>1, pinned (VERDICT round-2 item 5).
+
+    Full 300-epoch measurement (scripts/minibatch_quality.py,
+    outputs/diagnostics/minibatch_quality.json; side-info recipe on the
+    realistic cohort): final winsorized R^2 0.2435 / 0.2435 / 0.2433 /
+    0.2428 at K = 1 / 2 / 4 / 8 — the locality approximation costs
+    < 0.001 R^2 through K=8 (every relation is patient-centric, so patient
+    partitions induce an exact edge partition; only cross-cluster BN
+    statistics and optimizer-step interleavings differ).  Here a 60-epoch
+    version pins K=4 within 0.005 of full-batch, both above 0.22."""
+    from multi_modal_gnn_tpu.data.synthetic import generate_synthetic_tables
+    from multi_modal_gnn_tpu.evaluation.metrics import compute_regression_metrics
+    from multi_modal_gnn_tpu.graph.build import build_heterogeneous_graph
+    from multi_modal_gnn_tpu.training.trainer import Trainer
+    from multi_modal_gnn_tpu.training.warmstart import (
+        bundle_membership_matrix,
+        warm_start_trainer,
+    )
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            edge_head=dataclasses.replace(
+                cfg.model.edge_head,
+                extras={"bilinear_rank": 17, "bilinear_source": "embedding"},
+            ),
+        ),
+        train=dataclasses.replace(
+            cfg.train,
+            loss="mse",
+            epochs=60,
+            early_stopping_patience=10**9,
+            optimizer=dataclasses.replace(cfg.train.optimizer, lr=1e-4),
+            lr_scheduler=dataclasses.replace(cfg.train.lr_scheduler, enabled=False),
+        ),
+    )
+    spec = dataclasses.replace(
+        SyntheticSpec.eicu_demo(), seed=0, signal_strength=0.6
+    )
+    tables = generate_synthetic_tables(spec)
+    bundle = build_heterogeneous_graph(
+        labs=tables["labs_normalized"],
+        diagnoses=tables["diagnoses"],
+        medications=tables["medications"],
+        cohort=tables["cohort"],
+        labitems=tables["labitems"],
+        config=cfg,
+    )
+    memberships = bundle_membership_matrix(bundle)
+
+    def run(k):
+        masker = EdgeMasker(
+            bundle.graph, seed=42, host_edges=bundle.patient_lab_host()
+        )
+        model = build_model(cfg, bundle.graph)
+        if k == 1:
+            tr = Trainer(model, bundle.graph, masker, cfg)
+        else:
+            tr = MiniBatchTrainer(model, bundle, masker, cfg, num_clusters=k)
+        warm_start_trainer(tr, rank=8, reg=12.0, memberships=memberships)
+        for _ in range(60):
+            tr.train_epoch()
+            val = tr.validate()
+            if val < tr.best_val_loss:
+                tr.best_val_loss = val
+                tr.best_state = jax.tree_util.tree_map(lambda x: x.copy(), tr.state)
+            tr.epoch += 1
+        best = tr.best_state if tr.best_state is not None else tr.state
+        _, _, te_v = masker.split_arrays("test")
+        return compute_regression_metrics(
+            tr.predict("test", state=best).astype(np.float64), te_v
+        )["r2"]
+
+    r2_full, r2_k4 = run(1), run(4)
+    assert r2_full >= 0.22 and r2_k4 >= 0.22, (r2_full, r2_k4)
+    assert abs(r2_full - r2_k4) <= 0.005, (
+        f"K=4 cluster quality drifted from full-batch: {r2_k4:.4f} vs {r2_full:.4f}"
+    )
