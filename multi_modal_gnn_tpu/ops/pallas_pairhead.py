@@ -47,11 +47,15 @@ from multi_modal_gnn_tpu.ops.pallas_segment import _zero_out_on_new_window
 
 _LAB_PAD = 128  # pad the lab table's row count to a multiple of this
 
-# dw2 implementation toggle for the single-head backward (ROADMAP "dw2
-# drift"): False = MXU dot_general (the shipped form), True = the dual
-# kernel's VPU masked sum.  Only scripts/bench_dw2.py flips this (with
-# jax.clear_caches() — the flag is read at trace time and is NOT a jit key).
-_DW2_VPU = False
+# dw2 implementation toggle (ROADMAP "dw2 drift", resolved round 3):
+# measured at production scale shapes on the v5e (scripts/bench_dw2.py,
+# 20-iter medians): VPU masked sum 39.12 ms vs MXU dot_general 39.93 ms
+# per backward — the M=1 dot_general wastes an MXU pass while the VPU sum
+# overlaps with the surrounding matmuls.  Both kernels now use the VPU
+# form (True); the toggle remains only so bench_dw2.py can re-measure on
+# other chips (read at trace time, NOT a jit key — callers must
+# jax.clear_caches() after flipping).
+_DW2_VPU = True
 
 
 def _dropout(x, bits, rate):
@@ -247,9 +251,8 @@ def _bwd_kernel(
         go = jnp.where(valid, go_ref[:].reshape(TILE_E, 1), 0.0)  # [TILE_E, 1] f32
         db2_ref[:] += jnp.sum(go).reshape(1, 1)
         # dw2[h] = sum_e go[e] * h1_d[e, h] — contract over the slot axis.
-        # MXU dot_general vs the dual kernel's VPU masked sum: measured a
-        # tie on the v5e (scripts/bench_dw2.py, PERFORMANCE.md "dw2 drift"),
-        # MXU form kept as the default.
+        # VPU masked sum, unified with the dual kernel (measured faster
+        # than the M=1 MXU dot_general — see _DW2_VPU above).
         if _DW2_VPU:
             dw2_ref[:] += jnp.sum(go * h1_d.astype(jnp.float32), axis=0, keepdims=True)
         else:
