@@ -68,12 +68,12 @@ class SyntheticSpec:
     #   below define the signal geometry.
     phenomenology: str = "flat"
     sev_shape: float = 2.0  # gamma shape of the severity factor (skew 2/sqrt(k))
-    sev_share_common: float = 0.05  # severity variance share, most common lab
-    sev_share_rare: float = 0.28  # ... rarest lab
+    sev_share_common: float = 0.035  # severity variance share, most common lab
+    sev_share_rare: float = 0.22  # ... rarest lab
     sev_share_power: float = 1.5  # rarity->share curve exponent
     sev_share_conc: float = 8.0  # Beta concentration of per-lab share jitter
     minor_share_lo: float = 0.05  # per-lab share of the minor (rank k-1) factors
-    minor_share_hi: float = 0.30
+    minor_share_hi: float = 0.22
     noise_df_min: float = 4.5  # per-lab student-t dof (log-uniform)
     noise_df_max: float = 30.0
     hetero_noise: float = 0.38  # noise scale ~ exp(hetero_noise * severity)
@@ -84,8 +84,18 @@ class SyntheticSpec:
     # These crush RAW R^2 quadratically while barely moving MAE, which is
     # exactly why the reference's +-3-sigma winsorization guard moves its
     # headline metric so much (Iter 6 raw 0.034 -> Iter 7 guarded 0.242).
-    contamination_frac: float = 0.015
+    contamination_frac: float = 0.012
     contamination_scale: float = 2.8
+    # per-lab MAE-spread mechanisms (reference per_lab_metrics.csv spans
+    # 0.14-1.04): "setting-like" labs (FiO2 is a ventilator SETTING — its
+    # per-lab R^2 is 0.91) carry a near-deterministic patient-state share;
+    # "tail-concentrated" labs put most of their variance in a few extreme
+    # values, so small test strata realize far-from-1 variance (CPK's test
+    # variance is 0.137 despite global z-scoring) and per-lab MAE drops.
+    special_lab_frac: float = 0.06  # fraction of labs that are setting-like
+    special_share: float = 0.75  # their total (sev + minor) signal share
+    heavy_lab_frac: float = 0.06  # fraction with tail-concentrated noise
+    heavy_lab_df: float = 2.8  # their student-t dof (variance-finite, wild)
 
     @staticmethod
     def eicu_demo() -> "SyntheticSpec":
@@ -266,12 +276,32 @@ def _generate_eicu_tables(
     over = tot > 0.9
     sev_share = np.where(over, sev_share * 0.9 / tot, sev_share)
     minor_share = np.where(over, minor_share * 0.9 / tot, minor_share)
+    # setting-like labs (FiO2-style: per-lab R^2 up to ~0.9): a few labs
+    # spread across the rarity spectrum carry a near-deterministic
+    # patient-state share — the top of the reference's per-lab MAE spread
+    n_special = int(round(spec.special_lab_frac * L))
+    special = (
+        np.linspace(2, L - 2, n_special).round().astype(int)
+        if n_special
+        else np.empty(0, dtype=int)
+    )
+    if n_special:
+        sev_share[special] = spec.special_share * 0.55
+        minor_share[special] = spec.special_share * 0.45
     noise_share = 1.0 - sev_share - minor_share
     w_minor = rng.standard_normal((L, k - 1))
     w_minor /= np.linalg.norm(w_minor, axis=1, keepdims=True) + 1e-12
     df_lab = np.exp(
         rng.uniform(np.log(spec.noise_df_min), np.log(spec.noise_df_max), L)
     )
+    # tail-concentrated labs (CPK-style): noise variance dominated by a few
+    # extreme values, so small test strata realize far-from-1 variance and
+    # the winsorized per-lab MAE lands low — the bottom of the spread
+    n_heavy = int(round(spec.heavy_lab_frac * L))
+    if n_heavy:
+        candidates = np.setdiff1d(np.arange(L), special)
+        heavy = rng.choice(candidates, min(n_heavy, len(candidates)), replace=False)
+        df_lab[heavy] = spec.heavy_lab_df
 
     # ---- cohort / demographics (severity nudges age upward) ---------------
     subject_ids = 100000 + np.arange(n)

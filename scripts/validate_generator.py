@@ -57,6 +57,17 @@ REFERENCE_TARGETS = {
 }
 
 
+_SPEC_FIELDS = (
+    "sev_share_common", "sev_share_rare", "sev_share_power",
+    "sev_share_conc", "minor_share_lo", "minor_share_hi",
+    "hetero_noise", "degree_sev_coupling", "rare_sev_affinity",
+    "noise_df_min", "noise_df_max", "sev_shape",
+    "contamination_frac", "contamination_scale",
+    "special_lab_frac", "special_share",
+    "heavy_lab_frac", "heavy_lab_df",
+)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=100,
@@ -71,11 +82,7 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tag", type=str, default="")
     # generator calibration knobs (override SyntheticSpec.eicu_real fields)
-    for f in ("sev_share_common", "sev_share_rare", "sev_share_power",
-              "sev_share_conc", "minor_share_lo", "minor_share_hi",
-              "hetero_noise", "degree_sev_coupling", "rare_sev_affinity",
-              "noise_df_min", "noise_df_max", "sev_shape",
-              "contamination_frac", "contamination_scale"):
+    for f in _SPEC_FIELDS:
         ap.add_argument(f"--{f.replace('_', '-')}", type=float, default=None)
     args = ap.parse_args()
 
@@ -103,10 +110,7 @@ def main() -> None:
     spec = SyntheticSpec.eicu_real(seed=args.data_seed)
     overrides = {
         f: getattr(args, f)
-        for f in ("sev_share_common", "sev_share_rare", "sev_share_power",
-                  "sev_share_conc", "minor_share_lo", "minor_share_hi",
-                  "hetero_noise", "degree_sev_coupling", "rare_sev_affinity",
-                  "noise_df_min", "noise_df_max", "sev_shape")
+        for f in _SPEC_FIELDS
         if getattr(args, f) is not None
     }
     if overrides:

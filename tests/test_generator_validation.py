@@ -10,11 +10,14 @@ Two layers of protection:
   * the faithful-config ladder rung (one 100-epoch train on the eICU-sized
     cohort, the reference's own recipe): the trained model's guarded /
     raw / stratified numbers, measured on the pinned seeds
-    (data 0 / split 42): raw R^2 = 0.065, guarded R^2 = 0.267 with 1.9%
-    capped, rare-lab R^2 0.341 > common 0.259, guarded MAE 0.609 (the
-    reference's real-data values: raw-rung 0.034, guarded 0.242, 2.35%
-    capped, rare 0.400 > common 0.219, MAE 0.609).  Floors carry margin
-    for float-platform jitter only — the run is deterministic given seeds.
+    (data 0 / split 42, v2.1 calibration): raw R^2 = 0.058, guarded
+    R^2 = 0.223 with 2.0% capped, rare-lab R^2 0.259 > common 0.224 >
+    very-common 0.201 (monotone, like the reference), guarded MAE 0.613,
+    low-degree stratum R^2 -0.14 at MAE 0.436 (the reference's real-data
+    values: raw-rung 0.034, guarded 0.242, 2.35% capped, rare 0.400 >
+    common 0.219 > very-common 0.218, MAE 0.609, low-degree -0.26 at
+    0.348).  Floors carry margin for float-platform jitter only — the run
+    is deterministic given seeds.
 
 Cross-seed replication lives in outputs/diagnostics/
 generator_validation_ds{1,2}.json (scripts/validate_generator.py).
@@ -96,7 +99,7 @@ def test_faithful_ladder_rung(eicu_real_tables):
     """The faithful architecture + the reference's own recipe (100 epochs,
     MAE loss, plateau scheduler, gate@6, inverse-variance lab weights)
     reproduces the reference's measured fingerprint on the calibrated
-    cohort.  Measured here: raw 0.065 / guarded 0.267 / capped 1.9% /
+    cohort.  Measured here (v2.1): raw 0.058 / guarded 0.223 / capped 2.0% /
     rare 0.341 > common 0.259 / guarded MAE 0.609."""
     spec, tables, _ = eicu_real_tables
     config = Config()
@@ -122,8 +125,8 @@ def test_faithful_ladder_rung(eicu_real_tables):
     wins = compute_regression_metrics(preds_w, te_v)
 
     # the guarded headline and the guard jump (raw-rung vs guarded rung)
-    assert wins["r2"] >= 0.22, f"guarded R^2 regressed: {wins['r2']:.4f}"
-    assert wins["mae"] <= 0.65, f"guarded MAE regressed: {wins['mae']:.4f}"
+    assert wins["r2"] >= 0.19, f"guarded R^2 regressed: {wins['r2']:.4f}"
+    assert wins["mae"] <= 0.66, f"guarded MAE regressed: {wins['mae']:.4f}"
     assert raw["r2"] <= wins["r2"] - 0.12, (
         f"winsorization jump collapsed: raw {raw['r2']:.4f} vs "
         f"guarded {wins['r2']:.4f}"
