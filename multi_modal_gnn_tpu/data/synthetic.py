@@ -208,11 +208,16 @@ def _sample_memberships(
 
 @dataclass(frozen=True)
 class SyntheticLatents:
-    """The generator's ground-truth latent structure, for computing the
-    Bayes-optimal conditional performance ceiling (evaluation/ceiling.py).
+    """The generator's ground-truth latent structure, for computing
+    performance ceilings.
 
     Flat mode: ``value_norm = signal * <w_lab[l], z[p]> + sqrt(1-signal^2) * eps``
-    (``w_eff``/``noise_var`` are None).
+    (``w_eff``/``noise_var`` are None) — the EXACT Bayes conditional
+    ceiling applies (``ceiling.gaussian_conditional_ceiling``, fed
+    ``w_lab``/``signal``).  eicu mode: feed ``w_eff``/``noise_var``/
+    ``mean_shift`` to ``ceiling.lmmse_conditional_ceiling`` instead — the
+    flat-ceiling API would silently discard the per-lab loading magnitudes
+    and heteroscedastic noise and report a wrong number.
 
     eicu mode: after the per-lab observed-set standardization,
     ``value_norm ~= <w_eff[l], z[p]> - mean_shift[l] + noise`` with per-lab

@@ -170,3 +170,67 @@ def crossfit_oracle_ceiling(
             best = {"realized": m, "reg": reg}
     best["folds"] = folds
     return best
+
+
+def lmmse_conditional_ceiling(
+    w_eff: np.ndarray,
+    noise_var: np.ndarray,
+    z_cov: np.ndarray,
+    obs_patient: np.ndarray,
+    obs_lab: np.ndarray,
+    obs_values: np.ndarray,
+    query_patient: np.ndarray,
+    query_lab: np.ndarray,
+    query_values: np.ndarray,
+    mean_shift: Optional[np.ndarray] = None,
+    num_patients: Optional[int] = None,
+) -> Dict:
+    """Heteroscedastic LMMSE ceiling for the eicu-phenomenology generator.
+
+    Generalizes :func:`gaussian_conditional_ceiling` to the effective linear
+    model the eicu mode emits (data/synthetic.py SyntheticLatents):
+
+        value_norm ~= <w_eff[l], z> - mean_shift[l] + noise,
+        Var(noise | l) = noise_var[l],
+
+    with per-lab loading magnitudes and per-lab noise variances instead of
+    unit rows and one scalar.  The per-patient GLS posterior is
+
+        z_hat_p = (C^-1 + sum_l W_l W_l^T / s2_l)^-1 sum_l W_l y_l / s2_l
+
+    with C the empirical latent covariance.  Because the eicu latents are
+    NOT jointly Gaussian (skewed severity, scale-mixture noise, selection-
+    biased observation), this is the optimal *linear* predictor, an
+    approximate — not exact — Bayes ceiling; treat it as a strong yardstick,
+    not an upper bound certificate.  Returns realized query metrics.
+    """
+    w_eff = np.asarray(w_eff, dtype=np.float64)
+    noise_var = np.asarray(noise_var, dtype=np.float64)
+    shift = (
+        np.zeros(w_eff.shape[0])
+        if mean_shift is None
+        else np.asarray(mean_shift, dtype=np.float64)
+    )
+    if num_patients is None:
+        num_patients = int(max(obs_patient.max(), query_patient.max())) + 1
+    k = w_eff.shape[1]
+
+    w_obs = w_eff[obs_lab]  # [E, k]
+    inv_s2 = 1.0 / np.maximum(noise_var[obs_lab], 1e-8)  # [E]
+    precision = np.tile(np.linalg.inv(z_cov + 1e-9 * np.eye(k)), (num_patients, 1, 1))
+    outer = w_obs[:, :, None] * w_obs[:, None, :] * inv_s2[:, None, None]
+    np.add.at(precision, obs_patient, outer)
+
+    y = np.asarray(obs_values, dtype=np.float64) + shift[obs_lab]
+    rhs = np.zeros((num_patients, k))
+    np.add.at(rhs, obs_patient, w_obs * (y * inv_s2)[:, None])
+
+    z_hat = np.einsum("pij,pj->pi", np.linalg.inv(precision), rhs)
+    w_q = w_eff[query_lab]
+    predictions = np.einsum("qk,qk->q", w_q, z_hat[query_patient]) - shift[query_lab]
+    return {
+        "realized": compute_regression_metrics(
+            predictions, np.asarray(query_values, dtype=np.float64)
+        ),
+        "predictions": predictions,
+    }

@@ -643,8 +643,8 @@ def _dual_bwd_kernel(
         mt, mg = _dual_colmasks(h1)
         # per-head output cotangent spread over the concatenated H1 columns
         go_cols = go_t * mt + go_g * mg  # [TILE_E, 2*H1]
-        # dw2 as a VPU masked sum (the single kernel's is an MXU dot_general
-        # — a known drift, ROADMAP "Factor the four pair-head kernels")
+        # dw2 as a VPU masked sum — the measured winner, unified with the
+        # single kernel (see _DW2_VPU at the top of this file)
         dw2_ref[:] += jnp.sum(go_cols * h1_d, axis=0, keepdims=True)
         dh1 = go_cols * w2_ref[:].astype(jnp.float32)
         dpre0 = _mlp_backward(

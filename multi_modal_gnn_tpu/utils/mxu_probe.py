@@ -9,7 +9,8 @@ systolic rate is a true multiple of f32, it buys up to 4x on the dominant
 kernels.  Rather than hardcoding either assumption, ``model.compute_dtype:
 "auto"`` probes once per device kind:
 
-    ratio = t_f32 / t_bf16  on [1024, 512] @ [512, 128]
+    ratio = t_f32 / t_bf16  on a 32-chain of dependent [2048, 2048]
+    matmuls (~550 GFLOP per timing step — well above relay dispatch noise);
     bf16 engages when ratio >= 1.15
 
 The result is cached in-process and on disk (``.mxu_probe.json``, keyed by
@@ -35,10 +36,10 @@ _memo: dict = {}
 
 
 def _time_matmul(dtype, iters: int = 7, chain: int = 32, dim: int = 2048) -> float:
-    """Median time of ``chain`` dependent [dim, dim] matmuls (~137 GFLOP at
-    the defaults — minutes of MXU work above any dispatch noise), scalar-
-    readback synchronized.  ``b = ones/dim`` keeps the iterate at ~1.0 so
-    neither dtype over/underflows."""
+    """Median time of ``chain`` dependent [dim, dim] matmuls (~550 GFLOP at
+    the defaults: 32 x 2*2048^3 — ~12 ms of f32 MXU work per step, well
+    above dispatch noise), scalar-readback synchronized.  ``b = ones/dim``
+    keeps the iterate at ~1.0 so neither dtype over/underflows."""
     import jax
     import jax.numpy as jnp
 
@@ -121,8 +122,8 @@ def resolve_compute_dtype(configured: str) -> str:
     import jax
 
     if jax.default_backend() != "tpu":
-        # bf16 never beats f32 on host CPU and the probe is minutes of
-        # matmul there — only a real MXU is worth probing
+        # bf16 never beats f32 on host CPU, and the ~8.8 TFLOP of probe
+        # matmuls take minutes there — only a real MXU is worth probing
         return "float32"
     try:
         ratio = probe_bf16_speedup()

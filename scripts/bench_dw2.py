@@ -31,7 +31,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # per-backend cache dirs (compile-cache hygiene, same split as bench.py)
+    cache = ".jax_cache" if jax.default_backend() == "tpu" else ".jax_cache_cpu"
+    jax.config.update("jax_compilation_cache_dir", f"/root/repo/{cache}")
 
     from multi_modal_gnn_tpu.graph.hetero import TILE_E, WINDOW
     from multi_modal_gnn_tpu.ops import pallas_pairhead as pph
@@ -76,7 +78,10 @@ def main() -> None:
         print(f"dw2={name}: median {1e3 * med:.2f} ms over {args.iters} iters "
               f"(p10 {1e3 * times[len(times) // 10]:.2f}, "
               f"p90 {1e3 * times[9 * len(times) // 10]:.2f})")
-    pph._DW2_VPU = False
+    # restore the module DEFAULT (VPU — the measured winner) and drop the
+    # kernels traced under the deselected form
+    pph._DW2_VPU = True
+    jax.clear_caches()
 
 
 if __name__ == "__main__":

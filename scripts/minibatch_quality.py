@@ -104,9 +104,10 @@ def main() -> None:
         pre = compute_regression_metrics(
             trainer.predict("test").astype(np.float64), te_v
         )
-        t0 = time.perf_counter()
         import jax
 
+        loss = float("nan")  # defined even at --epochs 0
+        t0 = time.perf_counter()
         for _ in range(args.epochs):
             loss = trainer.train_epoch()
             val = trainer.validate()

@@ -167,10 +167,43 @@ def main() -> None:
                         "median": float(np.median(lab_counts))}
     report["data_fingerprint"] = fp
 
-    # ---- ALS context row --------------------------------------------------
+    # ---- yardstick rows ---------------------------------------------------
     als = ALSBaseline(num_patients, num_labs, rank=8, reg=12.0).fit(tr_v, tr_p, tr_l)
     report["als_rank8_reg12"] = compute_regression_metrics(als.predict(te_p, te_l), te_v)
     print("ALS rank8/reg12:", json.dumps(report["als_rank8_reg12"]))
+
+    # LMMSE ceiling from the generator's effective linear model (oracle
+    # loadings + heteroscedastic noise; approximate — the eicu latents are
+    # not jointly Gaussian).  Maps graph lab/patient ids to generator rows.
+    from multi_modal_gnn_tpu.evaluation.ceiling import lmmse_conditional_ceiling
+
+    lab_indexer = bundle.meta.indexers[LAB]
+    pat_indexer = bundle.meta.indexers[PATIENT]
+    w_graph = np.zeros((num_labs, latents.w_eff.shape[1]))
+    nv_graph = np.zeros(num_labs)
+    shift_graph = np.zeros(num_labs)
+    for g in range(num_labs):
+        j = int(lab_indexer.id_of(g)) - 51000
+        w_graph[g], nv_graph[g] = latents.w_eff[j], latents.noise_var[j]
+        shift_graph[g] = latents.mean_shift[j]
+    z_rows = np.array(
+        [int(pat_indexer.id_of(g)) - 100000 for g in range(num_patients)]
+    )
+    z_graph = latents.z[z_rows]
+    lmmse = lmmse_conditional_ceiling(
+        w_graph, nv_graph, np.cov(latents.z, rowvar=False),
+        tr_p, tr_l, tr_v, te_p, te_l, te_v,
+        mean_shift=shift_graph, num_patients=num_patients,
+    )
+    report["lmmse_ceiling"] = lmmse["realized"]
+    # oracle-z row: the generator's own explained component, an upper
+    # reference for the conditional LMMSE row above
+    oracle = np.einsum(
+        "qk,qk->q", w_graph[te_l], z_graph[te_p]
+    ) - shift_graph[te_l]
+    report["oracle_z"] = compute_regression_metrics(oracle, te_v)
+    print("LMMSE ceiling:", json.dumps(report["lmmse_ceiling"]))
+    print("oracle-z:", json.dumps(report["oracle_z"]))
 
     # ---- the two ladder rungs --------------------------------------------
     def run(name: str, degree_threshold: int, lab_reweighting: bool):
