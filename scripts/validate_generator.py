@@ -258,12 +258,80 @@ def main() -> None:
             print(f"  {sname}: r2={sm['r2']:.3f} mae={sm['mae']:.3f} n={sm['num_samples']}")
         return out
 
+    def run_warm(name: str, sideinfo: bool, epochs: int = 300, loss: str = "mse"):
+        """This framework's beyond-reference quality channels on the
+        VALIDATED phenomenology: ALS / side-info plants into the
+        embedding-bilinear head + fine-tune (README "Learning quality"),
+        evaluated with the same guard as the iter7 rung."""
+        from multi_modal_gnn_tpu.training.warmstart import (
+            bundle_membership_matrix,
+            warm_start_trainer,
+        )
+
+        rank = 8
+        mc = dataclasses.replace(
+            config.model,
+            edge_head=dataclasses.replace(
+                config.model.edge_head,
+                extras={
+                    "bilinear_rank": (2 * rank + 1) if sideinfo else (rank + 1),
+                    "bilinear_source": "embedding",
+                },
+            ),
+        )
+        tc = dataclasses.replace(
+            config.train,
+            loss=loss,
+            epochs=epochs,
+            early_stopping_patience=10**9,
+            scan_chunk=args.scan_chunk,
+            seed=args.seed,
+            optimizer=dataclasses.replace(config.train.optimizer, lr=1e-4),
+            lr_scheduler=dataclasses.replace(config.train.lr_scheduler, enabled=False),
+        )
+        cfg = dataclasses.replace(config, model=mc, train=tc)
+        trainer = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+        warm_start_trainer(
+            trainer, rank=rank, reg=12.0,
+            memberships=bundle_membership_matrix(bundle) if sideinfo else None,
+        )
+        pre = compute_regression_metrics(
+            trainer.predict("test").astype(np.float64), te_v
+        )
+        t0 = time.perf_counter()
+        trainer.fit(scan_chunk=args.scan_chunk)
+        dt = time.perf_counter() - t0
+        best = trainer.best_state if trainer.best_state is not None else trainer.state
+        preds = trainer.predict("test", state=best).astype(np.float64)
+        raw = compute_regression_metrics(preds, te_v)
+        preds_w, capped = winsorize_residuals(preds, te_v, te_l, sigma=3.0)
+        wins = compute_regression_metrics(preds_w, te_v)
+        out = {
+            "epoch0": pre,
+            "raw": raw,
+            "winsorized": wins,
+            "winsorize_rate": capped / len(te_v),
+            "train_time_s": dt,
+        }
+        print(f"[{name}] epoch0 r2={pre['r2']:.4f}  raw: {json.dumps(raw)}")
+        print(f"[{name}] win: {json.dumps(wins)}  (capped {capped})")
+        return out
+
     wanted = args.runs.split(",")
     if "iter2" in wanted:
         report["iter2"] = run("iter2", degree_threshold=0, lab_reweighting=False)
     if "iter7" in wanted:
         report["iter7"] = run("iter7", degree_threshold=config.model.degree_threshold,
                               lab_reweighting=True)
+    if "als" in wanted:
+        report["als_warmstart"] = run_warm("als", sideinfo=False)
+    if "sideinfo" in wanted:
+        report["sideinfo_warmstart"] = run_warm("sideinfo", sideinfo=True)
+    if "sideinfo_mae" in wanted:
+        # MAE fine-tune: robust to the cohort's heavy tails, unlike MSE
+        report["sideinfo_mae_warmstart"] = run_warm(
+            "sideinfo_mae", sideinfo=True, loss="mae"
+        )
 
     out_dir = Path("outputs/diagnostics")
     out_dir.mkdir(parents=True, exist_ok=True)
