@@ -112,6 +112,7 @@ class ALSBaseline:
         reg: float = 3.0,
         iters: int = 30,
         seed: int = 0,
+        huber_delta: float | None = None,
     ):
         self.num_patients = num_patients
         self.num_labs = num_labs
@@ -119,6 +120,15 @@ class ALSBaseline:
         self.reg = reg
         self.iters = iters
         self.seed = seed
+        # Huber-IRLS robustification (round 3): on heavy-tailed cohorts
+        # (data/synthetic.py eicu phenomenology; real EHR values) plain
+        # least-squares ALS chases the outlier tail — measured guarded R^2
+        # 0.163 vs the faithful MAE-trained recipe's 0.223 on the validated
+        # cohort.  With huber_delta set, each sweep reweights edges by
+        # min(1, delta / |residual|) (the Huber psi), which caps any
+        # edge's leverage.  None = exact least squares (bit-identical to
+        # the flat-cohort numbers of record).
+        self.huber_delta = huber_delta
         self.U = np.zeros((num_patients, rank))
         self.C = np.zeros((num_labs, rank))
         self.lab_bias = np.zeros(num_labs)
@@ -130,12 +140,15 @@ class ALSBaseline:
         resid: np.ndarray,  # [E] target minus bias
         num_own: int,
         reg: float,
+        weights: np.ndarray | None = None,  # [E] IRLS edge weights
     ) -> np.ndarray:
         k = factors_other.shape[1]
+        f_w = factors_other if weights is None else factors_other * weights[:, None]
+        r_w = resid if weights is None else resid * weights
         gram = np.tile(reg * np.eye(k), (num_own, 1, 1))
-        np.add.at(gram, idx_own, factors_other[:, :, None] * factors_other[:, None, :])
+        np.add.at(gram, idx_own, f_w[:, :, None] * factors_other[:, None, :])
         rhs = np.zeros((num_own, k))
-        np.add.at(rhs, idx_own, factors_other * resid[:, None])
+        np.add.at(rhs, idx_own, factors_other * r_w[:, None])
         return np.linalg.solve(gram, rhs[..., None])[..., 0]
 
     def fit(
@@ -153,14 +166,31 @@ class ALSBaseline:
         rng = np.random.default_rng(self.seed)
         self.C = rng.normal(scale=0.1, size=(self.num_labs, self.rank))
         resid = values - self.lab_bias[l]
+        w = None  # IRLS weights; None on the first sweep (= least squares)
         for _ in range(self.iters):
-            self.U = self._ridge_solve(self.C[l], p, resid, self.num_patients, self.reg)
-            self.C = self._ridge_solve(self.U[p], l, resid, self.num_labs, self.reg)
+            self.U = self._ridge_solve(
+                self.C[l], p, resid, self.num_patients, self.reg, weights=w
+            )
+            self.C = self._ridge_solve(
+                self.U[p], l, resid, self.num_labs, self.reg, weights=w
+            )
             fitted = np.einsum("ek,ek->e", self.U[p], self.C[l])
             bias_resid = values - fitted
-            sums = np.bincount(l, weights=bias_resid, minlength=self.num_labs)
-            self.lab_bias = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+            if w is None:
+                sums = np.bincount(l, weights=bias_resid, minlength=self.num_labs)
+                cnt_w = np.maximum(counts, 1)
+            else:
+                sums = np.bincount(l, weights=bias_resid * w, minlength=self.num_labs)
+                cnt_w = np.maximum(
+                    np.bincount(l, weights=w, minlength=self.num_labs), 1e-9
+                )
+            self.lab_bias = np.where(counts > 0, sums / cnt_w, 0.0)
             resid = values - self.lab_bias[l]
+            if self.huber_delta is not None:
+                r_full = resid - fitted
+                w = np.minimum(
+                    1.0, self.huber_delta / np.maximum(np.abs(r_full), 1e-9)
+                )
         return self
 
     def predict(self, patient_indices: np.ndarray, lab_indices: np.ndarray) -> np.ndarray:
@@ -262,6 +292,7 @@ class SideInfoALSBaseline:
         seed: int = 0,
         min_lab_edges: int = 3,
         mem_pca: int | None = None,
+        huber_delta: float | None = None,
     ):
         self.num_patients = num_patients
         self.num_labs = num_labs
@@ -272,6 +303,7 @@ class SideInfoALSBaseline:
         self.iters = iters
         self.seed = seed
         self.min_lab_edges = min_lab_edges
+        self.huber_delta = huber_delta  # robust ALS factor step (see ALSBaseline)
         # the per-lab ridge costs O(sum_l n_l * d^2) with d = rank + D + 1;
         # above ~256 membership columns the fit projects M onto its top
         # principal components first (lossless in the useful directions —
@@ -324,7 +356,7 @@ class SideInfoALSBaseline:
 
         als = ALSBaseline(
             self.num_patients, self.num_labs, rank=self.rank, reg=self.reg,
-            iters=self.iters, seed=self.seed,
+            iters=self.iters, seed=self.seed, huber_delta=self.huber_delta,
         ).fit(values, p, l)
         self.U = als.U
 

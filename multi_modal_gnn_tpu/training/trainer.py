@@ -924,6 +924,7 @@ def train_pipeline(
         )
 
         memberships = bundle_membership_matrix(bundle) if ws == "sideinfo" else None
+        ws_huber = tc.extras.get("warm_start_huber_delta", None)
         warm_start_trainer(
             trainer,
             rank=ws_rank,
@@ -931,6 +932,7 @@ def train_pipeline(
             memberships=memberships,
             mem_rank=ws_mem_rank,
             ridge_reg=float(tc.extras.get("warm_start_ridge_reg", 30.0)),
+            huber_delta=float(ws_huber) if ws_huber is not None else None,
         )
     trainer.fit(
         output_dir=output_dir,

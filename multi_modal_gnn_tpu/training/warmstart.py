@@ -200,6 +200,7 @@ def warm_start_trainer(
     memberships: "np.ndarray | None" = None,
     mem_rank: int | None = None,
     ridge_reg: float = 30.0,
+    huber_delta: float | None = None,
 ):
     """Fit ALS on the trainer's train split and plant it into the live state
     (optimizer state re-initialized so adam moments don't fight the init).
@@ -216,12 +217,13 @@ def warm_start_trainer(
         als = SideInfoALSBaseline(
             graph.num_nodes(PATIENT), graph.num_nodes(LAB), rank=rank,
             mem_rank=mem_rank, reg=reg, ridge_reg=ridge_reg, iters=iters,
+            huber_delta=huber_delta,
         ).fit(tr_v, tr_p, tr_l, memberships)
         new_params = sideinfo_warm_start_params(trainer.state.params, als)
     else:
         als = ALSBaseline(
             graph.num_nodes(PATIENT), graph.num_nodes(LAB), rank=rank, reg=reg,
-            iters=iters,
+            iters=iters, huber_delta=huber_delta,
         ).fit(tr_v, tr_p, tr_l)
         new_params = als_warm_start_params(trainer.state.params, als)
     trainer.state = trainer.state.replace(

@@ -258,7 +258,8 @@ def main() -> None:
             print(f"  {sname}: r2={sm['r2']:.3f} mae={sm['mae']:.3f} n={sm['num_samples']}")
         return out
 
-    def run_warm(name: str, sideinfo: bool, epochs: int = 300, loss: str = "mse"):
+    def run_warm(name: str, sideinfo: bool, epochs: int = 300, loss: str = "mse",
+                 huber_delta: float | None = None):
         """This framework's beyond-reference quality channels on the
         VALIDATED phenomenology: ALS / side-info plants into the
         embedding-bilinear head + fine-tune (README "Learning quality"),
@@ -294,6 +295,7 @@ def main() -> None:
         warm_start_trainer(
             trainer, rank=rank, reg=12.0,
             memberships=bundle_membership_matrix(bundle) if sideinfo else None,
+            huber_delta=huber_delta,
         )
         pre = compute_regression_metrics(
             trainer.predict("test").astype(np.float64), te_v
@@ -331,6 +333,16 @@ def main() -> None:
         # MAE fine-tune: robust to the cohort's heavy tails, unlike MSE
         report["sideinfo_mae_warmstart"] = run_warm(
             "sideinfo_mae", sideinfo=True, loss="mae"
+        )
+    if "als_huber" in wanted:
+        report["als_huber_warmstart"] = run_warm(
+            "als_huber", sideinfo=False, loss="mae", huber_delta=0.7
+        )
+    if "sideinfo_huber" in wanted:
+        # Huber-IRLS robust plant (evaluation/baselines.py huber_delta):
+        # resists the outlier tail plain least-squares ALS chases
+        report["sideinfo_huber_warmstart"] = run_warm(
+            "sideinfo_huber", sideinfo=True, loss="mae", huber_delta=0.7
         )
 
     out_dir = Path("outputs/diagnostics")

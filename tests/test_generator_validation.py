@@ -139,3 +139,57 @@ def test_faithful_ladder_rung(eicu_real_tables):
     lab_counts = np.bincount(all_l, minlength=bundle.graph.num_nodes(LAB))
     strat = stratify_by_lab_frequency(preds_w, te_v, te_l, lab_counts)
     assert strat["rare (bottom 25%)"]["r2"] > strat["common (middle 50%)"]["r2"]
+
+
+def test_huber_sideinfo_channel_beats_faithful(eicu_real_tables):
+    """The framework's robust quality channel on the validated cohort
+    (beyond-reference): Huber-IRLS side-info plant (baselines.py
+    huber_delta) reaches epoch-0 raw R^2 = 0.103 = 88% of the conditional
+    LMMSE ceiling (0.117), guarded 0.27 after an MAE fine-tune — above the
+    faithful recipe's 0.223 (generator_validation_channels_huber.json).
+    Pinned at the closed-form epoch-0 plant (deterministic given seeds):
+    raw >= 0.08, and strictly above the plain least-squares plant, which
+    heavy tails break (measured -0.02 raw)."""
+    spec, tables, _ = eicu_real_tables
+    config = Config()
+    bundle = build_heterogeneous_graph(
+        labs=tables["labs_normalized"],
+        diagnoses=tables["diagnoses"],
+        medications=tables["medications"],
+        cohort=tables["cohort"],
+        labitems=tables["labitems"],
+        config=config,
+    )
+    cfg = dataclasses.replace(
+        config,
+        model=dataclasses.replace(
+            config.model,
+            edge_head=dataclasses.replace(
+                config.model.edge_head,
+                extras={"bilinear_rank": 17, "bilinear_source": "embedding"},
+            ),
+        ),
+    )
+    from multi_modal_gnn_tpu.training.warmstart import (
+        bundle_membership_matrix,
+        warm_start_trainer,
+    )
+
+    masker = EdgeMasker(bundle.graph, seed=42, host_edges=bundle.patient_lab_host())
+    _, _, te_v = masker.split_arrays("test")
+    memberships = bundle_membership_matrix(bundle)
+
+    def plant_r2(huber_delta):
+        trainer = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+        warm_start_trainer(
+            trainer, rank=8, reg=12.0, memberships=memberships,
+            huber_delta=huber_delta,
+        )
+        return compute_regression_metrics(
+            trainer.predict("test").astype(np.float64), te_v
+        )["r2"]
+
+    r2_huber = plant_r2(0.7)
+    r2_plain = plant_r2(None)
+    assert r2_huber >= 0.08, f"huber side-info plant regressed: {r2_huber:.4f}"
+    assert r2_huber > r2_plain + 0.03, (r2_huber, r2_plain)
