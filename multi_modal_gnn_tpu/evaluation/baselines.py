@@ -466,6 +466,7 @@ def evaluate_baselines(
     include_als: bool = False,
     als_rank: int = 8,
     memberships: np.ndarray | None = None,
+    huber_delta: float | None = None,
 ) -> Dict[str, Dict[str, float]]:
     """Fit-and-score the configured baselines on the train/test split arrays.
     ``memberships`` (binary [P, D] dx/rx features — e.g.
@@ -489,16 +490,16 @@ def evaluate_baselines(
                 nn.predict(test_patient_indices, test_lab_indices), test_values
             )
         if include_als:
-            als = ALSBaseline(num_patients, num_labs, rank=als_rank).fit(
-                train_values, train_patient_indices, train_lab_indices
-            )
+            als = ALSBaseline(
+                num_patients, num_labs, rank=als_rank, huber_delta=huber_delta
+            ).fit(train_values, train_patient_indices, train_lab_indices)
             results["als_matrix_factorization"] = compute_regression_metrics(
                 als.predict(test_patient_indices, test_lab_indices), test_values
             )
         if memberships is not None:
-            si = SideInfoALSBaseline(num_patients, num_labs, rank=als_rank).fit(
-                train_values, train_patient_indices, train_lab_indices, memberships
-            )
+            si = SideInfoALSBaseline(
+                num_patients, num_labs, rank=als_rank, huber_delta=huber_delta
+            ).fit(train_values, train_patient_indices, train_lab_indices, memberships)
             results["sideinfo_als"] = compute_regression_metrics(
                 si.predict(test_patient_indices, test_lab_indices), test_values
             )

@@ -92,6 +92,9 @@ def evaluate_model(
 
             memberships = bundle_membership_matrix(bundle)
         want_pairs = want_nn or want_als or want_si
+        # evaluation.extras.huber_delta: Huber-IRLS robust ALS/side-info
+        # baselines for heavy-tailed cohorts (baselines.py ALSBaseline)
+        hd = config.evaluation.extras.get("huber_delta", None)
         results["baselines"] = evaluate_baselines(
             tr_v, tr_l, targets, lab_idx, graph.num_nodes(LAB),
             train_patient_indices=tr_p if want_pairs else None,
@@ -100,6 +103,7 @@ def evaluate_model(
             include_nn=want_nn,
             include_als=want_als,
             memberships=memberships,
+            huber_delta=float(hd) if hd is not None else None,
         )
         for name, m in results["baselines"].items():
             if m["mae"] > 0:
