@@ -16,4 +16,9 @@ from multi_modal_gnn_tpu.evaluation.baselines import (  # noqa: F401
     evaluate_baselines,
     membership_matrix,
 )
+from multi_modal_gnn_tpu.evaluation.conformal import (  # noqa: F401
+    ConformalCalibrator,
+    calibrate_from_trainer,
+    conformal_quantile,
+)
 from multi_modal_gnn_tpu.evaluation.evaluate import evaluate_model, evaluation_pipeline  # noqa: F401

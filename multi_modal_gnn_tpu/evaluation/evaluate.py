@@ -110,6 +110,31 @@ def evaluate_model(
                 improvement = (m["mae"] - overall["mae"]) / m["mae"] * 100
                 logger.info("Baseline %s: MAE %.4f (model %+.1f%%)", name, m["mae"], improvement)
 
+    # split-conformal prediction intervals (beyond reference): calibrated on
+    # the validation split, coverage reported on THIS split's raw
+    # predictions (the winsorization guard is reporting-only and would
+    # leak targets into the bounds).  evaluation.extras.conformal_alpha
+    # overrides the 0.1 default; set it falsy to disable.
+    alpha = config.evaluation.extras.get("conformal_alpha", 0.1)
+    if alpha and split != "val":
+        from multi_modal_gnn_tpu.evaluation.conformal import calibrate_from_trainer
+
+        try:
+            calibrator = calibrate_from_trainer(trainer, alpha=float(alpha))
+        except ValueError as e:  # calibration split too small for this alpha
+            logger.warning("Conformal calibration skipped: %s", e)
+        else:
+            conf = calibrator.evaluate(predictions, targets, lab_idx)
+            results["conformal"] = conf
+            logger.info(
+                "Conformal (alpha=%.2f): coverage %.3f (target %.2f), "
+                "mean width %.3f",
+                calibrator.alpha, conf["coverage"], conf["target_coverage"],
+                conf["mean_width"],
+            )
+            if output_dir is not None:
+                calibrator.save(output_dir / "conformal.json")
+
     # stratified analysis
     stratified: Dict = {}
     strat_by = config.evaluation.stratify_by
@@ -132,6 +157,7 @@ def evaluate_model(
                 "stratified_results": stratified,
                 "raw_metrics": raw_metrics,
                 "baselines": results.get("baselines", {}),
+                "conformal": results.get("conformal", {}),
             },
             output_dir / "evaluation_results.json",
         )

@@ -115,6 +115,7 @@ def export_serving(
     path,
     buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
     cold_start=None,
+    conformal=None,
 ) -> Path:
     """Write the AOT serving artifact: one serialized StableHLO function per
     padding bucket + a manifest.  ``bundle`` supplies lab names/stats for
@@ -123,7 +124,12 @@ def export_serving(
     ``cold_start`` (optional ``evaluation.baselines.ALSBaseline``, fitted on
     the train split): ships its lab factors in ``coldstart.npz`` so the
     served model can fold in UNSEEN patients from their observed labs —
-    the one request type the transductive graph model cannot answer."""
+    the one request type the transductive graph model cannot answer.
+
+    ``conformal`` (optional ``evaluation.conformal.ConformalCalibrator``,
+    e.g. ``calibrate_from_trainer(trainer)``): ships per-lab interval radii
+    in ``conformal.json`` so ``predict(..., return_interval=True)`` can
+    return distribution-free coverage-guaranteed bounds."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     state = compute_node_state(trainer)
@@ -163,6 +169,9 @@ def export_serving(
             **extra,
         )
 
+    if conformal is not None:
+        conformal.save(path / "conformal.json")
+
     meta = bundle.meta
     manifest = {
         "format": "multi_modal_gnn_tpu.serving/v1",
@@ -198,6 +207,7 @@ class ServingModel:
     _cold: Optional[dict] = None
     _denorm_mean: Optional[np.ndarray] = None
     _denorm_std: Optional[np.ndarray] = None
+    _conformal: Optional[object] = None  # evaluation.conformal.ConformalCalibrator
 
     @classmethod
     def load(cls, path) -> "ServingModel":
@@ -216,6 +226,12 @@ class ServingModel:
         if cs_path.exists():
             with np.load(cs_path) as z:
                 cold = {k: z[k] for k in z.files}
+        conformal = None
+        conf_path = path / "conformal.json"
+        if conf_path.exists():
+            from multi_modal_gnn_tpu.evaluation.conformal import ConformalCalibrator
+
+            conformal = ConformalCalibrator.load(conf_path)
         # vectorized denormalization tables (identity where stats are
         # missing or the normalization is not zscore)
         n_lab = manifest["num_labs"]
@@ -228,7 +244,7 @@ class ServingModel:
                     std[i] = float(s.get("std", 1.0))
         return cls(
             manifest=manifest, _fns=fns, _weights=weights, _cold=cold,
-            _denorm_mean=mean, _denorm_std=std,
+            _denorm_mean=mean, _denorm_std=std, _conformal=conformal,
         )
 
     @property
@@ -250,14 +266,30 @@ class ServingModel:
         return np.asarray(out)[:n]
 
     def predict(
-        self, patient_idx, lab_idx, denormalize: bool = False
-    ) -> np.ndarray:
+        self,
+        patient_idx,
+        lab_idx,
+        denormalize: bool = False,
+        return_interval: bool = False,
+    ):
+        """Point predictions; with ``return_interval=True``, also the
+        conformal ``(lower, upper)`` bounds — distribution-free
+        ``1 - alpha`` coverage from the shipped calibration
+        (``export_serving(..., conformal=...)``).  Denormalization applies
+        the same per-lab affine map to the bounds (std > 0, so the
+        interval stays ordered and keeps its coverage)."""
         p = np.asarray(patient_idx, dtype=np.int32).reshape(-1)
         l = np.asarray(lab_idx, dtype=np.int32).reshape(-1)
         if p.shape != l.shape:
             raise ValueError(f"patient/lab shape mismatch: {p.shape} vs {l.shape}")
+        if return_interval and self._conformal is None:
+            raise ValueError(
+                "artifact has no conformal.json — re-export with "
+                "export_serving(..., conformal=calibrate_from_trainer(trainer))"
+            )
         if len(p) == 0:
-            return np.zeros(0, np.float32)
+            empty = np.zeros(0, np.float32)
+            return (empty, empty, empty) if return_interval else empty
         n_pat, n_lab = self.manifest["num_patients"], self.manifest["num_labs"]
         if p.min() < 0 or p.max() >= n_pat:
             raise ValueError(f"patient index out of range [0, {n_pat})")
@@ -270,9 +302,15 @@ class ServingModel:
             for i in range(0, len(p), big)
         ]
         preds = np.concatenate(chunks)
+        lo = hi = None
+        if return_interval:
+            lo, hi = self._conformal.intervals(preds, l)
         if denormalize:
             preds = preds * self._denorm_std[l] + self._denorm_mean[l]
-        return preds
+            if return_interval:
+                lo = lo * self._denorm_std[l] + self._denorm_mean[l]
+                hi = hi * self._denorm_std[l] + self._denorm_mean[l]
+        return (preds, lo, hi) if return_interval else preds
 
     def predict_patient(self, patient_idx: int, denormalize: bool = False):
         """All labs for one patient -> {lab_name: prediction}."""

@@ -162,8 +162,20 @@ def step_export_serving(config):
     als = ALSBaseline(
         bundle.graph.num_nodes(PATIENT), bundle.graph.num_nodes(LAB)
     ).fit(values, p_idx, l_idx)
+    # conformal radii: validation-split calibration so the artifact can
+    # serve coverage-guaranteed intervals (predict(return_interval=True));
+    # skipped when the val split is too small for the level
+    conformal = None
+    alpha = config.evaluation.extras.get("conformal_alpha", 0.1)
+    if alpha:
+        from multi_modal_gnn_tpu.evaluation.conformal import calibrate_from_trainer
+
+        try:
+            conformal = calibrate_from_trainer(trainer, alpha=float(alpha))
+        except ValueError as e:
+            print(f"conformal calibration skipped: {e}")
     out = Path(config.data.output_dir) / "serving"
-    export_serving(trainer, bundle, out, cold_start=als)
+    export_serving(trainer, bundle, out, cold_start=als, conformal=conformal)
     print(f"serving artifact: {out} ({sorted(p.name for p in out.iterdir())})")
 
 
