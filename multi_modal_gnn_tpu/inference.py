@@ -165,10 +165,15 @@ def select_example_patients(
 
 
 def predict_for_patients(
-    trainer, bundle: GraphBundle, patient_indices: List[int], denorm=None
+    trainer, bundle: GraphBundle, patient_indices: List[int], denorm=None,
+    conformal=None,
 ) -> Dict[int, Dict]:
     """Batched prediction of EVERY lab for each patient (single jitted call),
-    then classification into measured / masked / truly-missing groups."""
+    then classification into measured / masked / truly-missing groups.
+
+    ``conformal`` (optional :class:`evaluation.conformal.ConformalCalibrator`):
+    attaches a coverage-guaranteed ``interval`` (original units) and
+    ``normalized_interval`` to every predicted entry."""
     graph = bundle.graph
     meta = bundle.meta
     if denorm is None:
@@ -179,6 +184,20 @@ def predict_for_patients(
     pairs_p = np.repeat(np.asarray(patient_indices, dtype=np.int32), num_labs)
     pairs_l = np.tile(np.arange(num_labs, dtype=np.int32), len(patient_indices))
     preds = trainer.predict_pairs(pairs_p, pairs_l)
+    radius = conformal.radius(np.arange(num_labs)) if conformal is not None else None
+
+    def _interval(lab_idx: int, pred_n: float) -> Dict:
+        if radius is None:
+            return {}
+        lo_n, hi_n = pred_n - radius[lab_idx], pred_n + radius[lab_idx]
+        # the denormalizing map is a per-lab monotone affine, so the
+        # transformed bounds keep their coverage; sort defensively for the
+        # degenerate-scale branches
+        lo, hi = sorted((denorm(lab_idx, lo_n), denorm(lab_idx, hi_n)))
+        return {
+            "interval": [lo, hi],
+            "normalized_interval": [float(lo_n), float(hi_n)],
+        }
 
     out: Dict[int, Dict] = {}
     for i, pid in enumerate(patient_indices):
@@ -196,6 +215,7 @@ def predict_for_patients(
                     "error": abs(denorm(lab_idx, pred_n) - denorm(lab_idx, actual_n)),
                     "normalized_predicted": pred_n,
                     "normalized_actual": actual_n,
+                    **_interval(lab_idx, pred_n),
                 }
             elif lab_idx in groups["measured"]:
                 actual_n = groups["measured"][lab_idx]
@@ -208,6 +228,7 @@ def predict_for_patients(
                     "predicted": denorm(lab_idx, pred_n),
                     "normalized_predicted": pred_n,
                     "note": "Lab was never measured for this patient",
+                    **_interval(lab_idx, pred_n),
                 }
         patient_entity = (
             meta.indexers[PATIENT].id_of(pid) if PATIENT in meta.indexers else pid
@@ -243,9 +264,11 @@ def print_patient_report(report: Dict, detailed: bool = False) -> str:
     if report["masked_labs"]:
         lines.append("\nHeld-out (test) labs — prediction vs actual:")
         for name, info in sorted(report["masked_labs"].items()):
+            iv = info.get("interval")
+            iv_s = f"  [{iv[0]:.2f}, {iv[1]:.2f}]" if iv else ""
             lines.append(
                 f"  {name:<30} pred {info['predicted']:>10.2f}  "
-                f"actual {info['actual']:>10.2f}  err {info['error']:.2f}"
+                f"actual {info['actual']:>10.2f}  err {info['error']:.2f}{iv_s}"
             )
     if detailed and report["measured_labs"]:
         lines.append("\nMeasured labs:")
@@ -295,7 +318,21 @@ def run_inference(
         normalizer_frame=load_fitted_normalizer_frame(config.data.interim_dir),
         method=config.feature_space.labs.normalize,
     )
-    reports = predict_for_patients(trainer, bundle, patient_indices, denorm=denorm)
+    # conformal interval radii (evaluation.extras.conformal_alpha, default
+    # 0.1; falsy disables) — same validation-split calibration the
+    # evaluation stage reports coverage for
+    conformal = None
+    alpha = config.evaluation.extras.get("conformal_alpha", 0.1)
+    if alpha:
+        from multi_modal_gnn_tpu.evaluation.conformal import calibrate_from_trainer
+
+        try:
+            conformal = calibrate_from_trainer(trainer, alpha=float(alpha))
+        except ValueError as e:  # val split too small for this level
+            logger.warning("Conformal intervals skipped: %s", e)
+    reports = predict_for_patients(
+        trainer, bundle, patient_indices, denorm=denorm, conformal=conformal
+    )
     for idx, report in reports.items():
         report["context"] = load_patient_context(bundle, idx, cohort=cohort)
         print_patient_report(report, detailed=detailed)
@@ -316,6 +353,19 @@ def run_inference(
         "mean_abs_error_original_units": float(np.mean(errors)) if errors else None,
         "mean_abs_error_normalized": float(np.mean(norm_errors)) if norm_errors else None,
     }
+    if conformal is not None:
+        in_interval = [
+            info["normalized_interval"][0]
+            <= info["normalized_actual"]
+            <= info["normalized_interval"][1]
+            for r in reports.values()
+            for info in r["masked_labs"].values()
+            if "normalized_interval" in info
+        ]
+        summary["interval_alpha"] = conformal.alpha
+        summary["interval_coverage_on_masked"] = (
+            float(np.mean(in_interval)) if in_interval else None
+        )
     result = {"examples": list(reports.values()), "summary": summary}
     save_json(result, output_dir / "inference_examples.json")
     logger.info("Inference summary: %s", summary)

@@ -153,6 +153,32 @@ def test_evaluate_model_conformal_disabled(tiny_bundle, config):
     assert "conformal" not in results
 
 
+def test_inference_reports_carry_intervals(tiny_bundle, config, tmp_path):
+    from multi_modal_gnn_tpu.inference import run_inference
+
+    trainer = _train_briefly(tiny_bundle, config)
+    result = run_inference(config, tiny_bundle, trainer, tmp_path, num_examples=3)
+    assert result["summary"]["interval_alpha"] == pytest.approx(0.1)
+    masked = [
+        info
+        for ex in result["examples"]
+        for info in ex["masked_labs"].values()
+    ]
+    missing = [
+        info
+        for ex in result["examples"]
+        for info in ex["truly_missing_labs"].values()
+    ]
+    for info in masked + missing:
+        lo, hi = info["normalized_interval"]
+        assert lo <= info["normalized_predicted"] <= hi
+        dlo, dhi = info["interval"]
+        assert dlo <= dhi
+    if masked:
+        cov = result["summary"]["interval_coverage_on_masked"]
+        assert 0.0 <= cov <= 1.0
+
+
 def test_serving_interval_roundtrip(tiny_bundle, config, tmp_path):
     from multi_modal_gnn_tpu.serving import ServingModel, export_serving
 
