@@ -120,7 +120,12 @@ def evaluate_model(
         from multi_modal_gnn_tpu.evaluation.conformal import calibrate_from_trainer
 
         try:
-            calibrator = calibrate_from_trainer(trainer, alpha=float(alpha))
+            # calibrate with the SAME parameters the reported predictions
+            # used (best state, or the live state when use_best_state=False)
+            calibrator = calibrate_from_trainer(
+                trainer, alpha=float(alpha),
+                state=state if state is not None else trainer.state,
+            )
         except ValueError as e:  # calibration split too small for this alpha
             logger.warning("Conformal calibration skipped: %s", e)
         else:

@@ -327,7 +327,11 @@ def run_inference(
         from multi_modal_gnn_tpu.evaluation.conformal import calibrate_from_trainer
 
         try:
-            conformal = calibrate_from_trainer(trainer, alpha=float(alpha))
+            # predict_for_patients predicts with the LIVE state
+            # (predict_pairs default); calibrate with the same one
+            conformal = calibrate_from_trainer(
+                trainer, alpha=float(alpha), state=trainer.state
+            )
         except ValueError as e:  # val split too small for this level
             logger.warning("Conformal intervals skipped: %s", e)
     reports = predict_for_patients(
