@@ -193,3 +193,64 @@ def test_huber_sideinfo_channel_beats_faithful(eicu_real_tables):
     r2_plain = plant_r2(None)
     assert r2_huber >= 0.08, f"huber side-info plant regressed: {r2_huber:.4f}"
     assert r2_huber > r2_plain + 0.03, (r2_huber, r2_plain)
+
+
+def test_conformal_coverage_on_validated_cohort(eicu_real_tables):
+    """Conformal intervals deliver their guarantee ON the heavy-tailed
+    phenomenology while the Gaussian interval mis-calibrates — the
+    measured result of scripts/conformal_quality.py
+    (outputs/diagnostics/conformal_quality_v1.json), pinned at the
+    closed-form epoch-0 robust plant (deterministic given seeds; measured
+    coverage 0.8946 @ 90%, 0.7907 @ 80%; Gaussian 0.8744 @ the 80% target
+    with 1.32x the width)."""
+    spec, tables, _ = eicu_real_tables
+    config = Config()
+    bundle = build_heterogeneous_graph(
+        labs=tables["labs_normalized"],
+        diagnoses=tables["diagnoses"],
+        medications=tables["medications"],
+        cohort=tables["cohort"],
+        labitems=tables["labitems"],
+        config=config,
+    )
+    cfg = dataclasses.replace(
+        config,
+        model=dataclasses.replace(
+            config.model,
+            edge_head=dataclasses.replace(
+                config.model.edge_head,
+                extras={"bilinear_rank": 17, "bilinear_source": "embedding"},
+            ),
+        ),
+    )
+    from multi_modal_gnn_tpu.evaluation.conformal import ConformalCalibrator
+    from multi_modal_gnn_tpu.training.warmstart import (
+        bundle_membership_matrix,
+        warm_start_trainer,
+    )
+
+    masker = EdgeMasker(bundle.graph, seed=42, host_edges=bundle.patient_lab_host())
+    _, va_l, va_v = masker.split_arrays("val")
+    _, te_l, te_v = masker.split_arrays("test")
+    trainer = Trainer(build_model(cfg, bundle.graph), bundle.graph, masker, cfg)
+    warm_start_trainer(
+        trainer, rank=8, reg=12.0,
+        memberships=bundle_membership_matrix(bundle), huber_delta=0.7,
+    )
+    val_pred = trainer.predict("val").astype(np.float64)
+    te_pred = trainer.predict("test").astype(np.float64)
+    num_labs = bundle.graph.num_nodes(LAB)
+
+    for alpha, lo, hi in ((0.1, 0.87, 0.92), (0.2, 0.77, 0.83)):
+        cal = ConformalCalibrator.fit(val_pred, va_v, va_l, num_labs, alpha=alpha)
+        out = cal.evaluate(te_pred, te_v, te_l)
+        assert lo <= out["coverage"] <= hi, (alpha, out["coverage"])
+
+    # the Gaussian pred +/- z*sigma interval over-covers the 80% target by
+    # > 5 points AND is > 1.2x wider — the tails inflate sigma
+    cal80 = ConformalCalibrator.fit(val_pred, va_v, va_l, num_labs, alpha=0.2)
+    sigma = float(np.std(val_pred - va_v))
+    g_radius = 1.2816 * sigma
+    g_cov = float(np.mean(np.abs(te_pred - te_v) <= g_radius))
+    assert g_cov >= 0.85, g_cov
+    assert 2 * g_radius >= 1.2 * cal80.evaluate(te_pred, te_v, te_l)["mean_width"]
