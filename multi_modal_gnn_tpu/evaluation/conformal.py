@@ -196,6 +196,45 @@ class ConformalCalibrator:
         return cls.from_dict(json.loads(Path(path).read_text()))
 
 
+def calibrate_cold_start(
+    als,
+    masker,
+    num_labs: int,
+    alpha: float = 0.1,
+    min_per_lab: int = 30,
+    memberships: Optional[np.ndarray] = None,
+) -> ConformalCalibrator:
+    """Calibrator for the ALS fold-in (cold-start) serving channel.
+
+    The fold-in predictor has a different residual distribution than the
+    graph model, so serving its requests with the model's radii would break
+    the guarantee.  This simulates the cold-start request on the validation
+    split: each val patient is folded in from ONLY their train-observed
+    labs (exactly what ``ServingModel.predict_cold_start`` does for an
+    unseen patient with those observations) and their val labs are the
+    queries.  ``memberships`` (full [num_patients, F] matrix) routes through
+    the side-info fold-in when ``als`` is a SideInfoALSBaseline.
+    """
+    tr_p, tr_l, tr_v = masker.split_arrays("train")
+    va_p, va_l, va_v = masker.split_arrays("val")
+    order = np.argsort(tr_p, kind="stable")
+    tr_p_s, tr_l_s, tr_v_s = tr_p[order], tr_l[order], tr_v[order]
+
+    preds = np.empty(len(va_v), dtype=np.float64)
+    for pid in np.unique(va_p):
+        q = va_p == pid
+        lo = np.searchsorted(tr_p_s, pid, side="left")
+        hi = np.searchsorted(tr_p_s, pid, side="right")
+        obs_l, obs_v = tr_l_s[lo:hi], tr_v_s[lo:hi]
+        if memberships is not None:
+            preds[q] = als.predict_cold_start(obs_l, obs_v, va_l[q], memberships[pid])
+        else:
+            preds[q] = als.predict_cold_start(obs_l, obs_v, va_l[q])
+    return ConformalCalibrator.fit(
+        preds, va_v, va_l, num_labs, alpha=alpha, min_per_lab=min_per_lab
+    )
+
+
 def calibrate_from_trainer(
     trainer, alpha: float = 0.1, min_per_lab: int = 30, state=None
 ) -> ConformalCalibrator:

@@ -116,6 +116,7 @@ def export_serving(
     buckets: Tuple[int, ...] = DEFAULT_BUCKETS,
     cold_start=None,
     conformal=None,
+    conformal_cold=None,
 ) -> Path:
     """Write the AOT serving artifact: one serialized StableHLO function per
     padding bucket + a manifest.  ``bundle`` supplies lab names/stats for
@@ -129,7 +130,13 @@ def export_serving(
     ``conformal`` (optional ``evaluation.conformal.ConformalCalibrator``,
     e.g. ``calibrate_from_trainer(trainer)``): ships per-lab interval radii
     in ``conformal.json`` so ``predict(..., return_interval=True)`` can
-    return distribution-free coverage-guaranteed bounds."""
+    return distribution-free coverage-guaranteed bounds.
+
+    ``conformal_cold`` (optional, ``calibrate_cold_start(cold_start,
+    trainer.masker, ...)``): separate radii for the fold-in channel, whose
+    residual distribution differs from the graph model's — ships as
+    ``conformal_cold.json`` for ``predict_cold_start(...,
+    return_interval=True)``."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     state = compute_node_state(trainer)
@@ -171,6 +178,10 @@ def export_serving(
 
     if conformal is not None:
         conformal.save(path / "conformal.json")
+    if conformal_cold is not None:
+        if cold_start is None:
+            raise ValueError("conformal_cold requires cold_start factors")
+        conformal_cold.save(path / "conformal_cold.json")
 
     meta = bundle.meta
     manifest = {
@@ -208,6 +219,7 @@ class ServingModel:
     _denorm_mean: Optional[np.ndarray] = None
     _denorm_std: Optional[np.ndarray] = None
     _conformal: Optional[object] = None  # evaluation.conformal.ConformalCalibrator
+    _conformal_cold: Optional[object] = None  # fold-in channel calibrator
 
     @classmethod
     def load(cls, path) -> "ServingModel":
@@ -226,12 +238,16 @@ class ServingModel:
         if cs_path.exists():
             with np.load(cs_path) as z:
                 cold = {k: z[k] for k in z.files}
-        conformal = None
-        conf_path = path / "conformal.json"
-        if conf_path.exists():
-            from multi_modal_gnn_tpu.evaluation.conformal import ConformalCalibrator
+        conformal = conformal_cold = None
+        for name, slot in (("conformal.json", "c"), ("conformal_cold.json", "cc")):
+            fp = path / name
+            if fp.exists():
+                from multi_modal_gnn_tpu.evaluation.conformal import ConformalCalibrator
 
-            conformal = ConformalCalibrator.load(conf_path)
+                if slot == "c":
+                    conformal = ConformalCalibrator.load(fp)
+                else:
+                    conformal_cold = ConformalCalibrator.load(fp)
         # vectorized denormalization tables (identity where stats are
         # missing or the normalization is not zscore)
         n_lab = manifest["num_labs"]
@@ -245,6 +261,7 @@ class ServingModel:
         return cls(
             manifest=manifest, _fns=fns, _weights=weights, _cold=cold,
             _denorm_mean=mean, _denorm_std=std, _conformal=conformal,
+            _conformal_cold=conformal_cold,
         )
 
     @property
@@ -328,6 +345,7 @@ class ServingModel:
         observed: Dict[int, float],
         denormalize: bool = False,
         memberships: "np.ndarray | None" = None,
+        return_interval: bool = False,
     ) -> Dict[str, float]:
         """All-lab predictions for an UNSEEN patient from their observed
         NORMALIZED lab values, via the shipped ALS fold-in factors (one
@@ -338,11 +356,21 @@ class ServingModel:
         training.warmstart.bundle_membership_matrix rows): if the artifact
         was exported from a SideInfoALSBaseline, predictions additionally
         condition on the patient's diagnoses/medications — which answers
-        even the zero-observed-labs request."""
+        even the zero-observed-labs request.
+
+        ``return_interval=True``: values become ``{"predicted": v,
+        "interval": [lo, hi]}`` using the FOLD-IN channel's own radii
+        (``export_serving(..., conformal_cold=...)``) — the graph model's
+        radii do not transfer to this predictor."""
         if self._cold is None:
             raise ValueError(
                 "artifact has no coldstart.npz — re-export with "
                 "export_serving(..., cold_start=fitted_ALSBaseline)"
+            )
+        if return_interval and self._conformal_cold is None:
+            raise ValueError(
+                "artifact has no conformal_cold.json — re-export with "
+                "export_serving(..., conformal_cold=calibrate_cold_start(...))"
             )
         n_lab = self.manifest["num_labs"]
         obs_l = np.asarray(sorted(observed), dtype=np.int64)
@@ -378,8 +406,22 @@ class ServingModel:
             als.C = self._cold["C"]
             als.lab_bias = self._cold["lab_bias"]
             preds = als.predict_cold_start(obs_l, obs_v, np.arange(n_lab))
+        lo = hi = None
+        if return_interval:
+            lo, hi = self._conformal_cold.intervals(preds, np.arange(n_lab))
         if denormalize:
             preds = preds * self._denorm_std + self._denorm_mean
+            if return_interval:
+                lo = lo * self._denorm_std + self._denorm_mean
+                hi = hi * self._denorm_std + self._denorm_mean
         names = self.manifest["lab_names"]
+        if return_interval:
+            return {
+                names.get(str(i), names.get(i, f"Lab_{i}")): {
+                    "predicted": float(v),
+                    "interval": [float(lo[i]), float(hi[i])],
+                }
+                for i, v in enumerate(preds)
+            }
         return {names.get(str(i), names.get(i, f"Lab_{i}")): float(v)
                 for i, v in enumerate(preds)}

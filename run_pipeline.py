@@ -165,17 +165,28 @@ def step_export_serving(config):
     # conformal radii: validation-split calibration so the artifact can
     # serve coverage-guaranteed intervals (predict(return_interval=True));
     # skipped when the val split is too small for the level
-    conformal = None
+    conformal = conformal_cold = None
     alpha = config.evaluation.extras.get("conformal_alpha", 0.1)
     if alpha:
-        from multi_modal_gnn_tpu.evaluation.conformal import calibrate_from_trainer
+        from multi_modal_gnn_tpu.evaluation.conformal import (
+            calibrate_cold_start,
+            calibrate_from_trainer,
+        )
 
         try:
             conformal = calibrate_from_trainer(trainer, alpha=float(alpha))
+            # separate radii for the fold-in channel (different predictor,
+            # different residual distribution)
+            conformal_cold = calibrate_cold_start(
+                als, trainer.masker, bundle.graph.num_nodes(LAB), alpha=float(alpha)
+            )
         except ValueError as e:
             print(f"conformal calibration skipped: {e}")
     out = Path(config.data.output_dir) / "serving"
-    export_serving(trainer, bundle, out, cold_start=als, conformal=conformal)
+    export_serving(
+        trainer, bundle, out, cold_start=als,
+        conformal=conformal, conformal_cold=conformal_cold,
+    )
     print(f"serving artifact: {out} ({sorted(p.name for p in out.iterdir())})")
 
 

@@ -207,3 +207,58 @@ def test_serving_interval_roundtrip(tiny_bundle, config, tmp_path):
     plain = ServingModel.load(tmp_path / "plain")
     with pytest.raises(ValueError, match="conformal"):
         plain.predict(p, l, return_interval=True)
+
+
+def test_cold_start_interval_roundtrip(tiny_bundle, config, tmp_path):
+    from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+    from multi_modal_gnn_tpu.evaluation.conformal import calibrate_cold_start
+    from multi_modal_gnn_tpu.serving import ServingModel, export_serving
+
+    trainer = _train_briefly(tiny_bundle, config)
+    n_pat = tiny_bundle.graph.num_nodes("patient")
+    n_lab = tiny_bundle.graph.num_nodes("lab")
+    tr_p, tr_l, tr_v = trainer.masker.split_arrays("train")
+    als = ALSBaseline(n_pat, n_lab, rank=4, reg=8.0).fit(tr_v, tr_p, tr_l)
+    cold_cal = calibrate_cold_start(als, trainer.masker, n_lab, alpha=0.2)
+
+    # the calibration simulates the fold-in request: radii cover fold-in
+    # residuals on the exchangeable test split at ~the target level
+    _, te_l_all, te_v_all = trainer.masker.split_arrays("test")
+    te_p_all = trainer.masker.split_arrays("test")[0]
+    covered = []
+    order = np.argsort(tr_p, kind="stable")
+    tr_p_s, tr_l_s, tr_v_s = tr_p[order], tr_l[order], tr_v[order]
+    for pid in np.unique(te_p_all):
+        q = te_p_all == pid
+        lo_i = np.searchsorted(tr_p_s, pid, "left")
+        hi_i = np.searchsorted(tr_p_s, pid, "right")
+        preds = als.predict_cold_start(
+            tr_l_s[lo_i:hi_i], tr_v_s[lo_i:hi_i], te_l_all[q]
+        )
+        r = cold_cal.radius(te_l_all[q])
+        covered.extend((np.abs(preds - te_v_all[q]) <= r).tolist())
+    assert 0.7 <= float(np.mean(covered)) <= 0.95
+
+    export_serving(
+        trainer, tiny_bundle, tmp_path, buckets=(128,),
+        cold_start=als, conformal_cold=cold_cal,
+    )
+    served = ServingModel.load(tmp_path)
+    out = served.predict_cold_start({0: -0.4, 2: 1.1}, return_interval=True)
+    for entry in out.values():
+        lo, hi = entry["interval"]
+        assert lo <= entry["predicted"] <= hi
+    # without the cold calibrator the request is refused
+    export_serving(
+        trainer, tiny_bundle, tmp_path / "plain", buckets=(128,), cold_start=als
+    )
+    with pytest.raises(ValueError, match="conformal_cold"):
+        ServingModel.load(tmp_path / "plain").predict_cold_start(
+            {0: 0.0}, return_interval=True
+        )
+    # conformal_cold without cold_start factors is an export-time error
+    with pytest.raises(ValueError, match="cold_start"):
+        export_serving(
+            trainer, tiny_bundle, tmp_path / "bad", buckets=(128,),
+            conformal_cold=cold_cal,
+        )
