@@ -13,3 +13,4 @@ matplotlib.use("Agg")
 from multi_modal_gnn_tpu.viz.training_viz import create_all_visualizations  # noqa: F401,E402
 from multi_modal_gnn_tpu.viz.graph_viz import visualize_graph_structure  # noqa: F401,E402
 from multi_modal_gnn_tpu.viz.advanced import run_advanced_visualizations  # noqa: F401,E402
+from multi_modal_gnn_tpu.viz.uncertainty import run_uncertainty_visualizations  # noqa: F401,E402

@@ -118,6 +118,7 @@ def step_visualize(config):
     from multi_modal_gnn_tpu.viz import (
         create_all_visualizations,
         run_advanced_visualizations,
+        run_uncertainty_visualizations,
         visualize_graph_structure,
     )
 
@@ -129,6 +130,7 @@ def step_visualize(config):
     visualize_graph_structure(config, bundle, out)
     create_all_visualizations(config, bundle, trainer, history=history, output_dir=out)
     run_advanced_visualizations(config, bundle, trainer, output_dir=out)
+    run_uncertainty_visualizations(config, bundle, trainer, output_dir=out)
 
 
 def step_inference(config, patient_id=None, num_examples=5, detailed=False):

@@ -209,6 +209,21 @@ def test_serving_interval_roundtrip(tiny_bundle, config, tmp_path):
         plain.predict(p, l, return_interval=True)
 
 
+def test_uncertainty_visualizations(tiny_bundle, config, tmp_path):
+    from multi_modal_gnn_tpu.viz import run_uncertainty_visualizations
+
+    trainer = _train_briefly(tiny_bundle, config)
+    out = run_uncertainty_visualizations(config, tiny_bundle, trainer, tmp_path)
+    assert out is not None
+    for name in (
+        "interval_width_per_lab.png",
+        "coverage_per_lab.png",
+        "coverage_calibration.png",
+    ):
+        f = out / name
+        assert f.exists() and f.stat().st_size > 5_000, name
+
+
 def test_cold_start_interval_roundtrip(tiny_bundle, config, tmp_path):
     from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
     from multi_modal_gnn_tpu.evaluation.conformal import calibrate_cold_start
