@@ -239,15 +239,13 @@ class ServingModel:
             with np.load(cs_path) as z:
                 cold = {k: z[k] for k in z.files}
         conformal = conformal_cold = None
-        for name, slot in (("conformal.json", "c"), ("conformal_cold.json", "cc")):
-            fp = path / name
-            if fp.exists():
-                from multi_modal_gnn_tpu.evaluation.conformal import ConformalCalibrator
+        if (path / "conformal.json").exists() or (path / "conformal_cold.json").exists():
+            from multi_modal_gnn_tpu.evaluation.conformal import ConformalCalibrator
 
-                if slot == "c":
-                    conformal = ConformalCalibrator.load(fp)
-                else:
-                    conformal_cold = ConformalCalibrator.load(fp)
+            if (path / "conformal.json").exists():
+                conformal = ConformalCalibrator.load(path / "conformal.json")
+            if (path / "conformal_cold.json").exists():
+                conformal_cold = ConformalCalibrator.load(path / "conformal_cold.json")
         # vectorized denormalization tables (identity where stats are
         # missing or the normalization is not zscore)
         n_lab = manifest["num_labs"]

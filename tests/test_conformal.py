@@ -209,6 +209,30 @@ def test_serving_interval_roundtrip(tiny_bundle, config, tmp_path):
         plain.predict(p, l, return_interval=True)
 
 
+def test_cold_start_calibration_sideinfo_variant(tiny_bundle, config):
+    """calibrate_cold_start routes through the side-info fold-in when given
+    the membership matrix — radii finite, per-lab gather works."""
+    from multi_modal_gnn_tpu.evaluation.baselines import SideInfoALSBaseline
+    from multi_modal_gnn_tpu.evaluation.conformal import calibrate_cold_start
+    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+    from multi_modal_gnn_tpu.training.warmstart import bundle_membership_matrix
+
+    masker = EdgeMasker(tiny_bundle.graph, seed=config.train.seed)
+    n_pat = tiny_bundle.graph.num_nodes("patient")
+    n_lab = tiny_bundle.graph.num_nodes("lab")
+    tr_p, tr_l, tr_v = masker.split_arrays("train")
+    memberships = bundle_membership_matrix(tiny_bundle)
+    si = SideInfoALSBaseline(n_pat, n_lab, rank=4, reg=8.0).fit(
+        tr_v, tr_p, tr_l, memberships
+    )
+    cal = calibrate_cold_start(
+        si, masker, n_lab, alpha=0.2, memberships=memberships
+    )
+    assert np.all(np.isfinite(cal.q_lab)) and cal.q_global > 0
+    lo, hi = cal.intervals(np.zeros(5), np.arange(5) % n_lab)
+    assert np.all(lo < hi)
+
+
 def test_uncertainty_visualizations(tiny_bundle, config, tmp_path):
     from multi_modal_gnn_tpu.viz import run_uncertainty_visualizations
 
