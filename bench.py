@@ -60,6 +60,7 @@ def run_bench(
     lab_tile_rows: int | None = None,  # None = auto (masker.auto_lab_tile_rows)
     lab_tile_mode: str = "span",  # matches the CLI default
     src_span_rows: int | None = None,  # None = config default (256)
+    arch: str = "RGCN",  # RGCN | HGT (VERDICT r3 item 6: HGT number of record)
 ) -> dict:
     import dataclasses
 
@@ -87,6 +88,7 @@ def run_bench(
     cfg = cfg.replace(
         model=dataclasses.replace(
             cfg.model,
+            architecture=arch.upper(),
             use_pallas=use_pallas,
             **({"compute_dtype": "bfloat16"} if bf16 else {}),
         )
@@ -187,6 +189,7 @@ def run_bench(
         "config": (
             "mimic_scale" if mimic else "scale_100k" if scale else "eicu_demo_synthetic"
         ),
+        "arch": cfg.model.architecture,
         "aggregation_impl": (
             ("dense+pallas" if dense else "pallas") if use_pallas else "xla"
         ),
@@ -226,6 +229,10 @@ def main() -> int:
                         choices=["block", "span"],
                         help="aligned-block vs arbitrary-base narrow tiles "
                              "(only with --lab-tile-rows)")
+    parser.add_argument("--arch", type=str, default="RGCN",
+                        choices=["RGCN", "HGT", "rgcn", "hgt"],
+                        help="model architecture to bench (HGT: segment-"
+                             "softmax attention path)")
     parser.add_argument("--src-span-rows", type=int, default=None,
                         help="span-DMA plan block height (graph.src_span_rows; "
                              "unset=config default 256; only matters with "
@@ -247,7 +254,7 @@ def main() -> int:
             scale=args.scale, mimic=args.mimic, quick=args.quick, epochs=args.epochs,
             use_pallas=args.pallas, dense=args.dense, bf16=args.bf16,
             lab_tile_rows=args.lab_tile_rows, lab_tile_mode=args.lab_tile_mode,
-            src_span_rows=args.src_span_rows,
+            src_span_rows=args.src_span_rows, arch=args.arch,
         )
         if tpu_dead:
             result["note"] = (

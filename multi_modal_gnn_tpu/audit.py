@@ -70,8 +70,9 @@ def audit_masked_value_visibility(graph: HeteroGraph, masker: EdgeMasker) -> Dic
     report["edge_attr_relations"] = attr_relations
     report["masked_values_in_other_edges"] = attr_relations != ["patient__has_lab__lab"]
 
-    # 3. Split membership must partition the edge list.
-    idx = {s: masker.split_indices(s) for s in ("train", "val", "test")}
+    # 3. Split membership must partition the edge list (including the
+    #    optional conformal "cal" split carved out of val).
+    idx = {s: masker.split_indices(s) for s in masker.split_sizes()}
     union = np.concatenate(list(idx.values()))
     overlap = len(union) != len(np.unique(union))
     exhaustive = len(np.unique(union)) == masker.num_edges
@@ -86,9 +87,9 @@ def audit_masked_value_visibility(graph: HeteroGraph, masker: EdgeMasker) -> Dic
     # 4. The value targets of val/test edges never enter the training loss:
     #    the supervision mask is drawn over the train batch only (by
     #    construction in Trainer._train_step_impl); we assert index-disjointness.
-    report["train_only_supervision"] = bool(
-        set(idx["train"].tolist()).isdisjoint(idx["val"].tolist())
-        and set(idx["train"].tolist()).isdisjoint(idx["test"].tolist())
+    tr_set = set(idx["train"].tolist())
+    report["train_only_supervision"] = all(
+        tr_set.isdisjoint(v.tolist()) for s, v in idx.items() if s != "train"
     )
     return report
 

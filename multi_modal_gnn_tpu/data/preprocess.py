@@ -244,7 +244,10 @@ def preprocess_pipeline(
     """End-to-end preprocess stage: load raw data (eICU / MIMIC-III /
     synthetic per config), select the cohort, process all modalities, and
     write the six-parquet interim contract (src/preprocess.py:553-727)."""
-    from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, generate_synthetic_tables
+    from multi_modal_gnn_tpu.data.synthetic import (
+        generate_synthetic_tables,
+        spec_from_config,
+    )
 
     dataset = config.data.dataset
     fs = config.feature_space
@@ -259,7 +262,10 @@ def preprocess_pipeline(
     raw_dir = Path(raw_dir or config.data.raw_dir)
 
     if dataset == "synthetic":
-        tables = generate_synthetic_tables(SyntheticSpec.eicu_demo())
+        # config-routed spec: data.synthetic.preset selects the generator
+        # (flat eicu_demo default, or the VALIDATED eicu_real phenomenology)
+        # with per-field overrides — see synthetic.spec_from_config
+        tables = generate_synthetic_tables(spec_from_config(config))
         _write_interim(tables, interim_dir)
         return tables
 

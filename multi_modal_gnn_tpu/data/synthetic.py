@@ -23,6 +23,7 @@ identically on synthetic and real data.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Dict, Tuple
 
@@ -154,6 +155,71 @@ class SyntheticSpec:
             latent_dim=4,
             seed=seed,
         )
+
+
+_SPEC_PRESETS = {
+    "eicu_demo": SyntheticSpec.eicu_demo,
+    "eicu_real": SyntheticSpec.eicu_real,
+    "scale_100k": SyntheticSpec.scale_100k,
+    "mimic_scale": SyntheticSpec.mimic_scale,
+    "tiny": SyntheticSpec.tiny,
+}
+
+
+def spec_from_config(config: Config) -> SyntheticSpec:
+    """Resolve the SyntheticSpec the pipeline should generate from the
+    config's ``data.synthetic`` block (round-tripped through
+    ``DataConfig.extras`` — unknown-key preservation, config.py ``_take``).
+
+    Schema (all keys optional)::
+
+        data:
+          dataset: synthetic
+          synthetic:
+            preset: eicu_real   # eicu_demo | eicu_real | tiny |
+                                # scale_100k | mimic_scale
+            seed: 0             # ... plus any SyntheticSpec field override
+
+    Absent block -> ``eicu_demo`` (the flat generator every pre-round-4
+    artifact was produced on).  This is the product-surface route to the
+    VALIDATED phenomenology: ``preset: eicu_real`` sends the whole 8-step
+    pipeline through the calibrated eicu generator (README "Generator
+    validation") instead of the flat rank-k one.
+    """
+    from multi_modal_gnn_tpu.config import ConfigError
+
+    raw = config.data.extras.get("synthetic", {}) or {}
+    if not isinstance(raw, dict):
+        raise ConfigError(
+            f"data.synthetic must be a mapping, got {type(raw).__name__}"
+        )
+    raw = dict(raw)
+    preset = str(raw.pop("preset", "eicu_demo"))
+    if preset not in _SPEC_PRESETS:
+        raise ConfigError(
+            f"data.synthetic.preset must be one of "
+            f"{sorted(_SPEC_PRESETS)}, got {preset!r}"
+        )
+    spec = _SPEC_PRESETS[preset]()
+    fields = {f.name: f for f in dataclasses.fields(SyntheticSpec)}
+    unknown = set(raw) - set(fields)
+    if unknown:
+        raise ConfigError(
+            f"unknown data.synthetic key(s) {sorted(unknown)}; "
+            f"valid: preset + {sorted(fields)}"
+        )
+    overrides = {}
+    for k, v in raw.items():
+        # YAML numbers arrive as int/float interchangeably; coerce to the
+        # dataclass field's declared type so frozen-spec hashing stays stable
+        ftype = fields[k].type
+        if ftype in ("int", int):
+            overrides[k] = int(v)
+        elif ftype in ("float", float):
+            overrides[k] = float(v)
+        else:
+            overrides[k] = v
+    return dataclasses.replace(spec, **overrides) if overrides else spec
 
 
 def _sample_memberships(

@@ -162,7 +162,10 @@ def evaluate_model(
                 "stratified_results": stratified,
                 "raw_metrics": raw_metrics,
                 "baselines": results.get("baselines", {}),
-                "conformal": results.get("conformal", {}),
+                # only present when calibration actually ran — an empty {}
+                # here would read as "computed, found nothing" and diverge
+                # from the in-memory contract (key absent when skipped)
+                **({"conformal": results["conformal"]} if "conformal" in results else {}),
             },
             output_dir / "evaluation_results.json",
         )

@@ -292,7 +292,14 @@ class ServingModel:
         ``1 - alpha`` coverage from the shipped calibration
         (``export_serving(..., conformal=...)``).  Denormalization applies
         the same per-lab affine map to the bounds (std > 0, so the
-        interval stays ordered and keeps its coverage)."""
+        interval stays ordered and keeps its coverage).
+
+        ``denormalize=True`` maps to original units only for ``zscore``
+        normalization artifacts: the manifest's denorm tables carry per-lab
+        mean/std fitted by the z-score normalizer, and are identity for
+        minmax/robust/none (same contract as ``inference.Denormalizer``) —
+        for those, predictions AND interval bounds stay in normalized
+        units."""
         p = np.asarray(patient_idx, dtype=np.int32).reshape(-1)
         l = np.asarray(lab_idx, dtype=np.int32).reshape(-1)
         if p.shape != l.shape:

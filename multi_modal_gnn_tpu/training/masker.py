@@ -224,6 +224,7 @@ class EdgeMasker:
         slot_major_min_rows: int = SLOT_MAJOR_MIN_ROWS,
         lab_block_rows: int = 0,
         lab_tile_mode: str = "block",
+        calibration_split: float = 0.0,
     ):
         """``host_edges``: optional (src, dst, val) numpy arrays of the valid
         patient->lab edges in device order (GraphBundle.patient_lab_host()) —
@@ -298,10 +299,34 @@ class EdgeMasker:
             "val": np.sort(perm[n_train : n_train + n_val]),
             "test": np.sort(perm[n_train + n_val :]),
         }
+        # strict conformal calibration split: carve ``calibration_split`` of
+        # the VAL edges into a dedicated "cal" split BEFORE training, so the
+        # conformal guarantee no longer leans on the split that steers early
+        # stopping / LR plateaus (evaluation.conformal_split_fraction;
+        # conformal.calibrate_from_trainer prefers it when present).  Drawn
+        # from the same rng stream AFTER the permutation, so train/test
+        # membership is bit-identical to calibration_split=0.
+        self.calibration_split = float(calibration_split)
+        if not 0.0 <= self.calibration_split < 1.0:
+            raise ValueError(
+                f"calibration_split must be in [0, 1), got {calibration_split}"
+            )
+        if self.calibration_split > 0:
+            val_idx = self._split_indices["val"]
+            n_cal = int(round(self.calibration_split * len(val_idx)))
+            pick = rng.permutation(len(val_idx))[:n_cal]
+            cal_mask = np.zeros(len(val_idx), dtype=bool)
+            cal_mask[pick] = True
+            self._split_indices["cal"] = val_idx[cal_mask]
+            self._split_indices["val"] = val_idx[~cal_mask]
         self._batches: Dict[str, SplitBatch] = {}
 
     def split_sizes(self) -> Dict[str, int]:
         return {k: len(v) for k, v in self._split_indices.items()}
+
+    @property
+    def has_calibration_split(self) -> bool:
+        return "cal" in self._split_indices
 
     def split_indices(self, split: str) -> np.ndarray:
         """Positions (into the valid patient-lab edge list) of this split."""

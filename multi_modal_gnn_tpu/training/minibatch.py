@@ -183,7 +183,7 @@ def build_patient_clusters(
     # ---- per-split, per-cluster supervised batches -------------------------
     pl_rows_all = per_rel[PATIENT_LAB][3]
     batches: Dict[str, List[Tuple[Optional[SplitBatch], Optional[np.ndarray]]]] = {}
-    for split in ("train", "val", "test"):
+    for split in masker.split_sizes():  # train/val/test (+ "cal" if carved)
         p, l, v = masker.split_arrays(split)
         split_pos_global = (
             masker.split_edge_positions(split)

@@ -814,6 +814,11 @@ def train_pipeline(
             config.model.use_pallas,
         ),
         lab_tile_mode=str(tc.extras.get("lab_tile_mode", "span")),
+        # strict conformal calibration: carve this fraction of val into a
+        # dedicated "cal" split the optimizer never sees (masker docstring)
+        calibration_split=float(
+            config.evaluation.extras.get("conformal_split_fraction", 0) or 0
+        ),
     )
     logger.info("Edge splits: %s", masker.split_sizes())
 

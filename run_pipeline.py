@@ -24,9 +24,12 @@ Steps:
 from __future__ import annotations
 
 import argparse
+import logging
 import sys
 import time
 from pathlib import Path
+
+logger = logging.getLogger("multi_modal_gnn_tpu.pipeline")
 
 BOLD, GREEN, RED, YELLOW, CYAN, RESET = (
     "\033[1m", "\033[92m", "\033[91m", "\033[93m", "\033[96m", "\033[0m"
@@ -58,6 +61,11 @@ def _load_trainer(config, bundle, force: bool = None, require_checkpoint: bool =
         mask_fraction=tc.mask_fraction,
         seed=tc.seed,
         host_edges=bundle.patient_lab_host(),
+        # must match the train step's masker: the "cal" split is part of
+        # the split partition the checkpointed model was validated on
+        calibration_split=float(
+            config.evaluation.extras.get("conformal_split_fraction", 0) or 0
+        ),
     )
     model = build_model(config, bundle.graph)
     trainer = Trainer(model, bundle.graph, masker, config, eval_only=True)
@@ -183,7 +191,14 @@ def step_export_serving(config):
                 als, trainer.masker, bundle.graph.num_nodes(LAB), alpha=float(alpha)
             )
         except ValueError as e:
-            print(f"conformal calibration skipped: {e}")
+            # a missing conformal block is a silent downgrade of a default-on
+            # serving artifact — say so loudly, with the reason, and continue
+            # (the point-prediction artifact is still valid)
+            logger.warning(
+                "Conformal calibration FAILED — serving artifact will have "
+                "no prediction intervals (predict(return_interval=True) "
+                "will raise): %s", e,
+            )
     out = Path(config.data.output_dir) / "serving"
     export_serving(
         trainer, bundle, out, cold_start=als,

@@ -110,15 +110,17 @@ def main() -> None:
         hit = np.bincount(te_l, weights=covered, minlength=num_labs)
         tot = np.bincount(te_l, minlength=num_labs)
         el = tot >= 20
-        per_lab = hit[el] / tot[el]
+        # mirror ConformalCalibrator.evaluate: NaN when no lab reaches the
+        # sample floor (tiny cohorts) instead of a reduce-on-empty crash
+        per_lab = hit[el] / tot[el] if el.any() else np.array([])
         return {
             "alpha": alpha,
             "target_coverage": 1 - alpha,
             "coverage": float(covered.mean()),
             "mean_width": 2 * r,
             "median_width": 2 * r,
-            "per_lab_min_coverage": float(per_lab.min()),
-            "per_lab_mean_coverage": float(per_lab.mean()),
+            "per_lab_min_coverage": float(per_lab.min()) if per_lab.size else float("nan"),
+            "per_lab_mean_coverage": float(per_lab.mean()) if per_lab.size else float("nan"),
         }
 
     report: dict = {

@@ -25,6 +25,13 @@ def test_config_validates_compute_dtype():
         dataclasses.replace(Config().model, compute_dtype=v)
 
 
+def _stats(median, lo=None, hi=None):
+    lo = median if lo is None else lo
+    hi = median if hi is None else hi
+    return {"ratio": median, "ratio_min": lo, "ratio_max": hi, "repeats": 3,
+            "t_f32_ms": [], "t_bf16_ms": []}
+
+
 def test_resolution_logic(monkeypatch):
     import jax
 
@@ -34,21 +41,76 @@ def test_resolution_logic(monkeypatch):
     def no_probe():
         raise AssertionError("probe must not run off-TPU")
 
-    monkeypatch.setattr(mxu_probe, "probe_bf16_speedup", no_probe)
+    monkeypatch.setattr(mxu_probe, "probe_bf16_stats", no_probe)
     if jax.default_backend() != "tpu":
         assert mxu_probe.resolve_compute_dtype("auto") == "float32"
     # on (mocked) TPU the measured ratio decides
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(mxu_probe, "probe_bf16_speedup", lambda: 0.98)
+    monkeypatch.setattr(mxu_probe, "probe_bf16_stats", lambda: _stats(0.98))
     assert mxu_probe.resolve_compute_dtype("auto") == "float32"
-    monkeypatch.setattr(mxu_probe, "probe_bf16_speedup", lambda: 3.7)
+    monkeypatch.setattr(mxu_probe, "probe_bf16_stats", lambda: _stats(3.7))
     assert mxu_probe.resolve_compute_dtype("auto") == "bfloat16"
     # a probe crash must fall back to float32, not break model build
     def boom():
         raise RuntimeError("no device")
 
-    monkeypatch.setattr(mxu_probe, "probe_bf16_speedup", boom)
+    monkeypatch.setattr(mxu_probe, "probe_bf16_stats", boom)
     assert mxu_probe.resolve_compute_dtype("auto") == "float32"
+
+
+def test_conservative_end_decides(monkeypatch):
+    """Round-3 item 5: a median above the engage threshold is NOT enough —
+    every probe repeat must clear it, so one noisy draw (the observed
+    0.839-vs-0.998 relay-weather spread) cannot flip the dtype."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # median clears 1.15 but the conservative end does not -> stay f32
+    monkeypatch.setattr(
+        mxu_probe, "probe_bf16_stats", lambda: _stats(1.3, lo=1.02, hi=1.4)
+    )
+    assert mxu_probe.resolve_compute_dtype("auto") == "float32"
+    # the whole dispersion clears the bar -> engage
+    monkeypatch.setattr(
+        mxu_probe, "probe_bf16_stats", lambda: _stats(1.3, lo=1.18, hi=1.4)
+    )
+    assert mxu_probe.resolve_compute_dtype("auto") == "bfloat16"
+
+
+def test_legacy_cache_without_dispersion_is_reprobed(monkeypatch, tmp_path):
+    """Pre-round-4 .mxu_probe.json entries carry one ratio and no
+    dispersion; they must not satisfy the new stats lookup."""
+    import json as _json
+
+    cache = tmp_path / ".mxu_probe.json"
+    cache.write_text(_json.dumps({"FakeChip": {"ratio": 2.0, "t_f32_ms": 1.0,
+                                               "t_bf16_ms": 0.5}}))
+    monkeypatch.setattr(mxu_probe, "_CACHE_PATH", cache)
+    monkeypatch.setattr(mxu_probe, "_memo", {})
+
+    class FakeDev:
+        device_kind = "FakeChip"
+
+    import jax
+
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+    calls = []
+
+    def fake_time(dtype, **kw):
+        calls.append(dtype)
+        return 1.0 if "float32" in str(dtype) else 0.8
+
+    monkeypatch.setattr(mxu_probe, "_time_matmul", fake_time)
+    stats = mxu_probe.probe_bf16_stats(repeats=2)
+    assert calls, "legacy cache entry must trigger a fresh probe"
+    assert stats["repeats"] == 2
+    assert stats["ratio"] == pytest.approx(1.25)
+    assert stats["ratio_min"] <= stats["ratio"] <= stats["ratio_max"]
+    # the refreshed cache now round-trips without re-probing
+    calls.clear()
+    monkeypatch.setattr(mxu_probe, "_memo", {})
+    again = mxu_probe.probe_bf16_stats()
+    assert not calls and again["ratio"] == stats["ratio"]
 
 
 def test_auto_routes_through_factory(monkeypatch):
