@@ -63,7 +63,9 @@ def graph_pspecs(graph: HeteroGraph, axis: str = DATA_AXIS) -> HeteroGraph:
     )
 
 
-def batch_pspec(batch: SplitBatch, axis: str = DATA_AXIS) -> SplitBatch:
+def batch_pspec(
+    batch: SplitBatch, axis: str = DATA_AXIS, replicated_vis_positions: bool = False
+) -> SplitBatch:
     def _plan_spec(plan):
         if plan is None:
             return None
@@ -71,15 +73,20 @@ def batch_pspec(batch: SplitBatch, axis: str = DATA_AXIS) -> SplitBatch:
         # replicate them (lengths need not divide the mesh)
         return jax.tree_util.tree_map(lambda _: P(), plan)
 
-    if batch.vis_positions is not None:
+    if batch.vis_positions is not None and not replicated_vis_positions:
         # cluster-local knockout positions index the cluster's OWN padded
         # edge array; under edge-sharded shard_map each shard sees a
-        # different chunk, so the mapping is undefined — fail clearly
-        # instead of with a pytree/spec structure mismatch
+        # different chunk, so a SHARDED positions array is undefined.  The
+        # minibatch-DP trainer opts into the supported layout: positions
+        # replicated (full batch length), the step all_gathers the
+        # supervision mask and scatters the local edge chunk
+        # (Trainer._visible_graph shard_map branch).  Everything else
+        # fails clearly instead of with a pytree/spec structure mismatch.
         raise NotImplementedError(
-            "mini-batch cluster batches (vis_positions set) cannot be used "
-            "with the shard_map trainers; value_context under shard_map is "
-            "supported for full-batch training only"
+            "mini-batch cluster batches (vis_positions set) require the "
+            "replicated_vis_positions layout (parallel/minibatch_dp.py); "
+            "plain shard_map trainers support value_context for full-batch "
+            "training only"
         )
     return SplitBatch(
         patient_idx=P(axis),
@@ -90,6 +97,7 @@ def batch_pspec(batch: SplitBatch, axis: str = DATA_AXIS) -> SplitBatch:
         lab_plan=_plan_spec(batch.lab_plan),
         degrees=None if batch.degrees is None else P(axis),
         sample_weights=None if batch.sample_weights is None else P(axis),
+        vis_positions=None if batch.vis_positions is None else P(),
         num_valid=batch.num_valid,
     )
 

@@ -878,13 +878,27 @@ def train_pipeline(
     # Pallas path is on so each device gets its own windowed kernel plan.
     parallel = str(tc.extras.get("parallel", "") or "").lower()
     if parallel and parallel not in ("none", "off"):
-        if n_clusters > 1:
+        if n_clusters > 1 and parallel not in ("dp", "data"):
             raise ValueError(
-                "train.extras.parallel is incompatible with mini-batch "
-                "clustering (train.batch_size / train.extras.num_clusters)"
+                "mini-batch clustering (train.batch_size / "
+                "train.extras.num_clusters) composes with "
+                "train.extras.parallel: dp only (cluster-per-step DP, "
+                "parallel/minibatch_dp.py); 2d/gspmd shard the patient "
+                "table, which conflicts with the clusters' patient_id_base "
+                "windows"
             )
         plan_edges = bundle.host_edges if config.model.use_pallas else None
-        if parallel in ("dp", "data"):
+        if n_clusters > 1:
+            # beyond-HBM x multi-chip: every device steps the same cluster,
+            # taking a 1/n shard of its edges (parallel/minibatch_dp.py);
+            # train.extras.host_resident keeps cluster edges on the host
+            from multi_modal_gnn_tpu.parallel.minibatch_dp import MiniBatchDPTrainer
+
+            trainer = MiniBatchDPTrainer(
+                bundle, masker, config, num_clusters=n_clusters,
+                host_resident=bool(tc.extras.get("host_resident", False)),
+            )
+        elif parallel in ("dp", "data"):
             from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer
 
             trainer = DataParallelTrainer(graph, masker, config, host_edges=plan_edges)

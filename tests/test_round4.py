@@ -267,6 +267,71 @@ def test_export_serving_warns_loudly_on_conformal_failure(
     assert not (out / "serving" / "conformal.json").exists()
 
 
+def test_pipeline_e2e_on_eicu_real_preset(tmp_path):
+    """VERDICT round-3 item 1, CI-sized: the full 8-step CLI on the
+    VALIDATED phenomenology route (conf/eicu_real.yaml, cohort shrunk +
+    epochs cut for suite time), with the strict conformal split.  The
+    full-size artifact of record lives in outputs/eicu_real/ (real-chip
+    run of the unmodified config)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from multi_modal_gnn_tpu.config import load_config, save_config
+
+    cfg = load_config("conf/eicu_real.yaml")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data,
+            interim_dir=str(tmp_path / "interim"),
+            output_dir=str(tmp_path / "out"),
+            extras={"synthetic": {"preset": "eicu_real", "seed": 0,
+                                  "num_patients": 400}},
+        ),
+        model=dataclasses.replace(cfg.model, hidden_dim=32),
+        train=dataclasses.replace(cfg.train, epochs=8, extras=cfg.train.extras),
+        evaluation=dataclasses.replace(
+            cfg.evaluation, baselines=("global_mean", "per_lab_mean"),
+            extras=cfg.evaluation.extras,
+        ),
+        logging=dataclasses.replace(
+            cfg.logging, log_file=str(tmp_path / "out" / "training.log")
+        ),
+    )
+    assert cfg.evaluation.extras.get("conformal_split_fraction") == 0.5
+    assert cfg.train.extras.get("lab_reweighting") is True
+    cfg_path = tmp_path / "config.yaml"
+    save_config(cfg, cfg_path)
+
+    env = dict(os.environ)
+    env["MMGNN_FORCE_CPU"] = "1"
+    proc = subprocess.run(
+        [sys.executable, "run_pipeline.py", "--config", str(cfg_path), "--no-confirm"],
+        capture_output=True, text=True, timeout=1200, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+    out = tmp_path / "out"
+    # the interim tables carry the phenomenology (heavy tails)
+    import pandas as pd
+
+    v = pd.read_parquet(tmp_path / "interim" / "labs_normalized.parquet")[
+        "VALUE_NORMALIZED"
+    ].to_numpy().astype(np.float64)
+    kurt = ((v - v.mean()) ** 4).mean() / v.var() ** 2 - 3
+    assert kurt > 4.0
+    results = json.loads((out / "evaluation_results.json").read_text())
+    conf = results["conformal"]
+    # strict split delivered the guarantee with bounds recorded
+    assert 0.8 <= conf["coverage"] <= 1.0
+    assert conf["global_coverage_bound"] > 0.85
+    audit = json.loads((out / "audit_report.json").read_text())
+    assert audit["masked_value_visibility"]["splits_exhaustive"] is True
+    assert (out / "serving" / "conformal.json").exists()
+    assert (out / "uncertainty_visualizations" / "coverage_per_lab.png").exists()
+
+
 def test_evaluation_json_omits_conformal_when_disabled(cal_bundle, tmp_path):
     """ADVICE r3: the saved evaluation_results.json must match the
     in-memory contract — no empty {} conformal block when skipped."""
