@@ -61,6 +61,9 @@ def run_bench(
     lab_tile_mode: str = "span",  # matches the CLI default
     src_span_rows: int | None = None,  # None = config default (256)
     arch: str = "RGCN",  # RGCN | HGT (VERDICT r3 item 6: HGT number of record)
+    clusters: int = 1,  # >1: mini-batch cluster training (the beyond-HBM
+    # tier — required for HGT at the scale configs, whose per-edge
+    # attention tensors exceed one chip's HBM full-batch)
 ) -> dict:
     import dataclasses
 
@@ -135,7 +138,15 @@ def run_bench(
     n_train = masker.split_sizes()["train"]
 
     model = build_model(cfg, graph)
-    trainer = Trainer(model, graph, masker, cfg)
+    if clusters > 1:
+        from multi_modal_gnn_tpu.training.minibatch import MiniBatchTrainer
+
+        trainer = MiniBatchTrainer(
+            model, bundle, masker, cfg, num_clusters=clusters,
+            host_resident=True,
+        )
+    else:
+        trainer = Trainer(model, graph, masker, cfg)
 
     # default epoch counts: enough chunks that the pipeline's fill/drain
     # (first dispatch + final sync, ~60 ms relay) amortizes to noise
@@ -190,6 +201,7 @@ def run_bench(
             "mimic_scale" if mimic else "scale_100k" if scale else "eicu_demo_synthetic"
         ),
         "arch": cfg.model.architecture,
+        **({"clusters": clusters} if clusters > 1 else {}),
         "aggregation_impl": (
             ("dense+pallas" if dense else "pallas") if use_pallas else "xla"
         ),
@@ -233,6 +245,10 @@ def main() -> int:
                         choices=["RGCN", "HGT", "rgcn", "hgt"],
                         help="model architecture to bench (HGT: segment-"
                              "softmax attention path)")
+    parser.add_argument("--clusters", type=int, default=1,
+                        help="mini-batch patient clusters (>1: host-resident "
+                             "Cluster-GCN tier; the HGT path at --scale "
+                             "needs this — full-batch attention exceeds HBM)")
     parser.add_argument("--src-span-rows", type=int, default=None,
                         help="span-DMA plan block height (graph.src_span_rows; "
                              "unset=config default 256; only matters with "
@@ -255,6 +271,7 @@ def main() -> int:
             use_pallas=args.pallas, dense=args.dense, bf16=args.bf16,
             lab_tile_rows=args.lab_tile_rows, lab_tile_mode=args.lab_tile_mode,
             src_span_rows=args.src_span_rows, arch=args.arch,
+            clusters=args.clusters,
         )
         if tpu_dead:
             result["note"] = (

@@ -70,7 +70,8 @@ class SyntheticSpec:
     phenomenology: str = "flat"
     sev_shape: float = 2.0  # gamma shape of the severity factor (skew 2/sqrt(k))
     sev_share_common: float = 0.035  # severity variance share, most common lab
-    sev_share_rare: float = 0.22  # ... rarest lab
+    sev_share_rare: float = 0.26  # ... rarest lab (v2.2: 0.22 -> 0.26, holds
+    # the rare > common stratum ordering against the v2.2 composition)
     sev_share_power: float = 1.5  # rarity->share curve exponent
     sev_share_conc: float = 8.0  # Beta concentration of per-lab share jitter
     minor_share_lo: float = 0.05  # per-lab share of the minor (rank k-1) factors
@@ -88,15 +89,36 @@ class SyntheticSpec:
     contamination_frac: float = 0.012
     contamination_scale: float = 2.8
     # per-lab MAE-spread mechanisms (reference per_lab_metrics.csv spans
-    # 0.14-1.04): "setting-like" labs (FiO2 is a ventilator SETTING — its
-    # per-lab R^2 is 0.91) carry a near-deterministic patient-state share;
-    # "tail-concentrated" labs put most of their variance in a few extreme
-    # values, so small test strata realize far-from-1 variance (CPK's test
-    # variance is 0.137 despite global z-scoring) and per-lab MAE drops.
-    special_lab_frac: float = 0.06  # fraction of labs that are setting-like
-    special_share: float = 0.75  # their total (sev + minor) signal share
-    heavy_lab_frac: float = 0.06  # fraction with tail-concentrated noise
-    heavy_lab_df: float = 2.8  # their student-t dof (variance-finite, wild)
+    # 0.138-0.856, std 0.19, with the spread carried by a fat LOW tail of
+    # ~10 labs at MAE 0.14-0.35).  Two lab archetypes produce it there:
+    #
+    #  * "paired" labs (AST/ALT, per-lab R^2 0.72/0.71, MAE 0.22/0.26; FiO2
+    #    0.91/0.139): the lab is near-determined by patient state that is
+    #    itself well-OBSERVED — modeled as pairs sharing one dedicated
+    #    minor-factor direction with a dominant share, so conditioning on
+    #    the observed twin pins the target (v2.1's lone "special" labs
+    #    capped at R^2 ~0.65: a lone high-share lab is still behind the
+    #    latent-estimation noise floor);
+    #  * "spike" labs (CPK test-stratum variance 0.137 with MAE 0.138;
+    #    troponin, bilirubin, triglycerides): a TIGHT bulk plus rare large
+    #    condition spikes, so the 100-sample test stratum's realized
+    #    variance is spike-count luck (0.05-2.5) and the winsorized MAE
+    #    lands at 0.14-0.35 on low realizations.  v2.2 (round 4) models
+    #    this as an explicit bulk+spike mixture — a student-t near df=2
+    #    CANNOT produce it: its finite-sample std is set by draws far
+    #    inside the asymptotic tail, so renormalization inflates the bulk
+    #    to ~0.3 (measured; see scripts/calibrate_spread.py).  Spike labs
+    #    carry almost no latent signal (heavy_signal_scale), skip the
+    #    severity noise-scale mixture (their spikes are condition events,
+    #    not severity-proportional), and are excluded from the
+    #    contamination channel (their spikes ARE their wild-value process).
+    special_lab_frac: float = 0.08  # fraction of labs that are twin-paired
+    special_share: float = 0.93  # paired labs' total signal share
+    heavy_lab_frac: float = 0.08  # fraction with spike-mixture noise
+    heavy_signal_scale: float = 0.15  # spike labs' signal-share multiplier
+    heavy_bulk: float = 0.16  # spike labs' bulk noise std (pre-renorm)
+    heavy_spike_prob: float = 0.015  # per-entry spike probability
+    heavy_spike_scale: float = 4.5  # spike magnitude scale
 
     @staticmethod
     def eicu_demo() -> "SyntheticSpec":
@@ -300,6 +322,8 @@ class SyntheticLatents:
     noise_var: np.ndarray | None = None  # [num_labs] effective noise variance
     mean_shift: np.ndarray | None = None  # [num_labs] standardization offset
     sev_share: np.ndarray | None = None  # [num_labs] pre-selection share
+    special_labs: np.ndarray | None = None  # setting-like lab rows (eicu mode)
+    heavy_labs: np.ndarray | None = None  # tail-concentrated lab rows (eicu mode)
 
 
 def _standardized_gamma(rng: np.random.Generator, shape_k: float, size: int) -> np.ndarray:
@@ -347,32 +371,74 @@ def _generate_eicu_tables(
     over = tot > 0.9
     sev_share = np.where(over, sev_share * 0.9 / tot, sev_share)
     minor_share = np.where(over, minor_share * 0.9 / tot, minor_share)
-    # setting-like labs (FiO2-style: per-lab R^2 up to ~0.9): a few labs
-    # spread across the rarity spectrum carry a near-deterministic
-    # patient-state share — the top of the reference's per-lab MAE spread
+    # twin-paired labs (AST/ALT-style; see SyntheticSpec archetype doc):
+    # adjacent-popularity pairs share ONE dedicated minor-factor direction
+    # with a dominant share, so each twin is near-determined by the other
+    # OBSERVED twin — the model-reachable top of the per-lab R^2 spread
+    # routine-panel damping: the reference's WORST-explained labs are its
+    # most common ones (platelets/MPV/monos, per-lab R^2 -0.03..0.08, MAE
+    # 0.77-0.86 — idiosyncratic CBC components), so the minor share ramps
+    # DOWN toward the common end; without this, common labs are the
+    # easiest to explain (most data per lab) and the measured
+    # very-common < common < rare stratum ordering inverts
+    minor_share = minor_share * (0.45 + 0.55 * r**1.2)
     n_special = int(round(spec.special_lab_frac * L))
-    special = (
-        np.linspace(2, L - 2, n_special).round().astype(int)
-        if n_special
+    n_pairs = n_special // 2
+    # pair placement mirrors the reference's: one twin pair very-common
+    # (AST/ALT, n=227/213 of 255 — inside its top-quartile stratum, which
+    # stays low anyway because the routine panels around them are damped)
+    # and one in the RARE quartile (FiO2, n=124, per-lab R^2 0.91 — the
+    # single lab that carries much of the reference's rare-stratum 0.400);
+    # rare pairs stay co-observed because the MNAR affinity tilt orders
+    # rare panels together on sick patients
+    pair_bases = (
+        np.linspace(0.08 * L, 0.8 * L, n_pairs).round().astype(int)
+        if n_pairs
         else np.empty(0, dtype=int)
     )
-    if n_special:
-        sev_share[special] = spec.special_share * 0.55
-        minor_share[special] = spec.special_share * 0.45
-    noise_share = 1.0 - sev_share - minor_share
+    special = np.unique(np.concatenate([pair_bases, pair_bases + 1])) if n_pairs else (
+        np.empty(0, dtype=int)
+    )
+    if n_pairs:
+        sev_share[special] = spec.special_share * 0.15
+        minor_share[special] = spec.special_share * 0.85
     w_minor = rng.standard_normal((L, k - 1))
     w_minor /= np.linalg.norm(w_minor, axis=1, keepdims=True) + 1e-12
+    for j, b in enumerate(pair_bases):
+        e = np.zeros(k - 1)
+        e[j % (k - 1)] = 1.0
+        w_minor[b] = e
+        w_minor[b + 1] = e
     df_lab = np.exp(
         rng.uniform(np.log(spec.noise_df_min), np.log(spec.noise_df_max), L)
     )
-    # tail-concentrated labs (CPK-style): noise variance dominated by a few
-    # extreme values, so small test strata realize far-from-1 variance and
-    # the winsorized per-lab MAE lands low — the bottom of the spread
+    # routine-panel noise is near-GAUSSIAN (platelets/MPV/-monos: MAE
+    # 0.77-0.86 at RMSE ~1.08 — E|resid|/std ~ 0.74-0.8, the Gaussian
+    # ratio; heavy-tailed noise would sit lower): pin the most common
+    # non-archetype labs at the max dof — the top of the per-lab MAE spread
+    routine = r < 0.12
+    df_lab = np.where(routine, spec.noise_df_max, df_lab)
+    # spike labs (CPK-style; see SyntheticSpec archetype doc): tight bulk +
+    # rare condition spikes — test-stratum variance realization is spike
+    # luck, the bottom of the per-lab MAE spread
     n_heavy = int(round(spec.heavy_lab_frac * L))
+    heavy = np.empty(0, dtype=int)
     if n_heavy:
-        candidates = np.setdiff1d(np.arange(L), special)
+        # spike labs live in the RARER popularity band, as in the reference
+        # (CPK n=88, troponin 100, triglycerides 53 — all in its rare
+        # quartile).  Placement matters for the stratified fingerprint:
+        # under the +-3-sigma guard a spike lab is a pooled-R^2 GENERATOR
+        # (its targets keep the spike variance while its residuals get
+        # capped), and the reference's rare-stratum 0.400 is carried by
+        # exactly this composition (its spike labs + FiO2) on top of the
+        # rising severity share
+        candidates = np.setdiff1d(np.arange(int(0.5 * L), L), special)
         heavy = rng.choice(candidates, min(n_heavy, len(candidates)), replace=False)
-        df_lab[heavy] = spec.heavy_lab_df
+        # near-zero signal: the bulk must be TIGHT for low-variance
+        # realizations to exist at all
+        sev_share[heavy] = sev_share[heavy] * spec.heavy_signal_scale
+        minor_share[heavy] = minor_share[heavy] * spec.heavy_signal_scale
+    noise_share = 1.0 - sev_share - minor_share
 
     # ---- cohort / demographics (severity nudges age upward) ---------------
     subject_ids = 100000 + np.arange(n)
@@ -412,13 +478,43 @@ def _generate_eicu_tables(
     m = m / np.sqrt(np.mean(m**2))  # unit mean-square noise scale
     minor_part = np.einsum("ek,ek->e", u[p_idx], w_minor[l_idx])
     eps = _standardized_t(rng, df_lab[l_idx])
+    # spike labs: replace their t noise with the bulk+spike mixture (see
+    # SyntheticSpec archetype doc — a finite-sample t cannot concentrate
+    # enough), with per-lab jittered (bulk, prob, scale) so the archetype
+    # population spans the realization range; spikes skew positive
+    # (condition ELEVATIONS: CPK/troponin/bilirubin rise, rarely fall).
+    # They are also EXEMPT from the severity noise-scale mixture m[p]
+    # (spikes are condition events, not severity-proportional), which
+    # would otherwise fatten the bulk into an ordinary broad body.
+    m_e = m[p_idx]
+    if len(heavy):
+        b_l = spec.heavy_bulk * np.exp(rng.uniform(-0.4, 0.4, len(heavy)))
+        p_l = spec.heavy_spike_prob * np.exp(rng.uniform(-0.6, 0.6, len(heavy)))
+        s_l = spec.heavy_spike_scale * np.exp(rng.uniform(-0.3, 0.3, len(heavy)))
+        lab_to_h = np.full(L, -1)
+        lab_to_h[heavy] = np.arange(len(heavy))
+        hm = lab_to_h[l_idx] >= 0
+        hidx = lab_to_h[l_idx[hm]]
+        nh = int(hm.sum())
+        bulk = rng.standard_normal(nh) * b_l[hidx]
+        is_spike = rng.random(nh) < p_l[hidx]
+        mag = s_l[hidx] * (0.5 + np.abs(rng.standard_normal(nh)))
+        sgn = np.where(rng.random(nh) < 0.8, 1.0, -1.0)
+        eps[hm] = np.where(is_spike, sgn * mag, bulk)
+        m_e = np.where(hm, 1.0, m_e)
     core = (
         np.sqrt(sev_share[l_idx]) * s[p_idx]
-        + m[p_idx]
+        + m_e
         * (np.sqrt(minor_share[l_idx]) * minor_part + np.sqrt(noise_share[l_idx]) * eps)
     )
     if spec.contamination_frac > 0:
         bad = rng.random(len(core)) < spec.contamination_frac
+        if len(heavy):
+            # heavy labs own their tail (student-t df ~2): stacking entry-
+            # error outliers on top would floor every small-stratum variance
+            # realization near the contamination variance and erase the
+            # CPK-like low-MAE regime the heavy labs exist to produce
+            bad &= ~np.isin(l_idx, heavy)
         wild = rng.standard_normal(len(core))
         core = np.where(
             bad, core + spec.contamination_scale * np.sign(wild) * (0.5 + np.abs(wild)), core
@@ -505,6 +601,8 @@ def _generate_eicu_tables(
         noise_var=noise_var,
         mean_shift=obs_mean / obs_std,
         sev_share=sev_share,
+        special_labs=np.asarray(special, dtype=np.int64),
+        heavy_labs=np.asarray(heavy, dtype=np.int64),
     )
     return tables, latents
 

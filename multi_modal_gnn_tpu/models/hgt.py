@@ -41,7 +41,27 @@ def _et_key(et: EdgeTypeKey) -> str:
 
 
 class HGTLayer(nn.Module):
-    """One layer of typed multi-head attention message passing."""
+    """One layer of typed multi-head attention message passing.
+
+    Two interchangeable execution tiers per destination-type group (the
+    same philosophy as the RGCN aggregation tiers, ops/segment.py):
+
+      * DENSE attention — when every relation into the destination type
+        carries a dense adjacency (graph.dense_adjacency_max_bytes) and the
+        joint logits tensor fits ``dense_attn_max_bytes``: one masked
+        softmax over the CONCATENATED source spaces, computed as batched
+        MXU matmuls ``Q K^T`` / ``attn @ V``.  At EHR bipartite shapes
+        (eICU: patients x [labs|dx|rx] = 1834 x 264) this replaces every
+        per-edge gather and both segment passes — the ops that dominate the
+        segment tier's wall time at small scale (PERFORMANCE.md "HGT");
+      * SEGMENT attention — per-edge gathers + grouped segment-softmax,
+        exact for any scale, and the only tier under shard_map (edge
+        shards + psum; dense joint logits do not shard along edges).
+
+    Tiers are numerically equivalent (same grouped normalization,
+    multiplicity-weighted for duplicate edges; pinned in
+    tests/test_model.py::test_hgt_dense_attention_matches_segment).
+    """
 
     edge_types: Tuple[EdgeTypeKey, ...]
     node_types: Tuple[str, ...]
@@ -49,6 +69,9 @@ class HGTLayer(nn.Module):
     num_heads: int = 4
     axis_name: str | None = None  # mesh axis edges are sharded over (SPMD)
     dtype: jnp.dtype | None = None
+    # joint-logits byte budget for the dense tier (0 disables): engages on
+    # eICU-scale groups (~2 MB), never at MIMIC/scale shapes (>0.5 GB)
+    dense_attn_max_bytes: int = 134_217_728
 
     def setup(self):
         h = self.hidden_dim
@@ -56,6 +79,52 @@ class HGTLayer(nn.Module):
         self.k_proj = {_et_key(et): make_dense(h, h, name=f"k_{_et_key(et)}") for et in self.edge_types}
         self.v_proj = {_et_key(et): make_dense(h, h, name=f"v_{_et_key(et)}") for et in self.edge_types}
         self.out_proj = {nt: make_dense(h, h, name=f"out_{nt}") for nt in self.node_types}
+
+    def _dense_group_ok(self, graph: HeteroGraph, ets, num_dst: int) -> bool:
+        if self.axis_name is not None or self.dense_attn_max_bytes <= 0:
+            return False
+        if any(graph.edges[et].dense_adj is None for et in ets):
+            return False
+        total_src = sum(graph.edges[et].dense_adj.shape[1] for et in ets)
+        return num_dst * total_src * self.num_heads * 4 <= self.dense_attn_max_bytes
+
+    def _dense_attention(self, x_dict, graph, dst_t, ets, q_nodes):
+        """Joint masked softmax over concatenated source spaces — all MXU.
+
+        ``dense_adj[d, s] = multiplicity / in-degree``; multiplying the
+        exp-weights by multiplicity reproduces per-edge softmax exactly
+        (duplicate edges share one logit, so their mass adds)."""
+        h, nh = self.hidden_dim, self.num_heads
+        dh = h // nh
+        logits_parts, mult_parts, v_parts = [], [], []
+        for et in ets:
+            key = _et_key(et)
+            es = graph.edges[et]
+            src_t = et[0]
+            k = self.k_proj[key](x_dict[src_t]).reshape(-1, nh, dh)
+            v = self.v_proj[key](x_dict[src_t]).reshape(-1, nh, dh)
+            logits_parts.append(
+                jnp.einsum("dhk,shk->dsh", q_nodes, k) / jnp.sqrt(float(dh))
+            )
+            counts = es.dst_count.astype(jnp.float32)
+            mult_parts.append(
+                es.dense_adj.astype(jnp.float32)
+                * jnp.maximum(counts, 1.0)[:, None]
+            )
+            v_parts.append(v)
+        logits = jnp.concatenate(logits_parts, axis=1)  # [D, S_total, H]
+        mult = jnp.concatenate(mult_parts, axis=1)  # [D, S_total]
+        present = mult > 0
+        neg = jnp.asarray(-jnp.inf, logits.dtype)
+        logits = jnp.where(present[:, :, None], logits, neg)
+        logits = logits - jax.lax.stop_gradient(
+            jnp.max(jnp.where(present[:, :, None], logits, -1e30), axis=1, keepdims=True)
+        )
+        w = jnp.where(present[:, :, None], jnp.exp(logits) * mult[:, :, None], 0.0)
+        denom = jnp.sum(w, axis=1, keepdims=True)
+        attn = w / jnp.maximum(denom, 1e-20)
+        values = jnp.concatenate(v_parts, axis=0)  # [S_total, H, dh]
+        return jnp.einsum("dsh,shk->dhk", attn, values)
 
     def __call__(self, x_dict: Dict[str, jax.Array], graph: HeteroGraph) -> Dict[str, jax.Array]:
         h, nh = self.hidden_dim, self.num_heads
@@ -69,6 +138,12 @@ class HGTLayer(nn.Module):
         out: Dict[str, jax.Array] = {}
         for dst_t, ets in incoming.items():
             q_nodes = self.q_proj[dst_t](x_dict[dst_t]).reshape(-1, nh, dh)
+            num_dst = x_dict[dst_t].shape[0]
+            if self._dense_group_ok(graph, ets, num_dst):
+                agg = self._dense_attention(x_dict, graph, dst_t, ets, q_nodes)
+                agg = agg.reshape(num_dst, h)
+                out[dst_t] = nn.gelu(self.out_proj[dst_t](agg)) + x_dict[dst_t]
+                continue
             logits_parts, value_parts, dst_parts = [], [], []
             for et in ets:
                 key = _et_key(et)
@@ -88,7 +163,6 @@ class HGTLayer(nn.Module):
             logits = jnp.concatenate(logits_parts, axis=0)
             values = jnp.concatenate(value_parts, axis=0)
             dsts = jnp.concatenate(dst_parts, axis=0)
-            num_dst = x_dict[dst_t].shape[0]
             attn = segment_softmax(
                 logits, dsts, num_segments=num_dst, axis_name=self.axis_name
             )

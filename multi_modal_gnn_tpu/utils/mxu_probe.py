@@ -154,8 +154,11 @@ def resolve_compute_dtype(configured: str) -> str:
     import jax
 
     if jax.default_backend() != "tpu":
-        # bf16 never beats f32 on host CPU, and the ~8.8 TFLOP of probe
-        # matmuls take minutes there — only a real MXU is worth probing
+        # auto only ever engages bf16 on a real MXU: host-CPU matmuls can
+        # probe bf16-faster (this machine: 3.1x — XLA:CPU's f32 GEMM is the
+        # slow path), but the CPU backend exists here for tests/fallbacks
+        # where f32 parity with the quality pins matters more than speed,
+        # and the ~8.8 TFLOP probe takes minutes there
         return "float32"
     try:
         stats = probe_bf16_stats()

@@ -52,6 +52,11 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tag", type=str, default="")
     ap.add_argument("--channels", type=str, default="iter7,sideinfo_huber")
+    ap.add_argument("--strict-split", type=float, default=0.0,
+                    help="carve this fraction of val into a dedicated 'cal' "
+                         "split (masker calibration_split) and calibrate on "
+                         "it — the STRICT guarantee; 0 = calibrate on val "
+                         "(the v1 behavior, mildly optimistic)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -81,10 +86,14 @@ def main() -> None:
         config=config,
     )
     masker = EdgeMasker(
-        bundle.graph, seed=args.seed, host_edges=bundle.patient_lab_host()
+        bundle.graph, seed=args.seed, host_edges=bundle.patient_lab_host(),
+        calibration_split=args.strict_split,
     )
     num_labs = bundle.graph.num_nodes(LAB)
-    _, va_l, va_v = masker.split_arrays("val")
+    # with --strict-split, calibrate on the dedicated "cal" split the
+    # optimizer never saw (early stopping runs on the REDUCED val)
+    cal_split = "cal" if masker.has_calibration_split else "val"
+    _, va_l, va_v = masker.split_arrays(cal_split)
     _, te_l, te_v = masker.split_arrays("test")
 
     def interval_rows(val_pred: np.ndarray, te_pred: np.ndarray) -> dict:
@@ -126,6 +135,8 @@ def main() -> None:
     report: dict = {
         "spec_seed": args.data_seed,
         "splits": masker.split_sizes(),
+        "calibration_split": cal_split,
+        "strict_split_fraction": args.strict_split,
     }
 
     wanted = args.channels.split(",")
@@ -144,7 +155,7 @@ def main() -> None:
         t0 = time.perf_counter()
         trainer.fit(scan_chunk=args.scan_chunk)
         best = trainer.best_state if trainer.best_state is not None else trainer.state
-        val_pred = trainer.predict("val", state=best).astype(np.float64)
+        val_pred = trainer.predict(cal_split, state=best).astype(np.float64)
         te_pred = trainer.predict("test", state=best).astype(np.float64)
         report["iter7"] = {
             "raw_test": compute_regression_metrics(te_pred, te_v),
@@ -173,7 +184,7 @@ def main() -> None:
             trainer, rank=rank, reg=12.0,
             memberships=bundle_membership_matrix(bundle), huber_delta=0.7,
         )
-        val_pred = trainer.predict("val").astype(np.float64)
+        val_pred = trainer.predict(cal_split).astype(np.float64)
         te_pred = trainer.predict("test").astype(np.float64)
         report["sideinfo_huber_epoch0"] = {
             "raw_test": compute_regression_metrics(te_pred, te_v),

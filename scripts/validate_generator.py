@@ -64,7 +64,8 @@ _SPEC_FIELDS = (
     "noise_df_min", "noise_df_max", "sev_shape",
     "contamination_frac", "contamination_scale",
     "special_lab_frac", "special_share",
-    "heavy_lab_frac", "heavy_lab_df",
+    "heavy_lab_frac", "heavy_signal_scale",
+    "heavy_bulk", "heavy_spike_prob", "heavy_spike_scale",
 )
 
 

@@ -1,26 +1,34 @@
 """CI pins for the calibrated real-data phenomenology generator
-(data/synthetic.py ``phenomenology="eicu"``) — VERDICT round-2 item 1.
+(data/synthetic.py ``phenomenology="eicu"``) — VERDICT round-2 item 1;
+v2.2 calibration (round 4): per-lab MAE spread archetypes (twin pairs,
+spike labs, Gaussian routine panels — SyntheticSpec archetype doc).
 
 Two layers of protection:
 
   * data-level fingerprint (cheap, no training): the generative mechanisms
     that carry the reference's measured behavior — severity-degree coupling,
     low-degree stratum with small variance, rarity-rising severity share,
-    heavy tails — are asserted directly on the generated tables;
+    heavy tails — are asserted directly on the generated tables (variance
+    comparisons on +-3-clipped values: the v2.2 spike labs make small-
+    stratum RAW variance a realization lottery by design);
   * the faithful-config ladder rung (one 100-epoch train on the eICU-sized
     cohort, the reference's own recipe): the trained model's guarded /
     raw / stratified numbers, measured on the pinned seeds
-    (data 0 / split 42, v2.1 calibration): raw R^2 = 0.058, guarded
-    R^2 = 0.223 with 2.0% capped, rare-lab R^2 0.259 > common 0.224 >
-    very-common 0.201 (monotone, like the reference), guarded MAE 0.613,
-    low-degree stratum R^2 -0.14 at MAE 0.436 (the reference's real-data
-    values: raw-rung 0.034, guarded 0.242, 2.35% capped, rare 0.400 >
-    common 0.219 > very-common 0.218, MAE 0.609, low-degree -0.26 at
-    0.348).  Floors carry margin for float-platform jitter only — the run
-    is deterministic given seeds.
+    (data 0 / split 42, v2.2 calibration,
+    outputs/diagnostics/generator_validation_v22e.json): raw R^2 = 0.062,
+    guarded R^2 = 0.2434 with 1.94% capped, rare-lab R^2 0.300 > common
+    0.230 > very-common 0.226 (monotone), guarded MAE 0.6057, per-lab MAE
+    0.205-0.738 std 0.111 (the reference's real-data values: raw-rung
+    0.034, guarded 0.2419, 2.35% capped, rare 0.400 > common 0.219 >
+    very-common 0.218, MAE 0.6087, per-lab MAE 0.138-0.856 std 0.191).
+    Floor margins are set from MEASURED run-to-run dispersion (VERDICT r3
+    item 7): the same recipe lands 0.2434 (CPU rung) / 0.2232 (v2.1 CPU) /
+    0.2234 (v2.1 real-chip flagship) — cross-PLATFORM jitter is ~0.0005,
+    so floors sit 0.015 under the measured value and would catch a 0.02
+    R^2 regression.
 
 Cross-seed replication lives in outputs/diagnostics/
-generator_validation_ds{1,2}.json (scripts/validate_generator.py).
+generator_validation_v22_ds{1,2}.json (scripts/validate_generator.py).
 """
 
 import dataclasses
@@ -69,10 +77,15 @@ def test_data_fingerprint(eicu_real_tables):
     assert np.corrcoef(deg, sev)[0, 1] > 0.3
 
     # degree-stratified variance: the low-degree stratum is healthy ->
-    # near-normal values with small spread (the reference's low-MAE stratum)
+    # near-normal values with small spread (the reference's low-MAE
+    # stratum).  Compared on +-3-clipped values: the ~200-entry low
+    # stratum's RAW variance is a spike-realization lottery under the v2.2
+    # spike labs (one 8-sigma draw moves it by ~0.3), while the clipped
+    # statistic is stable across seeds (0.46/0.48/0.50 vs high 0.71-0.78)
     deg_e = deg[p]
-    low, high = v[deg_e <= 5], v[deg_e >= 16]
-    assert low.var() < 0.5 < high.var()
+    vc = np.clip(v, -3, 3)
+    low, high = vc[deg_e <= 5], vc[deg_e >= 16]
+    assert low.var() < 0.55 < high.var()
 
     # rarity-rising severity share: rare labs track severity more
     cnt = np.bincount(l, minlength=spec.num_labs)
@@ -99,8 +112,10 @@ def test_faithful_ladder_rung(eicu_real_tables):
     """The faithful architecture + the reference's own recipe (100 epochs,
     MAE loss, plateau scheduler, gate@6, inverse-variance lab weights)
     reproduces the reference's measured fingerprint on the calibrated
-    cohort.  Measured here (v2.1): raw 0.058 / guarded 0.223 / capped 2.0% /
-    rare 0.341 > common 0.259 / guarded MAE 0.609."""
+    cohort.  Measured here (v2.2): raw 0.062 / guarded 0.2434 / capped
+    1.94% / rare 0.300 > common 0.230 / guarded MAE 0.6057 / per-lab MAE
+    std 0.111 (reference: 0.034 / 0.2419 / 2.35% / 0.400 > 0.219 /
+    0.6087 / 0.191)."""
     spec, tables, _ = eicu_real_tables
     config = Config()
     bundle = build_heterogeneous_graph(
@@ -124,21 +139,36 @@ def test_faithful_ladder_rung(eicu_real_tables):
     preds_w, capped = winsorize_residuals(preds, te_v, te_l, sigma=3.0)
     wins = compute_regression_metrics(preds_w, te_v)
 
-    # the guarded headline and the guard jump (raw-rung vs guarded rung)
-    assert wins["r2"] >= 0.19, f"guarded R^2 regressed: {wins['r2']:.4f}"
-    assert wins["mae"] <= 0.66, f"guarded MAE regressed: {wins['mae']:.4f}"
-    assert raw["r2"] <= wins["r2"] - 0.12, (
+    # the guarded headline and the guard jump (raw-rung vs guarded rung);
+    # floors = measured (0.2434 / 0.6057 / jump 0.182) minus a 0.015-0.02
+    # margin — cross-platform jitter measured ~0.0005 (module docstring),
+    # so these catch a 0.02 regression with >10x margin over jitter
+    assert wins["r2"] >= 0.228, f"guarded R^2 regressed: {wins['r2']:.4f}"
+    assert wins["mae"] <= 0.625, f"guarded MAE regressed: {wins['mae']:.4f}"
+    assert raw["r2"] <= wins["r2"] - 0.15, (
         f"winsorization jump collapsed: raw {raw['r2']:.4f} vs "
         f"guarded {wins['r2']:.4f}"
     )
-    # guard rate in the reference's regime (2.35% there)
+    # guard rate in the reference's regime (2.35% there; 1.94% measured)
     assert 0.005 <= capped / len(te_v) <= 0.05
 
-    # stratified fingerprint: rare labs beat common (reference: 0.400>0.219)
+    # stratified fingerprint: rare labs beat common (reference: 0.400>0.219;
+    # measured 0.300 > 0.230)
     all_l = np.concatenate([masker.split_arrays(s)[1] for s in ("train", "val", "test")])
     lab_counts = np.bincount(all_l, minlength=bundle.graph.num_nodes(LAB))
     strat = stratify_by_lab_frequency(preds_w, te_v, te_l, lab_counts)
     assert strat["rare (bottom 25%)"]["r2"] > strat["common (middle 50%)"]["r2"]
+
+    # per-lab MAE spread (VERDICT r3 item 2, the v2.2 centerpiece):
+    # measured min 0.205 / max 0.738 / std 0.111 vs the v2.1 plateau of
+    # min 0.49 / std 0.068; floors leave realization margin
+    from multi_modal_gnn_tpu.evaluation.metrics import compute_per_lab_metrics
+
+    per_lab = compute_per_lab_metrics(preds_w, te_v, te_l)
+    mae_arr = np.asarray(per_lab["mae"])
+    assert float(mae_arr.std()) >= 0.09, f"per-lab MAE std collapsed: {mae_arr.std():.3f}"
+    assert float(mae_arr.min()) <= 0.28, f"low-MAE archetypes gone: min {mae_arr.min():.3f}"
+    assert float(mae_arr.max()) >= 0.65, f"high-MAE routine panels gone: max {mae_arr.max():.3f}"
 
 
 def test_huber_sideinfo_channel_beats_faithful(eicu_real_tables):
@@ -193,6 +223,53 @@ def test_huber_sideinfo_channel_beats_faithful(eicu_real_tables):
     r2_plain = plant_r2(None)
     assert r2_huber >= 0.08, f"huber side-info plant regressed: {r2_huber:.4f}"
     assert r2_huber > r2_plain + 0.03, (r2_huber, r2_plain)
+
+
+def test_cold_start_conformal_on_validated_cohort(eicu_real_tables):
+    """VERDICT r3 item 4(b)/(c): cold-start (ALS fold-in) conformal
+    coverage on the heavy-tailed cohort, pinned in CI with the STRICT
+    calibration split — and the finite-sample worst-lab Beta bound pinned
+    alongside the marginal rate (a marginal-only pin would pass even with
+    several labs' radii badly wrong in opposite directions)."""
+    spec, tables, _ = eicu_real_tables
+    config = Config()
+    bundle = build_heterogeneous_graph(
+        labs=tables["labs_normalized"],
+        diagnoses=tables["diagnoses"],
+        medications=tables["medications"],
+        cohort=tables["cohort"],
+        labitems=tables["labitems"],
+        config=config,
+    )
+    from multi_modal_gnn_tpu.evaluation.baselines import ALSBaseline
+    from multi_modal_gnn_tpu.evaluation.conformal import calibrate_cold_start
+    from multi_modal_gnn_tpu.graph.schema import PATIENT
+
+    masker = EdgeMasker(
+        bundle.graph, seed=42, host_edges=bundle.patient_lab_host(),
+        calibration_split=0.5,
+    )
+    nP, nL = bundle.graph.num_nodes(PATIENT), bundle.graph.num_nodes(LAB)
+    tr_p, tr_l, tr_v = masker.split_arrays("train")
+    als = ALSBaseline(nP, nL, rank=8, reg=12.0, huber_delta=0.7).fit(tr_v, tr_p, tr_l)
+    cal = calibrate_cold_start(als, masker, nL, alpha=0.1)
+
+    # simulate the serving request on the held-out test split
+    te_p, te_l, te_v = masker.split_arrays("test")
+    order = np.argsort(tr_p, kind="stable")
+    tr_p_s, tr_l_s, tr_v_s = tr_p[order], tr_l[order], tr_v[order]
+    preds = np.empty(len(te_v))
+    for pid in np.unique(te_p):
+        q = te_p == pid
+        lo = np.searchsorted(tr_p_s, pid, "left")
+        hi = np.searchsorted(tr_p_s, pid, "right")
+        preds[q] = als.predict_cold_start(tr_l_s[lo:hi], tr_v_s[lo:hi], te_l[q])
+    out = cal.evaluate(preds, te_v, te_l)
+    assert 0.87 <= out["coverage"] <= 0.93, out["coverage"]
+    # the finite-sample promise: every own-radius lab certifies >= 0.8
+    # conditional coverage with 95% confidence (Beta(k, n+1-k) quantile)
+    assert out["worst_lab_coverage_bound"] >= 0.80, out["worst_lab_coverage_bound"]
+    assert out["global_coverage_bound"] >= 0.885, out["global_coverage_bound"]
 
 
 def test_conformal_coverage_on_validated_cohort(eicu_real_tables):

@@ -155,6 +155,43 @@ def test_hgt_variant_runs(tiny_graph):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_hgt_dense_attention_matches_segment(tiny_graph):
+    """The dense-attention tier (joint masked softmax over concatenated
+    source spaces, MXU matmuls) is numerically equivalent to the per-edge
+    segment tier — same grouped normalization, multiplicity-weighted
+    (models/hgt.py HGTLayer docstring)."""
+    cfg = Config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, architecture="HGT"))
+    model = build_model(cfg, tiny_graph)
+    variables = init_model_variables(model, tiny_graph, jax.random.key(3))
+    rng_np = np.random.default_rng(0)
+    n_lab = tiny_graph.num_nodes("lab")
+    n_pat = tiny_graph.num_nodes("patient")
+    p = jnp.asarray(rng_np.integers(0, n_pat, 64).astype(np.int32))
+    l = jnp.asarray(rng_np.integers(0, n_lab, 64).astype(np.int32))
+
+    # tiny_graph relations are all under the dense budget -> dense engages
+    out_dense = jax.jit(
+        lambda v, g, pi, li: model.apply(
+            v, g, pi, li, train=False, method=model.predict_lab_values
+        )
+    )(variables, tiny_graph, p, l)
+    # strip the dense adjacencies -> segment tier is the only option
+    seg_graph = tiny_graph.replace(
+        edges={
+            et: es.replace(dense_adj=None) for et, es in tiny_graph.edges.items()
+        }
+    )
+    out_seg = jax.jit(
+        lambda v, g, pi, li: model.apply(
+            v, g, pi, li, train=False, method=model.predict_lab_values
+        )
+    )(variables, seg_graph, p, l)
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(out_seg), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_patient_encoder_l2_normalized(model_and_vars, tiny_graph):
     model, variables = model_and_vars
     x_dict = jax.jit(
