@@ -144,14 +144,14 @@ class MiniBatchDPTrainer(MiniBatchTrainer):
         from multi_modal_gnn_tpu.graph.schema import PATIENT, mirror_edge_type
 
         cd = self._cluster_data
-        size, K = cd.local_size, self.num_clusters
+        K = self.num_clusters
         out = [dict() for _ in range(K)]
         for et, (src, dst, val) in self._bundle.host_edges.items():
             if et[0] != PATIENT:
                 if mirror_edge_type(et) in self._bundle.host_edges:
                     continue
                 raise ValueError(f"non-patient-centric relation {et}")
-            cid = np.minimum(np.asarray(src) // size, K - 1)
+            cid = cd.cluster_of(np.asarray(src))
             for k in range(K):
                 m = cid == k
                 out[k][et] = (

@@ -72,6 +72,45 @@ class ClusterData:
     # split -> per-cluster (batch or None, original-split-row positions)
     batches: Dict[str, List[Tuple[Optional[SplitBatch], Optional[np.ndarray]]]]
 
+    def cluster_of(self, patient_idx: np.ndarray) -> np.ndarray:
+        """Cluster id of each (global) patient index — boundaries may be
+        non-uniform under edge-balanced partitioning."""
+        return (
+            np.searchsorted(np.asarray(self.bases), patient_idx, side="right") - 1
+        ).astype(np.int64)
+
+
+def _cluster_bases(
+    num_p: int, num_clusters: int, edge_weight: Optional[np.ndarray]
+) -> List[int]:
+    """WINDOW-aligned cluster base indices.
+
+    ``edge_weight`` (per-patient total forward-edge count) selects
+    EDGE-BALANCED boundaries: contiguous patient ranges with ~equal edge
+    loads.  This matters because ``graph.cluster_patients_by_degree``
+    sorts patients by ASCENDING degree, so equal-PATIENT ranges put a
+    multiple of the average edge load into the last cluster — and since
+    every cluster's edge arrays are padded to the LARGEST cluster (shared
+    static shapes), the whole partition inherits that cluster's size.
+    Measured consequence: HGT at the scale config OOM'd at 24
+    equal-patient clusters (70 GB compile-time HBM demand) and fits
+    comfortably edge-balanced.  ``edge_weight=None`` -> equal patient
+    ranges (the pre-round-4 behavior, ``balance="patients"``)."""
+    if edge_weight is None:
+        size = _round_up(-(-num_p // num_clusters), WINDOW)
+        return [k * size for k in range(num_clusters)]
+    cum = np.concatenate([[0.0], np.cumsum(edge_weight, dtype=np.float64)])
+    targets = np.arange(1, num_clusters) * (cum[-1] / num_clusters)
+    cuts = np.searchsorted(cum, targets, side="left")
+    cuts = np.round(cuts / WINDOW).astype(np.int64) * WINDOW
+    bases = [0]
+    for c in cuts:
+        c = int(min(max(c, bases[-1] + WINDOW), num_p))
+        if c <= bases[-1]:
+            c = bases[-1] + WINDOW  # degenerate weights: keep ranges nonempty
+        bases.append(min(c, num_p))
+    return bases[:num_clusters]
+
 
 
 
@@ -83,13 +122,20 @@ def build_patient_clusters(
     lab_weights: Optional[np.ndarray] = None,
     host_resident: bool = False,
     value_context: bool = False,
+    balance: str = "edges",
 ) -> ClusterData:
     """Partition the graph into ``num_clusters`` patient-range subgraphs.
 
     All clusters share identical static shapes (edge arrays padded to the
     max cluster size per relation), so one compiled train step serves every
-    cluster.  Patient indices past the global count (range padding in the
-    last cluster) are edge-free and clamp in the embedding lookup.
+    cluster.  Patient indices past the cluster's own range (up to the
+    shared ``local_size``) are edge-free and clamp in the embedding lookup.
+
+    ``balance="edges"`` (default, round 4) picks cluster boundaries so
+    edge loads are ~equal (see ``_cluster_bases`` — under the degree-sorted
+    patient layout, equal-PATIENT ranges concentrate edges in the last
+    cluster and every cluster pays its padding); ``"patients"`` restores
+    equal patient ranges.
 
     ``host_resident``: keep every cluster's edge arrays as numpy — jit
     transfers the in-flight cluster per step, so device memory holds ONE
@@ -100,11 +146,22 @@ def build_patient_clusters(
     graph = bundle.graph
     counts = graph.node_count_map
     num_p = counts[PATIENT]
-    size = _round_up(-(-num_p // num_clusters), WINDOW)
-    bases = [k * size for k in range(num_clusters)]
 
     if not bundle.host_edges:
         raise ValueError("bundle.host_edges required for cluster partitioning")
+    if balance not in ("edges", "patients"):
+        raise ValueError(f"balance must be 'edges' or 'patients', got {balance!r}")
+
+    edge_weight = None
+    if balance == "edges":
+        edge_weight = np.zeros(num_p, dtype=np.int64)
+        for et, (src, _dst, _val) in bundle.host_edges.items():
+            if et[0] == PATIENT:
+                edge_weight += np.bincount(np.asarray(src), minlength=num_p)
+    bases = _cluster_bases(num_p, num_clusters, edge_weight)
+    bases_arr = np.asarray(bases)
+    range_ends = np.concatenate([bases_arr[1:], [num_p]])
+    size = _round_up(int((range_ends - bases_arr).max()), WINDOW)
 
     # ---- per-relation cluster edge lists (patient is src of every forward
     # relation) + shared padded sizes ---------------------------------------
@@ -117,7 +174,7 @@ def build_patient_clusters(
             if mirror_edge_type(et) in bundle.host_edges:
                 continue
             raise ValueError(f"non-patient-centric relation {et} cannot be clustered")
-        cid = np.minimum(np.asarray(src) // size, num_clusters - 1)
+        cid = np.searchsorted(bases_arr, np.asarray(src), side="right") - 1
         rows = [np.nonzero(cid == k)[0] for k in range(num_clusters)]
         pad_to = _round_up(max((len(r) for r in rows), default=0), 1024)
         per_rel[et] = (src, dst, val, rows, pad_to)
@@ -190,7 +247,7 @@ def build_patient_clusters(
             if value_context and split == "train"
             else None
         )
-        cid = np.minimum(np.asarray(p) // size, num_clusters - 1)
+        cid = np.searchsorted(bases_arr, np.asarray(p), side="right") - 1
         pad_to = _round_up(
             max((int((cid == k).sum()) for k in range(num_clusters)), default=0), 256
         )
@@ -261,6 +318,7 @@ class MiniBatchTrainer(Trainer):
         config: Config,
         num_clusters: int,
         host_resident: bool = False,
+        balance: Optional[str] = None,
         **kw,
     ):
         if num_clusters < 1:
@@ -277,6 +335,12 @@ class MiniBatchTrainer(Trainer):
             )
         self.num_clusters = num_clusters
         self.host_resident = host_resident
+        # train.extras.cluster_balance: edges (default) | patients
+        self.cluster_balance = str(
+            balance
+            or config.train.extras.get("cluster_balance", "edges")
+            or "edges"
+        )
         self._bundle = bundle
         self._cluster_data: Optional[ClusterData] = None
         super().__init__(model, bundle.graph, masker, config, **kw)
@@ -288,6 +352,7 @@ class MiniBatchTrainer(Trainer):
                 lab_weights=self.host_lab_weights,
                 host_resident=self.host_resident,
                 value_context=self._value_context,
+                balance=self.cluster_balance,
             )
         return self._cluster_data
 

@@ -98,6 +98,57 @@ class TestParity:
         np.testing.assert_allclose(sd.train_epoch(), pk.train_epoch(), **TOL)
 
 
+class TestEdgeBalancedPartition:
+    def test_balanced_beats_equal_patient_padding(self, mb_bundle):
+        """Round-4 fix: under the degree-sorted layout, equal-PATIENT
+        ranges concentrate edges in the last cluster and every cluster
+        pays its padding (measured: HGT at the scale config OOM'd at 24
+        equal-patient clusters).  Edge-balanced boundaries bound the max
+        cluster load."""
+        from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
+        from multi_modal_gnn_tpu.training.minibatch import build_patient_clusters
+
+        masker = _masker(mb_bundle)
+        cfg = _cfg()
+        loads = {}
+        for bal in ("patients", "edges"):
+            cd = build_patient_clusters(mb_bundle, masker, cfg, 3, balance=bal)
+            loads[bal] = max(
+                int(np.asarray(sg.edges[PATIENT_LAB].mask).sum())
+                for sg in cd.subgraphs
+            )
+            # partition covers every split row exactly once regardless
+            for split in ("train", "val", "test"):
+                n = sum(
+                    b.num_valid for b, _ in cd.batches[split] if b is not None
+                )
+                assert n == masker.split_sizes()[split]
+        assert loads["edges"] <= loads["patients"]
+
+    def test_cluster_of_matches_partition(self, mb_bundle):
+        from multi_modal_gnn_tpu.training.minibatch import build_patient_clusters
+
+        cd = build_patient_clusters(mb_bundle, _masker(mb_bundle), _cfg(), 3)
+        num_p = mb_bundle.graph.num_nodes("patient")
+        p = np.arange(num_p)
+        cid = cd.cluster_of(p)
+        assert cid.min() >= 0 and cid.max() < 3
+        # each in-range base starts its own cluster (WINDOW alignment can
+        # collapse trailing bases to num_p on tiny cohorts — those clusters
+        # are legitimately empty)
+        for k, b in enumerate(cd.bases):
+            if b < num_p and (k == 0 or b > cd.bases[k - 1]):
+                assert cid[b] == k
+
+    def test_unknown_balance_rejected(self, mb_bundle):
+        from multi_modal_gnn_tpu.training.minibatch import build_patient_clusters
+
+        with pytest.raises(ValueError, match="balance"):
+            build_patient_clusters(
+                mb_bundle, _masker(mb_bundle), _cfg(), 2, balance="nope"
+            )
+
+
 class TestConfigRoute:
     def test_train_pipeline_dispatches_minibatch_dp(self, mb_bundle, tmp_path):
         from multi_modal_gnn_tpu.training.trainer import train_pipeline

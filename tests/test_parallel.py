@@ -525,18 +525,34 @@ def test_train_pipeline_routes_parallel_extras(tmp_path, setup, strategy, cls_na
     assert np.isfinite(results["test_loss"])
 
 
-def test_train_pipeline_parallel_rejects_clusters(tmp_path, setup):
+def test_train_pipeline_parallel_cluster_composition(tmp_path, setup):
+    """Round 4: parallel=dp now COMPOSES with mini-batch clustering
+    (parallel/minibatch_dp.py — the beyond-HBM x multi-chip cell); the
+    table-sharding strategies still reject clusters with a reasoned
+    error (their patient-table shards conflict with patient_id_base
+    windows)."""
     cfg, bundle = setup
+    from multi_modal_gnn_tpu.parallel.minibatch_dp import MiniBatchDPTrainer
+    from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
     cfg2 = cfg.replace(
         train=dataclasses.replace(
             cfg.train, epochs=1,
             extras={**cfg.train.extras, "parallel": "dp", "num_clusters": 2},
         ),
     )
-    from multi_modal_gnn_tpu.training.trainer import train_pipeline
+    trainer, results = train_pipeline(cfg2, bundle, tmp_path)
+    assert isinstance(trainer, MiniBatchDPTrainer)
+    assert np.isfinite(results["test_loss"])
 
-    with pytest.raises(ValueError, match="incompatible"):
-        train_pipeline(cfg2, bundle, tmp_path)
+    cfg3 = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, epochs=1,
+            extras={**cfg.train.extras, "parallel": "2d", "num_clusters": 2},
+        ),
+    )
+    with pytest.raises(ValueError, match="composes with"):
+        train_pipeline(cfg3, bundle, tmp_path / "b")
 
 
 def test_parallel_fit_checkpoint_resume(tmp_path, setup):
