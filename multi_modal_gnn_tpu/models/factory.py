@@ -83,6 +83,11 @@ def build_model(
             bilinear_rank=int(mc.edge_head.extras.get("bilinear_rank", 0)),
             bilinear_source=bl_source,
             value_context=value_context,
+            # dense-attention joint-logits budget (models/hgt.py HGTLayer;
+            # 0 disables the tier)
+            dense_attn_max_bytes=int(
+                mc.extras.get("hgt_dense_attn_bytes", 134_217_728)
+            ),
         )
     else:
         raise ValueError(f"Unknown architecture: {mc.architecture}")

@@ -193,6 +193,9 @@ class HeteroGT(nn.Module):
     bilinear_rank: int = 0
     bilinear_source: str = "head"
     value_context: bool = False
+    # dense-attention tier joint-logits budget (HGTLayer doc; 0 disables);
+    # config: model.extras.hgt_dense_attn_bytes
+    dense_attn_max_bytes: int = 134_217_728
     dtype: jnp.dtype | None = None
     # mini-batch cluster subgraphs (training/minibatch.py) resolve local
     # patient rows through HeteroGraph.patient_id_base in encode_nodes
@@ -220,6 +223,7 @@ class HeteroGT(nn.Module):
                 hidden_dim=self.hidden_dim,
                 num_heads=self.num_heads,
                 axis_name=self.axis_name,
+                dense_attn_max_bytes=self.dense_attn_max_bytes,
                 name=f"hgt_{i}",
             )
             for i in range(self.num_layers)

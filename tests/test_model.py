@@ -192,6 +192,31 @@ def test_hgt_dense_attention_matches_segment(tiny_graph):
     )
 
 
+def test_hgt_dense_attn_budget_config_knob(tiny_graph):
+    """model.extras.hgt_dense_attn_bytes reaches the layers; 0 disables the
+    dense tier (outputs unchanged either way — tier equivalence)."""
+    cfg = Config()
+    base = dataclasses.replace(cfg.model, architecture="HGT")
+    m_on = build_model(cfg.replace(model=base), tiny_graph)
+    m_off = build_model(
+        cfg.replace(model=dataclasses.replace(base, extras={"hgt_dense_attn_bytes": 0})),
+        tiny_graph,
+    )
+    assert m_on.dense_attn_max_bytes == 134_217_728
+    assert m_off.dense_attn_max_bytes == 0
+    variables = init_model_variables(m_on, tiny_graph, jax.random.key(5))
+    p = jnp.zeros(8, jnp.int32)
+    l = jnp.zeros(8, jnp.int32)
+    run = lambda m: np.asarray(  # noqa: E731
+        jax.jit(
+            lambda v, g, pi, li: m.apply(
+                v, g, pi, li, train=False, method=m.predict_lab_values
+            )
+        )(variables, tiny_graph, p, l)
+    )
+    np.testing.assert_allclose(run(m_on), run(m_off), rtol=2e-5, atol=2e-5)
+
+
 def test_patient_encoder_l2_normalized(model_and_vars, tiny_graph):
     model, variables = model_and_vars
     x_dict = jax.jit(
