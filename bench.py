@@ -64,6 +64,7 @@ def run_bench(
     clusters: int = 1,  # >1: mini-batch cluster training (the beyond-HBM
     # tier — required for HGT at the scale configs, whose per-edge
     # attention tensors exceed one chip's HBM full-batch)
+    hgt_dense_bytes: int | None = None,  # model.extras.hgt_dense_attn_bytes
 ) -> dict:
     import dataclasses
 
@@ -94,6 +95,11 @@ def run_bench(
             architecture=arch.upper(),
             use_pallas=use_pallas,
             **({"compute_dtype": "bfloat16"} if bf16 else {}),
+            **(
+                {"extras": {"hgt_dense_attn_bytes": int(hgt_dense_bytes)}}
+                if hgt_dense_bytes is not None
+                else {}
+            ),
         )
     )
     if not dense:  # exercise the windowed-kernel tier (the beyond-dense regime)
@@ -245,6 +251,10 @@ def main() -> int:
                         choices=["RGCN", "HGT", "rgcn", "hgt"],
                         help="model architecture to bench (HGT: segment-"
                              "softmax attention path)")
+    parser.add_argument("--hgt-dense-bytes", type=int, default=None,
+                        help="HGT dense-attention joint-logits budget "
+                             "(model.extras.hgt_dense_attn_bytes; 0 forces "
+                             "the segment tier)")
     parser.add_argument("--clusters", type=int, default=1,
                         help="mini-batch patient clusters (>1: host-resident "
                              "Cluster-GCN tier; the HGT path at --scale "
@@ -271,7 +281,7 @@ def main() -> int:
             use_pallas=args.pallas, dense=args.dense, bf16=args.bf16,
             lab_tile_rows=args.lab_tile_rows, lab_tile_mode=args.lab_tile_mode,
             src_span_rows=args.src_span_rows, arch=args.arch,
-            clusters=args.clusters,
+            clusters=args.clusters, hgt_dense_bytes=args.hgt_dense_bytes,
         )
         if tpu_dead:
             result["note"] = (

@@ -276,10 +276,10 @@ def test_conformal_coverage_on_validated_cohort(eicu_real_tables):
     """Conformal intervals deliver their guarantee ON the heavy-tailed
     phenomenology while the Gaussian interval mis-calibrates — the
     measured result of scripts/conformal_quality.py
-    (outputs/diagnostics/conformal_quality_v1.json), pinned at the
-    closed-form epoch-0 robust plant (deterministic given seeds; measured
-    coverage 0.8946 @ 90%, 0.7907 @ 80%; Gaussian 0.8744 @ the 80% target
-    with 1.32x the width)."""
+    (outputs/diagnostics/conformal_quality_v2.json), pinned at the
+    closed-form epoch-0 robust plant (deterministic given seeds; v2.2
+    cohort measured: coverage 0.8936 @ 90%, 0.7958 @ 80%; Gaussian
+    0.8756 @ the 80% target with 1.35x the width)."""
     spec, tables, _ = eicu_real_tables
     config = Config()
     bundle = build_heterogeneous_graph(
