@@ -931,10 +931,15 @@ def train_pipeline(
     else:
         trainer = Trainer(model, graph, masker, config)
     if ws:
-        if parallel and parallel not in ("none", "off"):
+        if parallel in ("2d", "dp2d", "gspmd"):
+            # these shard the patient table over the model axis; planting a
+            # replicated table + re-initializing moments would discard that
+            # placement — warm-start them via warm_start_trainer directly
+            # with explicitly placed params if needed
             raise ValueError(
-                "train.extras.warm_start currently supports the single-device "
-                "and mini-batch trainers; warm-start a parallel trainer via "
+                "train.extras.warm_start supports the single-device, "
+                "mini-batch, and dp trainers (round 4); the table-sharding "
+                "strategies (2d/gspmd) need explicit placement — use "
                 "training.warmstart.warm_start_trainer directly"
             )
         from multi_modal_gnn_tpu.training.warmstart import (

@@ -332,6 +332,36 @@ def test_pipeline_e2e_on_eicu_real_preset(tmp_path):
     assert (out / "uncertainty_visualizations" / "coverage_per_lab.png").exists()
 
 
+def test_warm_start_composes_with_dp(cal_bundle, tmp_path):
+    """Round 4: train.extras.warm_start now routes through the dp trainers
+    (params replicated — the plant lands identically on every shard;
+    2d/gspmd still raise with placement guidance)."""
+    from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer
+    from multi_modal_gnn_tpu.training.trainer import train_pipeline
+
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, hidden_dim=16),
+        train=dataclasses.replace(
+            cfg.train, epochs=2,
+            extras={"parallel": "dp", "warm_start": "als",
+                    "warm_start_rank": 4},
+        ),
+    )
+    trainer, results = train_pipeline(cfg, cal_bundle, tmp_path)
+    assert isinstance(trainer, DataParallelTrainer)
+    assert np.isfinite(results["test_loss"])
+
+    cfg2 = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, epochs=1,
+            extras={"parallel": "gspmd", "warm_start": "als"},
+        ),
+    )
+    with pytest.raises(ValueError, match="warm_start supports"):
+        train_pipeline(cfg2, cal_bundle, tmp_path / "b")
+
+
 def test_evaluation_json_omits_conformal_when_disabled(cal_bundle, tmp_path):
     """ADVICE r3: the saved evaluation_results.json must match the
     in-memory contract — no empty {} conformal block when skipped."""
