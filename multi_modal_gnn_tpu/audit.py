@@ -233,21 +233,12 @@ def run_full_audit(
     """End-to-end audit (reference src/audit_leakage.py:341-480): split
     hygiene + visibility checks + robust metrics on the trained model, and
     optionally a patient-holdout comparison run."""
+    from multi_modal_gnn_tpu.training.masker import masker_from_config
+
     graph = bundle.graph
-    tc = config.train
-    masker = (
-        trainer.masker
-        if trainer is not None
-        else EdgeMasker(
-            graph,
-            train_split=tc.train_split,
-            val_split=tc.val_split,
-            test_split=tc.test_split,
-            mask_fraction=tc.mask_fraction,
-            seed=tc.seed,
-            host_edges=bundle.patient_lab_host(),
-        )
-    )
+    # shared config->masker factory (training/masker.py): the audited split
+    # partition is exactly the one every other entry point derives
+    masker = trainer.masker if trainer is not None else masker_from_config(config, bundle)
 
     report: Dict = {
         "patient_leakage": audit_patient_leakage(masker),

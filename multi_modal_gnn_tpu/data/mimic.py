@@ -47,11 +47,25 @@ class MIMICLoader:
                     return df
         raise FileNotFoundError(f"CSV file not found for table: {table_name}")
 
-    def _load_postgres(self, table_name: str) -> pd.DataFrame:
-        import sqlalchemy  # optional dependency, gated
+    def _db_engine(self):
+        """Resolve ``db_connection`` to something ``pd.read_sql`` accepts.
 
-        engine = sqlalchemy.create_engine(self.db_connection)
-        df = pd.read_sql(f"SELECT * FROM mimiciii.{table_name.lower()}", engine)
+        A string is a sqlalchemy URL (the reference's configuration surface,
+        src/io_mimic.py:97-117 — sqlalchemy stays an optional extra); any
+        non-string is used directly, so an open DBAPI connection (e.g. a
+        sqlite3 database laid out with a ``mimiciii`` schema — see
+        tests/test_data.py's fixture) exercises the identical query path
+        without the postgres server."""
+        if isinstance(self.db_connection, str):
+            import sqlalchemy  # optional dependency, gated
+
+            return sqlalchemy.create_engine(self.db_connection)
+        return self.db_connection
+
+    def _load_postgres(self, table_name: str) -> pd.DataFrame:
+        df = pd.read_sql(
+            f"SELECT * FROM mimiciii.{table_name.lower()}", self._db_engine()
+        )
         df.columns = df.columns.str.upper()
         logger.info("Loaded %s from postgres: %d rows", table_name, len(df))
         return df
@@ -82,11 +96,9 @@ class MIMICLoader:
                         if path.exists():
                             return pd.read_csv(path, chunksize=chunksize, low_memory=False)
                 raise FileNotFoundError("LABEVENTS.csv(.gz) not found")
-            import sqlalchemy  # optional dependency, gated
-
-            engine = sqlalchemy.create_engine(self.db_connection)
             return pd.read_sql(
-                "SELECT * FROM mimiciii.labevents", engine, chunksize=chunksize
+                "SELECT * FROM mimiciii.labevents", self._db_engine(),
+                chunksize=chunksize,
             )
         df = self.load_table("LABEVENTS")
         if "CHARTTIME" in df.columns:

@@ -222,7 +222,10 @@ class ConformalCalibrator:
             "q": float(q),
             "global_bound": beta_coverage_quantile(n_global, self.alpha, q),
             "per_lab_bound": [None if np.isnan(b) else float(b) for b in per_lab],
-            "worst_lab_bound": float(own_vals.min()) if own_vals.size else float("nan"),
+            # None (not NaN) when no lab carries its own radius: these dicts
+            # are json.dumps'd into serving sidecars, and a bare NaN token is
+            # rejected by strict JSON parsers (mirrors per_lab_bound)
+            "worst_lab_bound": float(own_vals.min()) if own_vals.size else None,
             "num_own_radius_labs": int(own.sum()),
         }
 

@@ -116,7 +116,11 @@ def evaluate_model(
     # leak targets into the bounds).  evaluation.extras.conformal_alpha
     # overrides the 0.1 default; set it falsy to disable.
     alpha = config.evaluation.extras.get("conformal_alpha", 0.1)
-    if alpha and split != "val":
+    # skip only the split calibration actually uses (in-sample coverage is
+    # trivially ~1-alpha there): the carved "cal" split when the masker has
+    # one — in which case "val" is disjoint from calibration and evaluable
+    cal_split = "cal" if getattr(trainer.masker, "has_calibration_split", False) else "val"
+    if alpha and split != cal_split:
         from multi_modal_gnn_tpu.evaluation.conformal import calibrate_from_trainer
 
         try:
@@ -187,19 +191,12 @@ def evaluation_pipeline(
     restore verifies the checkpoint's config hash against the live config
     unless ``force``."""
     from multi_modal_gnn_tpu.models.factory import build_model
-    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+    from multi_modal_gnn_tpu.training.masker import masker_from_config
     from multi_modal_gnn_tpu.training.trainer import Trainer
 
-    tc = config.train
-    masker = EdgeMasker(
-        bundle.graph,
-        train_split=tc.train_split,
-        val_split=tc.val_split,
-        test_split=tc.test_split,
-        mask_fraction=tc.mask_fraction,
-        seed=tc.seed,
-        host_edges=bundle.patient_lab_host(),
-    )
+    # the shared config->masker factory: split partition (incl. the strict
+    # conformal "cal" carve) is identical to the one training used
+    masker = masker_from_config(config, bundle)
     model = build_model(config, bundle.graph)
     trainer = Trainer(model, bundle.graph, masker, config, eval_only=True)
     trainer.restore(checkpoint_path, force=force)

@@ -409,3 +409,59 @@ class EdgeMasker:
             key, p=self.mask_fraction, shape=batch.valid.shape
         ).astype(jnp.float32)
         return draw * batch.valid
+
+
+def resolve_lab_tile_rows(raw, num_labs, use_pallas: bool) -> int:
+    """Config knob -> lab_block_rows: explicit values (incl. 0) win; unset
+    (None or "auto") falls back to the hardware-measured default
+    (:func:`auto_lab_tile_rows`), which only applies on the Pallas head path
+    (the plans are kernel layouts)."""
+    if raw is not None and str(raw) != "auto":
+        return int(raw)
+    if not use_pallas:
+        return 0
+    return auto_lab_tile_rows(num_labs)
+
+
+def masker_from_config(config, bundle) -> "EdgeMasker":
+    """THE config->masker factory — the single place the split partition is
+    derived from a :class:`~multi_modal_gnn_tpu.config.Config`.
+
+    Every entry point that must agree on split membership (train_pipeline,
+    evaluation_pipeline, run_pipeline._load_trainer, run_full_audit) builds
+    its masker here, so a strict-conformal config (``evaluation.extras.
+    conformal_split_fraction``) carves the identical "cal" split everywhere.
+    Before this factory, the evaluation entry omitted ``calibration_split``
+    and silently calibrated on the full val split — reintroducing the
+    optimism the strict split exists to eliminate (round-4 verdict, weak 5).
+
+    ``bundle`` is a GraphBundle; host edges come from it so no device
+    readback happens on remote TPUs.
+    """
+    tc = config.train
+    graph = bundle.graph
+    return EdgeMasker(
+        graph,
+        train_split=tc.train_split,
+        val_split=tc.val_split,
+        test_split=tc.test_split,
+        mask_fraction=tc.mask_fraction,
+        seed=tc.seed,
+        host_edges=bundle.patient_lab_host(),
+        # slot-major train batches pay off exactly when the Pallas head path
+        # consumes the plans (see EdgeMasker doc)
+        slot_major_train=config.model.use_pallas,
+        # narrow lab tiles (PERFORMANCE.md "span-bounded lab tiles"):
+        # train.extras.lab_tile_rows overrides; unset -> measured default
+        lab_block_rows=resolve_lab_tile_rows(
+            tc.extras.get("lab_tile_rows"),
+            graph.node_count_map.get("lab"),
+            config.model.use_pallas,
+        ),
+        lab_tile_mode=str(tc.extras.get("lab_tile_mode", "span")),
+        # strict conformal calibration: carve this fraction of val into a
+        # dedicated "cal" split the optimizer never sees (class docstring)
+        calibration_split=float(
+            config.evaluation.extras.get("conformal_split_fraction", 0) or 0
+        ),
+    )

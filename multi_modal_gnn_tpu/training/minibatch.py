@@ -41,6 +41,7 @@ approximation the message passing already makes.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -96,6 +97,16 @@ def _cluster_bases(
     equal-patient clusters (70 GB compile-time HBM demand) and fits
     comfortably edge-balanced.  ``edge_weight=None`` -> equal patient
     ranges (the pre-round-4 behavior, ``balance="patients"``)."""
+    max_clusters = -(-num_p // WINDOW)
+    if num_clusters > max_clusters:
+        # more clusters than WINDOW-aligned patient ranges: the cuts would
+        # clamp to num_p, silently emitting duplicate/empty clusters that
+        # also violate the documented WINDOW alignment
+        raise ValueError(
+            f"num_clusters={num_clusters} exceeds ceil(num_patients/WINDOW)="
+            f"{max_clusters} ({num_p} patients, window {WINDOW}); "
+            f"use at most {max_clusters} clusters"
+        )
     if edge_weight is None:
         size = _round_up(-(-num_p // num_clusters), WINDOW)
         return [k * size for k in range(num_clusters)]
@@ -333,6 +344,16 @@ class MiniBatchTrainer(Trainer):
                 f"support; {type(model).__name__} reads the global patient "
                 "table"
             )
+        # cap at the WINDOW-aligned range count: a config-routed batch_size
+        # on a small graph can ask for more clusters than 128-patient
+        # windows exist, which _cluster_bases rejects as degenerate
+        max_clusters = -(-bundle.graph.node_count_map[PATIENT] // WINDOW)
+        if num_clusters > max_clusters:
+            logging.getLogger(__name__).warning(
+                "Requested %d clusters but only %d WINDOW-aligned patient "
+                "ranges exist; clamping", num_clusters, max_clusters,
+            )
+            num_clusters = max_clusters
         self.num_clusters = num_clusters
         self.host_resident = host_resident
         # train.extras.cluster_balance: edges (default) | patients

@@ -39,7 +39,12 @@ from multi_modal_gnn_tpu.models.losses import (
     weighted_regression_loss,
 )
 from multi_modal_gnn_tpu.training.checkpoint import load_checkpoint, save_checkpoint
-from multi_modal_gnn_tpu.training.masker import EdgeMasker, SplitBatch
+from multi_modal_gnn_tpu.training.masker import (
+    EdgeMasker,
+    SplitBatch,
+    masker_from_config,
+    resolve_lab_tile_rows as _resolve_lab_tile_rows,  # bench.py compat alias
+)
 from multi_modal_gnn_tpu.training.schedulers import build_scheduler
 from multi_modal_gnn_tpu.utils.io import save_json
 from multi_modal_gnn_tpu.utils.rng import RngSequence
@@ -763,17 +768,6 @@ class Trainer:
         logger.info("Resumed training at epoch %d (best val %.4f)", self.epoch, self.best_val_loss)
 
 
-def _resolve_lab_tile_rows(raw, num_labs, use_pallas: bool) -> int:
-    """Config knob -> lab_block_rows: explicit values (incl. 0) win; unset
-    (None or "auto") falls back to the hardware-measured default, which only
-    applies on the Pallas head path (the plans are kernel layouts)."""
-    if raw is not None and str(raw) != "auto":
-        return int(raw)
-    if not use_pallas:
-        return 0
-    from multi_modal_gnn_tpu.training.masker import auto_lab_tile_rows
-
-    return auto_lab_tile_rows(num_labs)
 
 
 def train_pipeline(
@@ -794,32 +788,9 @@ def train_pipeline(
     graph = bundle.graph
     tc = config.train
 
-    masker = EdgeMasker(
-        graph,
-        train_split=tc.train_split,
-        val_split=tc.val_split,
-        test_split=tc.test_split,
-        mask_fraction=tc.mask_fraction,
-        seed=tc.seed,
-        host_edges=bundle.patient_lab_host(),
-        # slot-major train batches pay off exactly when the Pallas head path
-        # consumes the plans (see EdgeMasker doc)
-        slot_major_train=config.model.use_pallas,
-        # narrow lab tiles (PERFORMANCE.md "span-bounded lab tiles"):
-        # train.extras.lab_tile_rows overrides; unset -> the measured
-        # default (256-row span tiles at >=512 padded labs, pallas only)
-        lab_block_rows=_resolve_lab_tile_rows(
-            tc.extras.get("lab_tile_rows"),
-            graph.node_count_map.get("lab"),
-            config.model.use_pallas,
-        ),
-        lab_tile_mode=str(tc.extras.get("lab_tile_mode", "span")),
-        # strict conformal calibration: carve this fraction of val into a
-        # dedicated "cal" split the optimizer never sees (masker docstring)
-        calibration_split=float(
-            config.evaluation.extras.get("conformal_split_fraction", 0) or 0
-        ),
-    )
+    # THE config->masker factory: every entry point that must agree on the
+    # split partition (train/evaluate/audit/run_pipeline) derives it here
+    masker = masker_from_config(config, bundle)
     logger.info("Edge splits: %s", masker.split_sizes())
 
     # config-routed warm start (train.extras.warm_start: als | sideinfo):

@@ -150,7 +150,13 @@ def plot_embeddings(
 ):
     """2-D projection of node embeddings colored by node type."""
     all_emb = np.concatenate(list(embeddings_by_type.values()), axis=0)
-    if method == "tsne" and len(all_emb) <= 5000:
+    if method == "umap":
+        # exact reference tool (src/visualize.py:421-502) when installed;
+        # callers substitute pca beforehand when umap-learn is unavailable
+        from umap import UMAP
+
+        proj = UMAP(n_components=2, random_state=0).fit_transform(all_emb)
+    elif method == "tsne" and len(all_emb) <= 5000:
         from sklearn.manifold import TSNE
 
         proj = TSNE(n_components=2, random_state=0, init="pca").fit_transform(all_emb)
@@ -221,12 +227,16 @@ def create_all_visualizations(
             emb = {k: np.asarray(v) for k, v in x_dict.items()}
             method = vc.dim_reduction
             if method == "umap":
-                # umap-learn is absent from this image (reference uses it,
-                # src/visualize.py:421-502); substitute PCA and say so
-                logger.warning(
-                    "visualization.dim_reduction=umap requested but umap-learn "
-                    "is not installed; substituting PCA"
-                )
-                method = "pca"
+                # use umap-learn when installed (reference tool,
+                # src/visualize.py:421-502); otherwise substitute PCA and
+                # say so — umap is an optional extra, not a core dependency
+                try:
+                    import umap  # noqa: F401
+                except ImportError:
+                    logger.warning(
+                        "visualization.dim_reduction=umap requested but "
+                        "umap-learn is not installed; substituting PCA"
+                    )
+                    method = "pca"
             plot_embeddings(emb, out, method=method)
     return out

@@ -49,24 +49,13 @@ def _load_trainer(config, bundle, force: bool = None, require_checkpoint: bool =
     """Rebuild model/masker and restore the best checkpoint (eval-only: the
     downstream steps — evaluate/audit/viz/inference — never train)."""
     from multi_modal_gnn_tpu.models.factory import build_model
-    from multi_modal_gnn_tpu.training.masker import EdgeMasker
+    from multi_modal_gnn_tpu.training.masker import masker_from_config
     from multi_modal_gnn_tpu.training.trainer import Trainer
 
-    tc = config.train
-    masker = EdgeMasker(
-        bundle.graph,
-        train_split=tc.train_split,
-        val_split=tc.val_split,
-        test_split=tc.test_split,
-        mask_fraction=tc.mask_fraction,
-        seed=tc.seed,
-        host_edges=bundle.patient_lab_host(),
-        # must match the train step's masker: the "cal" split is part of
-        # the split partition the checkpointed model was validated on
-        calibration_split=float(
-            config.evaluation.extras.get("conformal_split_fraction", 0) or 0
-        ),
-    )
+    # shared config->masker factory: must match the train step's masker —
+    # the split partition (incl. the strict-conformal "cal" carve) is part
+    # of what the checkpointed model was validated on
+    masker = masker_from_config(config, bundle)
     model = build_model(config, bundle.graph)
     trainer = Trainer(model, bundle.graph, masker, config, eval_only=True)
     ckpt = Path(config.data.output_dir) / "best_model.ckpt"
