@@ -78,3 +78,87 @@ def test_auto_lab_tile_rows_rule():
     assert _resolve_lab_tile_rows(None, 720, True) == 256
     assert _resolve_lab_tile_rows("auto", 720, True) == 256
     assert _resolve_lab_tile_rows(None, 720, False) == 0
+
+
+class TestMaskerFactory:
+    """masker_from_config is THE config->masker derivation (round-5 VERDICT
+    item 3): every entry point that must agree on split membership uses it,
+    so a strict-conformal config carves the identical "cal" split at train,
+    evaluate, audit, and pipeline-reload time."""
+
+    def _strict_cfg_bundle(self):
+        import dataclasses
+
+        from multi_modal_gnn_tpu.config import Config
+        from multi_modal_gnn_tpu.data.synthetic import SyntheticSpec, make_synthetic_bundle
+
+        cfg = Config()
+        ev = dataclasses.replace(
+            cfg.evaluation, extras={**cfg.evaluation.extras, "conformal_split_fraction": 0.5}
+        )
+        cfg = cfg.replace(evaluation=ev)
+        bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=3), cfg)
+        return cfg, bundle
+
+    def test_four_way_partition_identical_across_entry_points(self):
+        from multi_modal_gnn_tpu.training.masker import masker_from_config
+
+        cfg, bundle = self._strict_cfg_bundle()
+        # two independent constructions (what train_pipeline and
+        # evaluation_pipeline / run_pipeline._load_trainer / run_full_audit
+        # each do) must agree on every split, including the carved "cal"
+        a = masker_from_config(cfg, bundle)
+        b = masker_from_config(cfg, bundle)
+        assert a.has_calibration_split and b.has_calibration_split
+        splits = ("train", "val", "cal", "test")
+        for s in splits:
+            np.testing.assert_array_equal(a.split_indices(s), b.split_indices(s))
+        # the 4 splits partition the edge set (no overlap, full coverage)
+        all_idx = np.concatenate([a.split_indices(s) for s in splits])
+        assert len(all_idx) == a.num_edges == len(np.unique(all_idx))
+
+    def test_entry_points_route_through_factory(self):
+        """Source-level pin: the three formerly hand-rolled sites are gone
+        (trainer.train_pipeline, evaluation.evaluation_pipeline,
+        run_pipeline._load_trainer, audit.run_full_audit all call the
+        factory rather than constructing EdgeMasker themselves)."""
+        import inspect
+
+        import run_pipeline as rp
+        from multi_modal_gnn_tpu import audit
+        from multi_modal_gnn_tpu.evaluation import evaluate as ev
+        from multi_modal_gnn_tpu.training import trainer as tr
+
+        for fn in (
+            tr.train_pipeline,
+            ev.evaluation_pipeline,
+            rp._load_trainer,
+            audit.run_full_audit,
+        ):
+            src = inspect.getsource(fn)
+            assert "masker_from_config" in src, fn.__qualname__
+            assert "EdgeMasker(" not in src, fn.__qualname__
+
+    def test_strict_split_differs_from_legacy_no_cal_masker(self):
+        """The defect the factory fixes: a masker built without
+        calibration_split has a LARGER val split (no cal carve) — the
+        round-4 evaluation entry silently calibrated on it."""
+        from multi_modal_gnn_tpu.training.masker import EdgeMasker, masker_from_config
+
+        cfg, bundle = self._strict_cfg_bundle()
+        strict = masker_from_config(cfg, bundle)
+        legacy = EdgeMasker(
+            bundle.graph,
+            seed=cfg.train.seed,
+            host_edges=bundle.patient_lab_host(),
+        )
+        assert not legacy.has_calibration_split
+        assert len(legacy.split_indices("val")) > len(strict.split_indices("val"))
+        # train/test membership is bit-identical either way (the cal carve
+        # draws AFTER the permutation, masker.__init__ contract)
+        np.testing.assert_array_equal(
+            legacy.split_indices("train"), strict.split_indices("train")
+        )
+        np.testing.assert_array_equal(
+            legacy.split_indices("test"), strict.split_indices("test")
+        )
