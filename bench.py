@@ -126,6 +126,13 @@ def run_bench(
 
     t0 = time.perf_counter()
     bundle = make_synthetic_bundle(spec, cfg)
+    if arch.upper() == "HGT":
+        # flash-attention layouts (round 5): full-batch HGT at scale runs on
+        # the windowed flash kernels instead of RESOURCE_EXHAUSTing on
+        # [edges, heads, dh] tensors (graph/attn_plan.py)
+        from multi_modal_gnn_tpu.graph.attn_plan import ensure_attn_plans
+
+        bundle = ensure_attn_plans(bundle, cfg)
     graph = bundle.graph
     build_s = time.perf_counter() - t0
 

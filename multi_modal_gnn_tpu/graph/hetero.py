@@ -755,6 +755,10 @@ class HeteroGraph(struct.PyTreeNode):
     # embedding/feature lookups add this offset so one GLOBAL table serves
     # every cluster.  None for full graphs.
     patient_id_base: Optional[jax.Array] = None  # int32 scalar
+    # flash-attention layouts per destination node type (graph/attn_plan.py),
+    # attached on demand by ensure_attn_plans for the HGT architecture; the
+    # attention tiers fall back to dense/segment when absent
+    attn_plans: Optional[Dict[str, object]] = None
     node_counts: Tuple[Tuple[str, int], ...] = struct.field(
         pytree_node=False, default=()
     )

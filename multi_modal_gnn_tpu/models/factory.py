@@ -79,6 +79,7 @@ def build_model(
         model = HeteroGT(
             **common,
             num_heads=mc.num_heads,
+            impl=impl,
             axis_name=axis_name,
             bilinear_rank=int(mc.edge_head.extras.get("bilinear_rank", 0)),
             bilinear_source=bl_source,

@@ -72,6 +72,13 @@ class HGTLayer(nn.Module):
     # joint-logits byte budget for the dense tier (0 disables): engages on
     # eICU-scale groups (~2 MB), never at MIMIC/scale shapes (>0.5 GB)
     dense_attn_max_bytes: int = 134_217_728
+    # "pallas" enables the FLASH tier (round 5): windowed flash-softmax
+    # kernels over the combined per-destination plans the graph carries
+    # (graph.attn_plans, graph/attn_plan.py).  Engages when the dense tier
+    # does not (the dense tier wins at eICU shapes, the flash tier at
+    # 5M-edge scale where dense logits blow every budget and the segment
+    # tier's gathers are the measured 87/88.75 ms — PERFORMANCE.md "HGT").
+    impl: str = "xla"
 
     def setup(self):
         h = self.hidden_dim
@@ -144,6 +151,34 @@ class HGTLayer(nn.Module):
                 agg = agg.reshape(num_dst, h)
                 out[dst_t] = nn.gelu(self.out_proj[dst_t](agg)) + x_dict[dst_t]
                 continue
+            plan = None
+            if (
+                self.impl == "pallas"
+                and self.axis_name is None
+                and graph.attn_plans is not None
+            ):
+                plan = graph.attn_plans.get(dst_t)
+            if plan is not None:
+                # FLASH tier: grouped softmax over the combined virtual
+                # relation — per-relation K/V projections stacked into one
+                # source table, one windowed flash kernel per direction
+                from multi_modal_gnn_tpu.ops.pallas_attention import (
+                    flash_attention_group,
+                )
+
+                ktab = jnp.concatenate(
+                    [self.k_proj[_et_key(et)](x_dict[et[0]]) for et in plan.rel_keys],
+                    axis=0,
+                )
+                vtab = jnp.concatenate(
+                    [self.v_proj[_et_key(et)](x_dict[et[0]]) for et in plan.rel_keys],
+                    axis=0,
+                )
+                agg = flash_attention_group(
+                    q_nodes.reshape(num_dst, h), ktab, vtab, plan, nh
+                )
+                out[dst_t] = nn.gelu(self.out_proj[dst_t](agg)) + x_dict[dst_t]
+                continue
             logits_parts, value_parts, dst_parts = [], [], []
             for et in ets:
                 key = _et_key(et)
@@ -196,6 +231,9 @@ class HeteroGT(nn.Module):
     # dense-attention tier joint-logits budget (HGTLayer doc; 0 disables);
     # config: model.extras.hgt_dense_attn_bytes
     dense_attn_max_bytes: int = 134_217_728
+    # "pallas" enables the flash-attention tier when the graph carries
+    # attn_plans (see HGTLayer.impl); wired from model.use_pallas
+    impl: str = "xla"
     dtype: jnp.dtype | None = None
     # mini-batch cluster subgraphs (training/minibatch.py) resolve local
     # patient rows through HeteroGraph.patient_id_base in encode_nodes
@@ -224,6 +262,7 @@ class HeteroGT(nn.Module):
                 num_heads=self.num_heads,
                 axis_name=self.axis_name,
                 dense_attn_max_bytes=self.dense_attn_max_bytes,
+                impl=self.impl,
                 name=f"hgt_{i}",
             )
             for i in range(self.num_layers)

@@ -785,6 +785,11 @@ def train_pipeline(
     output_dir.mkdir(parents=True, exist_ok=True)
     apply_debug_flags(config)
     wandb_run = maybe_init_wandb(config)
+    # HGT + pallas: attach the combined flash-attention layouts (no-op for
+    # other architectures; graph/attn_plan.py)
+    from multi_modal_gnn_tpu.graph.attn_plan import ensure_attn_plans
+
+    bundle = ensure_attn_plans(bundle, config)
     graph = bundle.graph
     tc = config.train
 

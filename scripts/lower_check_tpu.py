@@ -303,6 +303,78 @@ def main() -> None:
     finally:
         jax.default_backend = orig_backend
 
+    # ---- flash-attention kernels (HGT; round 5) ------------------------
+    print("flash attention (windowed flash softmax, fwd + dq + dkv):")
+    from multi_modal_gnn_tpu.graph.attn_plan import AttnGroupPlan, _build_side
+    from multi_modal_gnn_tpu.ops import pallas_attention as pa
+
+    from multi_modal_gnn_tpu.ops import pallas_segment as ps
+
+    jax.default_backend = lambda: "tpu"
+    try:
+        h, nh = 128, 4
+        num_dst, num_src, num_edges = 512, 300, 60_000
+        src = rng.integers(0, num_src, num_edges).astype(np.int32)
+        dstv = rng.integers(0, num_dst, num_edges).astype(np.int32)
+
+        # pin the in-kernel gather mode: the take-support probe would compile
+        # against the host CPU here and wrongly cache "no take" for tpu
+        ps._VMEM_TAKE_SUPPORTED["tpu"] = True
+
+        for label, res_max, span in (("resident", 4096, 128), ("span", 0, 128)):
+            fwd_side = _build_side(src, dstv, num_dst, num_src, span, res_max)
+            rev_side = _build_side(dstv, src, num_src, num_dst, span, res_max)
+            if fwd_side is None or rev_side is None:
+                print(f"  attention {label}: span plan unavailable (skipped)")
+                continue
+            plan = AttnGroupPlan(
+                fwd=fwd_side, rev=rev_side,
+                num_src_total=num_src, num_dst=num_dst, num_edges=num_edges,
+            )
+            q = jnp.asarray(rng.normal(size=(num_dst, h)), jnp.float32)
+            k = jnp.asarray(rng.normal(size=(num_src, h)), jnp.float32)
+            v = jnp.asarray(rng.normal(size=(num_src, h)), jnp.float32)
+
+            def fwd_fn(q_, k_, v_, plan=plan):
+                return pa.flash_attention_group(q_, k_, v_, plan, nh, interpret=False)
+
+            run(f"attention fwd ({label})", fwd_fn, q, k, v)
+            run(
+                f"attention value+grad ({label})",
+                jax.value_and_grad(
+                    lambda q_, k_, v_, plan=plan: jnp.sum(
+                        pa.flash_attention_group(q_, k_, v_, plan, nh, interpret=False) ** 2
+                    ),
+                    argnums=(0, 1, 2),
+                ),
+                q, k, v,
+            )
+        # indicator-gather fallback mode (backends whose Mosaic rejects the
+        # VMEM take): same two checks on the resident layout
+        ps._VMEM_TAKE_SUPPORTED["tpu"] = False
+        fwd_side = _build_side(src, dstv, num_dst, num_src, 128, 4096)
+        rev_side = _build_side(dstv, src, num_src, num_dst, 128, 4096)
+        plan_i = AttnGroupPlan(
+            fwd=fwd_side, rev=rev_side,
+            num_src_total=num_src, num_dst=num_dst, num_edges=num_edges,
+        )
+        q = jnp.asarray(rng.normal(size=(num_dst, h)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(num_src, h)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(num_src, h)), jnp.float32)
+        run(
+            "attention value+grad (indicator fallback)",
+            jax.value_and_grad(
+                lambda q_, k_, v_: jnp.sum(
+                    pa.flash_attention_group(q_, k_, v_, plan_i, nh, interpret=False) ** 2
+                ),
+                argnums=(0, 1, 2),
+            ),
+            q, k, v,
+        )
+    finally:
+        jax.default_backend = orig_backend
+        ps._VMEM_TAKE_SUPPORTED.pop("tpu", None)
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} LOWERING CHECK(S) FAILED: {FAILURES}")

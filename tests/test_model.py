@@ -345,3 +345,87 @@ def test_dual_head_fusion_model_parity():
     assert float(abs(l_on - l_off)) < 1e-4
     for a, b in zip(jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_hgt_flash_attention_matches_segment(tiny_bundle):
+    """The FLASH tier (windowed flash-softmax kernels over the combined
+    per-destination plans, ops/pallas_attention.py) is numerically
+    equivalent to the per-edge segment tier — same grouped softmax over all
+    relations into a destination (round-5 verdict item 1)."""
+    from multi_modal_gnn_tpu.graph.attn_plan import build_attn_plans
+
+    tiny_graph = tiny_bundle.graph
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, architecture="HGT", use_pallas=True)
+    )
+    model = build_model(cfg, tiny_graph)
+    assert model.impl == "pallas"
+    variables = init_model_variables(model, tiny_graph, jax.random.key(3))
+    rng_np = np.random.default_rng(0)
+    p = jnp.asarray(rng_np.integers(0, tiny_graph.num_nodes("patient"), 64).astype(np.int32))
+    l = jnp.asarray(rng_np.integers(0, tiny_graph.num_nodes("lab"), 64).astype(np.int32))
+
+    # no dense adjacencies + no plans -> segment tier
+    seg_graph = tiny_graph.replace(
+        edges={et: es.replace(dense_adj=None) for et, es in tiny_graph.edges.items()}
+    )
+    # no dense adjacencies + plans -> flash tier on every group
+    plans = build_attn_plans(seg_graph, tiny_bundle.host_edges)
+    assert set(plans) == set(et[2] for et in seg_graph.edge_types)
+    flash_graph = seg_graph.replace(attn_plans=plans)
+
+    fwd = jax.jit(
+        lambda v, g, pi, li: model.apply(
+            v, g, pi, li, train=False, method=model.predict_lab_values
+        )
+    )
+    out_seg = fwd(variables, seg_graph, p, l)
+    out_flash = fwd(variables, flash_graph, p, l)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_seg), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_hgt_flash_gradients_match_segment(tiny_bundle):
+    """Training gradients through the flash tier (two window-walk backward
+    kernels) match the segment tier's autodiff gradients."""
+    from multi_modal_gnn_tpu.graph.attn_plan import build_attn_plans
+
+    tiny_graph = tiny_bundle.graph
+    cfg = Config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, architecture="HGT", use_pallas=True, dropout=0.0
+        )
+    )
+    model = build_model(cfg, tiny_graph)
+    variables = init_model_variables(model, tiny_graph, jax.random.key(3))
+    rng_np = np.random.default_rng(1)
+    p = jnp.asarray(rng_np.integers(0, tiny_graph.num_nodes("patient"), 64).astype(np.int32))
+    l = jnp.asarray(rng_np.integers(0, tiny_graph.num_nodes("lab"), 64).astype(np.int32))
+    y = jnp.asarray(rng_np.normal(size=64), jnp.float32)
+
+    seg_graph = tiny_graph.replace(
+        edges={et: es.replace(dense_adj=None) for et, es in tiny_graph.edges.items()}
+    )
+    flash_graph = seg_graph.replace(
+        attn_plans=build_attn_plans(seg_graph, tiny_bundle.host_edges)
+    )
+
+    def loss(params, g):
+        pred = model.apply(
+            {**variables, "params": params}, g, p, l,
+            train=False, method=model.predict_lab_values,
+        )
+        return jnp.mean((pred - y) ** 2)
+
+    from jax.flatten_util import ravel_pytree
+
+    g_seg = jax.jit(jax.grad(loss))(variables["params"], seg_graph)
+    g_flash = jax.jit(jax.grad(loss))(variables["params"], flash_graph)
+    flat_s, _ = ravel_pytree(g_seg)
+    flat_f, _ = ravel_pytree(g_flash)
+    np.testing.assert_allclose(
+        np.asarray(flat_f), np.asarray(flat_s), rtol=1e-3, atol=1e-5
+    )
