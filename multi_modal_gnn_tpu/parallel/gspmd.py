@@ -86,6 +86,16 @@ class GSPMDTrainer(Trainer):
             ),
             variables["params"],
         )
+        # replicate the remaining collections (batch_stats) on the mesh:
+        # leaving them committed to one device makes any jit mixing them
+        # with the 8-device params (e.g. a pre-fit validate, as the warm
+        # start does) fail the committed-device check
+        for coll in variables:
+            if coll != "params":
+                variables[coll] = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, NamedSharding(self.mesh, P())),
+                    variables[coll],
+                )
 
         graph = self._shard_graph(graph)
         super().__init__(model, graph, masker, config, variables=variables, rngs=rngs)

@@ -907,17 +907,11 @@ def train_pipeline(
     else:
         trainer = Trainer(model, graph, masker, config)
     if ws:
-        if parallel in ("2d", "dp2d", "gspmd"):
-            # these shard the patient table over the model axis; planting a
-            # replicated table + re-initializing moments would discard that
-            # placement — warm-start them via warm_start_trainer directly
-            # with explicitly placed params if needed
-            raise ValueError(
-                "train.extras.warm_start supports the single-device, "
-                "mini-batch, and dp trainers (round 4); the table-sharding "
-                "strategies (2d/gspmd) need explicit placement — use "
-                "training.warmstart.warm_start_trainer directly"
-            )
+        # composes with EVERY trainer, including the table-sharding
+        # strategies (2d/gspmd): the plant re-places each leaf onto the old
+        # state's sharding, so the row-sharded patient table and its adam
+        # moments keep their placement (warmstart._plant_preserving_sharding,
+        # round 5; parity pinned in tests/test_warmstart.py)
         from multi_modal_gnn_tpu.training.warmstart import (
             bundle_membership_matrix,
             warm_start_trainer,

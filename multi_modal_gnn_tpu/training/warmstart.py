@@ -192,6 +192,39 @@ def bundle_membership_matrix(bundle) -> np.ndarray:
     return membership_matrix(bundle.graph.num_nodes(PATIENT), sets)
 
 
+def _plant_preserving_sharding(trainer, new_params):
+    """Fresh TrainState with ``new_params`` planted and adam moments
+    re-initialized, with EVERY leaf re-placed onto the old state's sharding.
+
+    This is what lets warm_start compose with the table-sharding trainers
+    (parallel/dp2d.py, parallel/gspmd.py — round-5 verdict item 4): the
+    patient table and its mirrored adam moments are row-sharded over the
+    model axis there, and a host-built replicated plant would silently
+    discard that placement.  The old and new states share a tree structure
+    (same optimizer), so the placement transfers leaf-by-leaf; on
+    single-device trainers this is a no-op re-put."""
+    import jax
+
+    from jax.sharding import NamedSharding
+
+    old_state = trainer.state
+    state = old_state.replace(
+        params=new_params, opt_state=trainer.tx.init(new_params)
+    )
+    # only mesh-placed (NamedSharding) leaves are re-committed: device_put
+    # on a single-device leaf would COMMIT it and make jit reject mixing it
+    # with the mesh-placed leaves (uncommitted leaves mix freely)
+    return jax.tree_util.tree_map(
+        lambda new, old: (
+            jax.device_put(new, old.sharding)
+            if isinstance(getattr(old, "sharding", None), NamedSharding)
+            else new
+        ),
+        state,
+        old_state,
+    )
+
+
 def warm_start_trainer(
     trainer,
     rank: int = 8,
@@ -226,9 +259,7 @@ def warm_start_trainer(
             iters=iters, huber_delta=huber_delta,
         ).fit(tr_v, tr_p, tr_l)
         new_params = als_warm_start_params(trainer.state.params, als)
-    trainer.state = trainer.state.replace(
-        params=new_params, opt_state=trainer.tx.init(new_params)
-    )
+    trainer.state = _plant_preserving_sharding(trainer, new_params)
     # seed best-val tracking with the warm-started state so "training can
     # only improve" holds literally: if no epoch beats the ALS predictor on
     # validation, best_state remains the ALS-equivalent model.  Deep copy:
