@@ -43,12 +43,17 @@ from multi_modal_gnn_tpu.graph.schema import EdgeTypeKey, is_reverse, mirror_edg
 logger = logging.getLogger(__name__)
 
 # gather-side tables at or below this many rows stay VMEM-resident in the
-# kernels (k+v at 128 feats f32: 2048 rows = 2 MB together); larger sides
-# use the span-DMA layout
-ATTN_RESIDENT_MAX_ROWS = 2048
-# span height DMA'd per tile for over-VMEM gather sides — the measured
-# sweet spot of the RGCN span tier (PERFORMANCE.md "span-bounded lab tiles")
-ATTN_SPAN_ROWS = 256
+# kernels.  On this chip the in-kernel gather is an indicator MATMUL whose
+# FLOPs scale with the resident row count (PERFORMANCE.md "Mosaic lowering
+# notes": take 500s the remote compiler), so beyond ~512 rows a span-DMA
+# layout is cheaper even when the table would fit VMEM
+ATTN_RESIDENT_MAX_ROWS = 512
+# base span height DMA'd per tile for over-VMEM gather sides; sparse groups
+# (few edges per gather row per window) escalate through _SPAN_LADDER until
+# the packer's tile-split inflation gate passes (scratch stays <= ~6 MB at
+# the 1024 cap)
+ATTN_SPAN_ROWS = 128
+_SPAN_LADDER = (1, 2, 4, 8)  # multiples of the base span
 
 
 class AttnSidePlan(struct.PyTreeNode):
@@ -134,9 +139,17 @@ def _build_side(
     )
     span = None
     if num_gather > resident_max and len(g_sorted):
-        span = build_src_span_plan(
-            win_src, win_local, win_tile_map, num_gather, span_rows
-        )
+        # escalate the span height for sparse groups: a window with few
+        # edges per gather row needs a taller span before a TILE_E tile's
+        # rows fit one block (the scale config's medication group fails at
+        # 256 and packs at 1024)
+        for mult in _SPAN_LADDER:
+            span = build_src_span_plan(
+                win_src, win_local, win_tile_map, num_gather, span_rows * mult
+            )
+            if span is not None:
+                span_rows = span_rows * mult
+                break
         if span is None:
             return None
     return AttnSidePlan(

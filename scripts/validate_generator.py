@@ -66,6 +66,8 @@ _SPEC_FIELDS = (
     "special_lab_frac", "special_share",
     "heavy_lab_frac", "heavy_signal_scale",
     "heavy_bulk", "heavy_spike_prob", "heavy_spike_scale",
+    # v2.3 (round 5): count-profile matching / degree shape / quantization
+    "degree_shape", "brief_frac", "brief_mean", "quant_step",
 )
 
 
