@@ -73,9 +73,21 @@ def _first_last(tm_ref):
 
 
 def _gather_rows(block: jax.Array, idx: jax.Array, mode: str) -> jax.Array:
-    """rows = block[idx] inside the kernel.  "take" uses Mosaic's dynamic
-    gather on the VMEM-resident block; "indicator" expresses the gather as
-    one MXU matmul (always lowers; O(T * rows) FLOPs)."""
+    """rows = block[idx] inside the kernel.
+
+    "tala": ``take_along_axis`` with shape-matched indices — Mosaic's
+    dynamic-gather lowers exactly when the block's sublane count equals the
+    tile length (probed per backend), making the gather a VPU/memory op
+    instead of FLOPs.  "take": plain ``jnp.take`` (rejected by this chip's
+    Mosaic).  "indicator": the gather as one MXU matmul — always lowers,
+    O(T * rows) FLOPs (the measured fallback cost is ~60% of the kernels'
+    MACs, which is why tala matters)."""
+    if mode == "tala":
+        idx2 = jnp.broadcast_to(
+            jnp.clip(idx, 0, block.shape[0] - 1).reshape(-1, 1),
+            (idx.shape[0], block.shape[1]),
+        )
+        return jnp.take_along_axis(block, idx2, axis=0)
     if mode == "take":
         return jnp.take(block, idx, axis=0)
     rows = block.shape[0]
@@ -167,7 +179,9 @@ def _fwd_kernel_span(
     def _copy(tile, slot):
         base = pl.multiple_of(base_ref[tile], 16)  # SPAN_BASE_ALIGN
         return pltpu.make_async_copy(
-            kv_hbm.at[pl.ds(base, span_rows)], kv_scr.at[slot], sems.at[slot]
+            kv_hbm.at[pl.ds(base, span_rows)],
+            kv_scr.at[slot, pl.ds(0, span_rows)],
+            sems.at[slot],
         )
 
     slot = jax.lax.rem(t, 2)
@@ -222,7 +236,9 @@ def _flash_fwd_call(
                 pl.BlockSpec((WINDOW, STATS_W), lambda t, tm, sb: (tm[t], 0)),
             ],
             scratch_shapes=scratch + [
-                pltpu.VMEM((2, span_rows, kv_pack.shape[1]), kv_pack.dtype),
+                pltpu.VMEM(
+                    (2, max(span_rows, TILE_E), kv_pack.shape[1]), kv_pack.dtype
+                ),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -310,7 +326,9 @@ def _dq_kernel_span(
     def _copy(tile, slot):
         base = pl.multiple_of(base_ref[tile], 16)
         return pltpu.make_async_copy(
-            kv_hbm.at[pl.ds(base, span_rows)], kv_scr.at[slot], sems.at[slot]
+            kv_hbm.at[pl.ds(base, span_rows)],
+            kv_scr.at[slot, pl.ds(0, span_rows)],
+            sems.at[slot],
         )
 
     slot = jax.lax.rem(t, 2)
@@ -354,7 +372,9 @@ def _flash_dq_call(
             ],
             out_specs=pl.BlockSpec((WINDOW, h), lambda t, tm, sb: (tm[t], 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, span_rows, kv_pack.shape[1]), kv_pack.dtype),
+                pltpu.VMEM(
+                    (2, max(span_rows, TILE_E), kv_pack.shape[1]), kv_pack.dtype
+                ),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -449,7 +469,9 @@ def _dkv_kernel_span(
     def _copy(tile, slot):
         base = pl.multiple_of(base_ref[tile], 16)
         return pltpu.make_async_copy(
-            qds_hbm.at[pl.ds(base, span_rows)], qds_scr.at[slot], sems.at[slot]
+            qds_hbm.at[pl.ds(base, span_rows)],
+            qds_scr.at[slot, pl.ds(0, span_rows)],
+            sems.at[slot],
         )
 
     slot = jax.lax.rem(t, 2)
@@ -499,7 +521,7 @@ def _flash_dkv_call(
                 pl.BlockSpec((WINDOW, h), lambda t, tm, sb: (tm[t], 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, span_rows, w_qds), qds_pad.dtype),
+                pltpu.VMEM((2, max(span_rows, TILE_E), w_qds), qds_pad.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -552,7 +574,59 @@ def _side_arrays(side: AttnSidePlan):
     return side.win_local, side.win_src, side.win_tile_map, zero_base, 0
 
 
-def _gather_mode() -> str:
+_TALA_SUPPORTED: dict[str, bool] = {}
+
+
+def _tala_supported() -> bool:
+    """Probe (once per backend) whether Mosaic lowers the shape-matched
+    ``take_along_axis`` gather (it does on this chip exactly when the block
+    has TILE_E sublanes; plain take and mismatched shapes are rejected).
+    Runs the full jax->Mosaic lowering pass on the HOST via jax.export —
+    no device or remote compile involved.  ``MMGNN_ATTN_TALA=0`` disables
+    (escape hatch if a backend passes lowering but fails device compile)."""
+    import os
+
+    if os.environ.get("MMGNN_ATTN_TALA", "1") == "0":
+        return False
+    backend = jax.default_backend()
+    if backend != "tpu":
+        return True  # interpret mode executes numpy semantics
+    hit = _TALA_SUPPORTED.get(backend)
+    if hit is not None:
+        return hit
+
+    def kern(idx_ref, tab_ref, out_ref):
+        out_ref[:] = _gather_rows(tab_ref[:], idx_ref[:], "tala")
+
+    def fn(idx, tab):
+        return pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((TILE_E,), lambda t: (t,)),
+                pl.BlockSpec((TILE_E, 256), lambda t: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((TILE_E, 256), lambda t: (t, 0)),
+            out_shape=jax.ShapeDtypeStruct((TILE_E, 256), jnp.float32),
+        )(idx, tab)
+
+    try:
+        jax.export.export(jax.jit(fn), platforms=["tpu"])(
+            jax.ShapeDtypeStruct((TILE_E,), jnp.int32),
+            jax.ShapeDtypeStruct((TILE_E, 256), jnp.float32),
+        )
+        ok = True
+    except Exception:  # noqa: BLE001 — any lowering failure means "no"
+        ok = False
+    _TALA_SUPPORTED[backend] = ok
+    return ok
+
+
+def _gather_mode(block_rows: int) -> str:
+    """Pick the in-kernel gather implementation for a block of this many
+    sublane rows (see :func:`_gather_rows`)."""
+    if block_rows == TILE_E and _tala_supported():
+        return "tala"
     from multi_modal_gnn_tpu.ops.pallas_segment import _vmem_take_supported
 
     return "take" if _vmem_take_supported() else "indicator"
@@ -563,6 +637,10 @@ def _kv_rows(plan: AttnGroupPlan) -> int:
     rows = max(rows, plan.rev.num_windows * WINDOW)
     if plan.fwd.use_span:
         rows = max(rows, plan.fwd.span_rows)
+    else:
+        # resident gather block: pad to TILE_E sublanes so the tala gather
+        # (shape-matched take_along_axis — _gather_rows doc) applies
+        rows = max(rows, TILE_E)
     return rows
 
 
@@ -570,7 +648,16 @@ def _qds_rows(plan: AttnGroupPlan) -> int:
     rows = plan.fwd.num_windows * WINDOW
     if plan.rev.use_span:
         rows = max(rows, plan.rev.span_rows)
+    else:
+        rows = max(rows, TILE_E)  # resident: tala needs TILE_E sublanes
     return rows
+
+
+def _span_block_rows(span_rows: int, table_rows: int) -> int:
+    """Sublane count of the gather block the kernel actually sees: the
+    span-DMA scratch is at least TILE_E tall (tala), the resident table is
+    its padded height."""
+    return max(span_rows, TILE_E) if span_rows else table_rows
 
 
 def _flash_fwd_pair(q_s, k, v, plan: AttnGroupPlan, nh, interpret):
@@ -581,7 +668,8 @@ def _flash_fwd_pair(q_s, k, v, plan: AttnGroupPlan, nh, interpret):
     local, src, tm, base, span_rows = _side_arrays(plan.fwd)
     out_pad, stats = _flash_fwd_call(
         q_pad, kv, local, src, tm, base,
-        plan.fwd.num_windows, nh, span_rows, _gather_mode(), interpret,
+        plan.fwd.num_windows, nh, span_rows,
+        _gather_mode(_span_block_rows(span_rows, kv.shape[0])), interpret,
     )
     return out_pad[: plan.num_dst], (out_pad, stats)
 
@@ -640,18 +728,19 @@ def flash_attention_group(
         kv = _pad_rows(
             jnp.concatenate([k_t, v_t], axis=1).astype(jnp.float32), _kv_rows(plan)
         )
-        mode = _gather_mode()
         # pass A: dq in the forward layout (dq rows ARE destination windows)
         local, src, tm, base, span_rows = _side_arrays(plan.fwd)
         dq = _flash_dq_call(
             qds, kv, local, src, tm, base,
-            plan.fwd.num_windows, nh, h, span_rows, mode, interpret,
+            plan.fwd.num_windows, nh, h, span_rows,
+            _gather_mode(_span_block_rows(span_rows, kv.shape[0])), interpret,
         )[: plan.num_dst]
         # pass B: dk/dv in the reverse layout (windows over virtual source)
         local_r, src_r, tm_r, base_r, span_rows_r = _side_arrays(plan.rev)
         dk_pad, dv_pad = _flash_dkv_call(
             kv[: plan.rev.num_windows * WINDOW], qds, local_r, src_r, tm_r,
-            base_r, plan.rev.num_windows, nh, h, span_rows_r, mode, interpret,
+            base_r, plan.rev.num_windows, nh, h, span_rows_r,
+            _gather_mode(_span_block_rows(span_rows_r, qds.shape[0])), interpret,
         )
         n_src = plan.num_src_total
         return (

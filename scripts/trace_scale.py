@@ -31,6 +31,7 @@ def main() -> None:
                     help="narrow lab tiles (0=off); enables lab-frequency clustering")
     ap.add_argument("--lab-tile-mode", type=str, default="span",
                     choices=["block", "span"])
+    ap.add_argument("--arch", type=str, default="RGCN", help="RGCN | HGT")
     ap.add_argument("--out", type=str, default="outputs/trace")
     args = ap.parse_args()
 
@@ -55,7 +56,7 @@ def main() -> None:
     use_pallas = jax.default_backend() == "tpu"
     cfg = Config()
     cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, use_pallas=use_pallas,
+        cfg.model, use_pallas=use_pallas, architecture=args.arch.upper(),
         **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
     ))
     if args.no_dense:
@@ -66,6 +67,10 @@ def main() -> None:
         )
     spec = SyntheticSpec.eicu_demo() if args.eicu else SyntheticSpec.scale_100k()
     bundle = make_synthetic_bundle(spec, cfg)
+    if args.arch.upper() == "HGT":
+        from multi_modal_gnn_tpu.graph.attn_plan import ensure_attn_plans
+
+        bundle = ensure_attn_plans(bundle, cfg)
     masker = EdgeMasker(
         bundle.graph, seed=0, host_edges=bundle.patient_lab_host(),
         slot_major_train=use_pallas,
