@@ -574,52 +574,30 @@ def _side_arrays(side: AttnSidePlan):
     return side.win_local, side.win_src, side.win_tile_map, zero_base, 0
 
 
-_TALA_SUPPORTED: dict[str, bool] = {}
-
-
 def _tala_supported() -> bool:
-    """Probe (once per backend) whether Mosaic lowers the shape-matched
-    ``take_along_axis`` gather (it does on this chip exactly when the block
-    has TILE_E sublanes; plain take and mismatched shapes are rejected).
-    Runs the full jax->Mosaic lowering pass on the HOST via jax.export —
-    no device or remote compile involved.  ``MMGNN_ATTN_TALA=0`` disables
-    (escape hatch if a backend passes lowering but fails device compile)."""
+    """Whether the in-kernel shape-matched ``take_along_axis`` gather may be
+    used on this backend.
+
+    HARDWARE-MEASURED NEGATIVE (v5e, 2026-08-21): the tala gather LOWERS
+    cleanly (scripts/lower_check_tpu.py — Pallas->Mosaic accepts it at
+    TILE_E sublanes), but the Mosaic BACKEND compile rejects it:
+    ``tpu.dynamic_gather`` on a [1024, 256] f32 table fails with
+    "Not implemented: Multiple source vregs along gather dimension" — the
+    v5e gather primitive cannot cross vregs along the sublane (row) axis,
+    and a TILE_E-row table spans 128 of them.  A lowering-only probe
+    therefore over-approximates on tpu, so tala defaults OFF there;
+    ``MMGNN_ATTN_TALA=1`` re-enables it for backends whose Mosaic
+    implements multi-vreg gathers (the kernels themselves are
+    mode-agnostic, tests/test_attention_kernel.py runs all modes in
+    interpret)."""
     import os
 
-    if os.environ.get("MMGNN_ATTN_TALA", "1") == "0":
+    env = os.environ.get("MMGNN_ATTN_TALA", "auto")
+    if env == "0":
         return False
-    backend = jax.default_backend()
-    if backend != "tpu":
+    if jax.default_backend() != "tpu":
         return True  # interpret mode executes numpy semantics
-    hit = _TALA_SUPPORTED.get(backend)
-    if hit is not None:
-        return hit
-
-    def kern(idx_ref, tab_ref, out_ref):
-        out_ref[:] = _gather_rows(tab_ref[:], idx_ref[:], "tala")
-
-    def fn(idx, tab):
-        return pl.pallas_call(
-            kern,
-            grid=(1,),
-            in_specs=[
-                pl.BlockSpec((TILE_E,), lambda t: (t,)),
-                pl.BlockSpec((TILE_E, 256), lambda t: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((TILE_E, 256), lambda t: (t, 0)),
-            out_shape=jax.ShapeDtypeStruct((TILE_E, 256), jnp.float32),
-        )(idx, tab)
-
-    try:
-        jax.export.export(jax.jit(fn), platforms=["tpu"])(
-            jax.ShapeDtypeStruct((TILE_E,), jnp.int32),
-            jax.ShapeDtypeStruct((TILE_E, 256), jnp.float32),
-        )
-        ok = True
-    except Exception:  # noqa: BLE001 — any lowering failure means "no"
-        ok = False
-    _TALA_SUPPORTED[backend] = ok
-    return ok
+    return env == "1"
 
 
 def _gather_mode(block_rows: int) -> str:
