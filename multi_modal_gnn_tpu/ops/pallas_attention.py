@@ -108,9 +108,15 @@ def _indicator(local: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_compute(local_ref, q_ref, out_ref, stats_ref, m_scr, d_scr, kv, idx, *, nh, mode, first, last):
+def _fwd_compute(local_ref, q_ref, out_ref, stats_ref, m_scr, d_scr, kv, idx, *, nh, mode, first, last, bound=None):
     """Shared flash-forward tile body.  ``kv`` is the gather block
-    ([rows, 2h]: k | v packed), ``idx`` the block-relative source rows."""
+    ([rows, 2h]: k | v packed), ``idx`` the block-relative source rows.
+    ``bound`` clamps the gather to the block's INITIALIZED rows — a span-DMA
+    scratch taller than span_rows (the tala layout) carries uninitialized
+    VMEM above it, and a pad slot's clipped index reading a garbage NaN/Inf
+    row poisons the accumulation through 0 * garbage (hardware-observed:
+    epoch-0 NaN at scale; interpret scratch is zeroed, which is why CPU
+    parity never saw it)."""
     h = q_ref.shape[1]
     dh = h // nh
 
@@ -120,7 +126,7 @@ def _fwd_compute(local_ref, q_ref, out_ref, stats_ref, m_scr, d_scr, kv, idx, *,
         m_scr[:] = jnp.full_like(m_scr, -1e30)
         d_scr[:] = jnp.zeros_like(d_scr)
 
-    idx_c = jnp.clip(idx, 0, kv.shape[0] - 1)
+    idx_c = jnp.clip(idx, 0, (kv.shape[0] if bound is None else bound) - 1)
     kv_tile = _gather_rows(kv, idx_c, mode)  # [TILE_E, 2h]
     s = _indicator(local_ref[:])  # [WINDOW, TILE_E]
     q = q_ref[:]
@@ -199,7 +205,7 @@ def _fwd_kernel_span(
     _fwd_compute(
         local_ref, q_ref, out_ref, stats_ref, m_scr, d_scr,
         kv_scr[slot], src_ref[:] - base_ref[t], nh=nh, mode=mode,
-        first=first, last=last,
+        first=first, last=last, bound=span_rows,
     )
 
 
@@ -237,7 +243,8 @@ def _flash_fwd_call(
             ],
             scratch_shapes=scratch + [
                 pltpu.VMEM(
-                    (2, max(span_rows, TILE_E), kv_pack.shape[1]), kv_pack.dtype
+                    (2, _scratch_rows(span_rows, mode), kv_pack.shape[1]),
+                    kv_pack.dtype,
                 ),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -278,7 +285,7 @@ def _flash_fwd_call(
 # ---------------------------------------------------------------------------
 
 
-def _dq_compute(local_ref, qds_ref, dq_ref, kv, idx, *, nh, mode, first):
+def _dq_compute(local_ref, qds_ref, dq_ref, kv, idx, *, nh, mode, first, bound=None):
     h = dq_ref.shape[1]
     dh = h // nh
 
@@ -286,7 +293,7 @@ def _dq_compute(local_ref, qds_ref, dq_ref, kv, idx, *, nh, mode, first):
     def _():
         dq_ref[:] = jnp.zeros_like(dq_ref)
 
-    idx_c = jnp.clip(idx, 0, kv.shape[0] - 1)
+    idx_c = jnp.clip(idx, 0, (kv.shape[0] if bound is None else bound) - 1)
     kv_tile = _gather_rows(kv, idx_c, mode)  # [TILE_E, 2h]
     s = _indicator(local_ref[:])
     qds = qds_ref[:]  # [WINDOW, 2h + STATS_W]: q | dO | (lse, delta)
@@ -345,7 +352,7 @@ def _dq_kernel_span(
     first, _ = _first_last(tm_ref)
     _dq_compute(
         local_ref, qds_ref, dq_ref, kv_scr[slot], src_ref[:] - base_ref[t],
-        nh=nh, mode=mode, first=first,
+        nh=nh, mode=mode, first=first, bound=span_rows,
     )
 
 
@@ -373,7 +380,8 @@ def _flash_dq_call(
             out_specs=pl.BlockSpec((WINDOW, h), lambda t, tm, sb: (tm[t], 0)),
             scratch_shapes=[
                 pltpu.VMEM(
-                    (2, max(span_rows, TILE_E), kv_pack.shape[1]), kv_pack.dtype
+                    (2, _scratch_rows(span_rows, mode), kv_pack.shape[1]),
+                    kv_pack.dtype,
                 ),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -410,7 +418,7 @@ def _flash_dq_call(
 # ---------------------------------------------------------------------------
 
 
-def _dkv_compute(local_ref, kv_ref, dk_ref, dv_ref, qds, idx, *, nh, mode, first):
+def _dkv_compute(local_ref, kv_ref, dk_ref, dv_ref, qds, idx, *, nh, mode, first, bound=None):
     h = dk_ref.shape[1]
     dh = h // nh
 
@@ -419,7 +427,7 @@ def _dkv_compute(local_ref, kv_ref, dk_ref, dv_ref, qds, idx, *, nh, mode, first
         dk_ref[:] = jnp.zeros_like(dk_ref)
         dv_ref[:] = jnp.zeros_like(dv_ref)
 
-    idx_c = jnp.clip(idx, 0, qds.shape[0] - 1)
+    idx_c = jnp.clip(idx, 0, (qds.shape[0] if bound is None else bound) - 1)
     qds_tile = _gather_rows(qds, idx_c, mode)  # [TILE_E, 2h + STATS_W]
     local = local_ref[:]
     s = _indicator(local)
@@ -489,6 +497,7 @@ def _dkv_kernel_span(
     _dkv_compute(
         local_ref, kv_ref, dk_ref, dv_ref, qds_scr[slot],
         src_ref[:] - base_ref[t], nh=nh, mode=mode, first=first,
+        bound=span_rows,
     )
 
 
@@ -521,7 +530,7 @@ def _flash_dkv_call(
                 pl.BlockSpec((WINDOW, h), lambda t, tm, sb: (tm[t], 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, max(span_rows, TILE_E), w_qds), qds_pad.dtype),
+                pltpu.VMEM((2, _scratch_rows(span_rows, mode), w_qds), qds_pad.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -600,54 +609,59 @@ def _tala_supported() -> bool:
     return env == "1"
 
 
-def _gather_mode(block_rows: int) -> str:
-    """Pick the in-kernel gather implementation for a block of this many
-    sublane rows (see :func:`_gather_rows`)."""
-    if block_rows == TILE_E and _tala_supported():
+def _gather_mode() -> str:
+    """Pick the in-kernel gather implementation (see :func:`_gather_rows`).
+    tala (where a backend supports it) wants TILE_E-sublane blocks — the
+    row-sizing helpers below pad for it; in the other modes blocks stay at
+    their natural height (span_rows / padded table rows), which is what
+    keeps the indicator gather's FLOPs proportional to the SPAN height
+    rather than TILE_E (8x at span_rows 128)."""
+    if _tala_supported():
         return "tala"
     from multi_modal_gnn_tpu.ops.pallas_segment import _vmem_take_supported
 
     return "take" if _vmem_take_supported() else "indicator"
 
 
-def _kv_rows(plan: AttnGroupPlan) -> int:
+def _scratch_rows(span_rows: int, mode: str) -> int:
+    """Physical span-DMA scratch height: exactly the DMA'd span except
+    under tala (shape-matched gather needs TILE_E sublanes; the gather is
+    then clamped to ``bound`` = span_rows so the uninitialized rows above
+    the DMA are never read)."""
+    return max(span_rows, TILE_E) if mode == "tala" else span_rows
+
+
+def _kv_rows(plan: AttnGroupPlan, mode: str) -> int:
     rows = _round_up(max(plan.num_src_total, 1), WINDOW)
     rows = max(rows, plan.rev.num_windows * WINDOW)
     if plan.fwd.use_span:
         rows = max(rows, plan.fwd.span_rows)
-    else:
+    elif mode == "tala":
         # resident gather block: pad to TILE_E sublanes so the tala gather
         # (shape-matched take_along_axis — _gather_rows doc) applies
         rows = max(rows, TILE_E)
     return rows
 
 
-def _qds_rows(plan: AttnGroupPlan) -> int:
+def _qds_rows(plan: AttnGroupPlan, mode: str) -> int:
     rows = plan.fwd.num_windows * WINDOW
     if plan.rev.use_span:
         rows = max(rows, plan.rev.span_rows)
-    else:
+    elif mode == "tala":
         rows = max(rows, TILE_E)  # resident: tala needs TILE_E sublanes
     return rows
 
 
-def _span_block_rows(span_rows: int, table_rows: int) -> int:
-    """Sublane count of the gather block the kernel actually sees: the
-    span-DMA scratch is at least TILE_E tall (tala), the resident table is
-    its padded height."""
-    return max(span_rows, TILE_E) if span_rows else table_rows
-
-
 def _flash_fwd_pair(q_s, k, v, plan: AttnGroupPlan, nh, interpret):
+    mode = _gather_mode()
     q_pad = _pad_rows(q_s.astype(jnp.float32), plan.fwd.num_windows * WINDOW)
     kv = _pad_rows(
-        jnp.concatenate([k, v], axis=1).astype(jnp.float32), _kv_rows(plan)
+        jnp.concatenate([k, v], axis=1).astype(jnp.float32), _kv_rows(plan, mode)
     )
     local, src, tm, base, span_rows = _side_arrays(plan.fwd)
     out_pad, stats = _flash_fwd_call(
         q_pad, kv, local, src, tm, base,
-        plan.fwd.num_windows, nh, span_rows,
-        _gather_mode(_span_block_rows(span_rows, kv.shape[0])), interpret,
+        plan.fwd.num_windows, nh, span_rows, mode, interpret,
     )
     return out_pad[: plan.num_dst], (out_pad, stats)
 
@@ -702,23 +716,23 @@ def flash_attention_group(
         qds = jnp.concatenate(
             [_pad_rows(q_s.astype(jnp.float32), rows_fwd), do_pad, sd], axis=1
         )
-        qds = _pad_rows(qds, _qds_rows(plan))
+        mode = _gather_mode()
+        qds = _pad_rows(qds, _qds_rows(plan, mode))
         kv = _pad_rows(
-            jnp.concatenate([k_t, v_t], axis=1).astype(jnp.float32), _kv_rows(plan)
+            jnp.concatenate([k_t, v_t], axis=1).astype(jnp.float32),
+            _kv_rows(plan, mode),
         )
         # pass A: dq in the forward layout (dq rows ARE destination windows)
         local, src, tm, base, span_rows = _side_arrays(plan.fwd)
         dq = _flash_dq_call(
             qds, kv, local, src, tm, base,
-            plan.fwd.num_windows, nh, h, span_rows,
-            _gather_mode(_span_block_rows(span_rows, kv.shape[0])), interpret,
+            plan.fwd.num_windows, nh, h, span_rows, mode, interpret,
         )[: plan.num_dst]
         # pass B: dk/dv in the reverse layout (windows over virtual source)
         local_r, src_r, tm_r, base_r, span_rows_r = _side_arrays(plan.rev)
         dk_pad, dv_pad = _flash_dkv_call(
             kv[: plan.rev.num_windows * WINDOW], qds, local_r, src_r, tm_r,
-            base_r, plan.rev.num_windows, nh, h, span_rows_r,
-            _gather_mode(_span_block_rows(span_rows_r, qds.shape[0])), interpret,
+            base_r, plan.rev.num_windows, nh, h, span_rows_r, mode, interpret,
         )
         n_src = plan.num_src_total
         return (

@@ -317,9 +317,10 @@ def main() -> None:
         src = rng.integers(0, num_src, num_edges).astype(np.int32)
         dstv = rng.integers(0, num_dst, num_edges).astype(np.int32)
 
-        # pin the in-kernel gather mode: the take-support probe would compile
-        # against the host CPU here and wrongly cache "no take" for tpu
-        ps._VMEM_TAKE_SUPPORTED["tpu"] = True
+        # pin the in-kernel gather mode the chip actually runs: indicator
+        # (tala is a hardware-measured negative and take fails lowering —
+        # ops/pallas_attention._tala_supported / _gather_mode)
+        ps._VMEM_TAKE_SUPPORTED["tpu"] = False
 
         for label, res_max, span in (("resident", 4096, 128), ("span", 0, 128)):
             fwd_side = _build_side(src, dstv, num_dst, num_src, span, res_max)
@@ -349,28 +350,6 @@ def main() -> None:
                 ),
                 q, k, v,
             )
-        # indicator-gather fallback mode (backends whose Mosaic rejects the
-        # VMEM take): same two checks on the resident layout
-        ps._VMEM_TAKE_SUPPORTED["tpu"] = False
-        fwd_side = _build_side(src, dstv, num_dst, num_src, 128, 4096)
-        rev_side = _build_side(dstv, src, num_src, num_dst, 128, 4096)
-        plan_i = AttnGroupPlan(
-            fwd=fwd_side, rev=rev_side,
-            num_src_total=num_src, num_dst=num_dst, num_edges=num_edges,
-        )
-        q = jnp.asarray(rng.normal(size=(num_dst, h)), jnp.float32)
-        k = jnp.asarray(rng.normal(size=(num_src, h)), jnp.float32)
-        v = jnp.asarray(rng.normal(size=(num_src, h)), jnp.float32)
-        run(
-            "attention value+grad (indicator fallback)",
-            jax.value_and_grad(
-                lambda q_, k_, v_: jnp.sum(
-                    pa.flash_attention_group(q_, k_, v_, plan_i, nh, interpret=False) ** 2
-                ),
-                argnums=(0, 1, 2),
-            ),
-            q, k, v,
-        )
     finally:
         jax.default_backend = orig_backend
         ps._VMEM_TAKE_SUPPORTED.pop("tpu", None)
