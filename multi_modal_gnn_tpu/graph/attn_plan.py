@@ -50,10 +50,16 @@ logger = logging.getLogger(__name__)
 ATTN_RESIDENT_MAX_ROWS = 512
 # base span height DMA'd per tile for over-VMEM gather sides; sparse groups
 # (few edges per gather row per window) escalate through _SPAN_LADDER until
-# the packer's tile-split inflation gate passes (scratch stays <= ~6 MB at
-# the 1024 cap)
+# the packer's tile-split inflation gate passes.  The top rungs (16/32:
+# 2048/4096 rows) exist for LOW-dst-count groups whose edges spread across
+# the whole gather table (the scale config's diagnosis group: 400k edges
+# into 4 dst windows, sources spanning all 100k patients) — without them
+# the group falls back to the segment tier, whose per-edge gathers + XLA
+# scatter backward cost ~150-200 ms/epoch at scale (round-5 device trace).
+# Scratch stays bounded: 2 x 4096 x 512 lanes x 4B ~ 17 MB, inside v5e
+# VMEM (the kernels' other blocks are <1 MB).
 ATTN_SPAN_ROWS = 128
-_SPAN_LADDER = (1, 2, 4, 8)  # multiples of the base span
+_SPAN_LADDER = (1, 2, 4, 8, 16, 32)  # multiples of the base span
 
 
 class AttnSidePlan(struct.PyTreeNode):
