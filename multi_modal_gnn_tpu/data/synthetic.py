@@ -119,6 +119,48 @@ class SyntheticSpec:
     heavy_bulk: float = 0.16  # spike labs' bulk noise std (pre-renorm)
     heavy_spike_prob: float = 0.015  # per-entry spike probability
     heavy_spike_scale: float = 4.5  # spike magnitude scale
+    # ---- v2.3 (round 5): count profile / degree shape / quantization ------
+    # per-lab count profile (eicu mode): "ref" pins the popularity curve to
+    # the reference's own measured per-lab sample histogram
+    # (ref outputs/per_lab_metrics.csv num_samples, 53-278 at the 15% test
+    # split => ~19%-99% patient coverage; quantile-interpolated when
+    # num_labs != 50) with a fixed-point calibration against the
+    # Gumbel-top-k sampler; "zipf" keeps the v2.2 1/rank curve.  The v2.2
+    # residual per-lab-MAE-spread gap was diagnosed as exactly this count
+    # dispersion (docs/ROUND4.md item 2: ref test n spans 53-278, v2.2's
+    # ~137-271).
+    count_profile: str = "zipf"
+    # gamma shape of the per-patient lab-count rate (the pre-v2.3 sampler
+    # hardcoded 2.5); larger = less overdispersed degrees
+    degree_shape: float = 2.5
+    # a brief-stay subpopulation ordered only a few panels (rate re-drawn
+    # around brief_mean): the source of the reference's tiny low-degree
+    # stratum (9 of 9,224 test edges at degree 1-5) once the "ref" count
+    # profile's near-universal panels push every ordinary patient past
+    # degree ~15.  0 disables.
+    brief_frac: float = 0.0
+    brief_mean: float = 5.0
+    # extra per-lab Gumbel rank-noise toward the rare end (scale
+    # 1 + rank_noise_rare * r^1.5): rare panels are patient-idiosyncratic —
+    # without this a strict global ranking floors every rare lab's coverage
+    # at P(count > rank) ~ 27%, above the reference's 19% (see
+    # _sample_memberships noise_scale doc)
+    rank_noise_rare: float = 0.0
+    # cap on the per-patient lab count, as a fraction of num_labs (1.0
+    # disables).  Without it the severity-tilted gamma-Poisson rate clips a
+    # QUARTER of the cohort at ALL 50 labs (measured, v2.3 calibration),
+    # flooring every rare lab's coverage at that population — no real
+    # patient receives the complete union of panels
+    degree_cap_frac: float = 1.0
+    # per-lab measurement quantization step, in units of the lab's
+    # pre-standardization SD (0 disables; per-lab log-jitter x/÷2).  Real
+    # lab values carry device/reporting precision, so z-scored targets live
+    # on a per-lab GRID and near-zero targets are RARE — the mechanism
+    # behind the reference's finite MAPE fingerprint (167.2% overall,
+    # per-lab 57-396%).  A continuous symmetric marginal cannot produce it:
+    # the v2.2 cohort measures E[1/|t|] ~ 40 => MAPE ~2690%
+    # (VERDICT r4 weak #2).
+    quant_step: float = 0.0
 
     @staticmethod
     def eicu_demo() -> "SyntheticSpec":
@@ -130,8 +172,31 @@ class SyntheticSpec:
         """eICU-demo-sized cohort with the calibrated real-data phenomenology
         (``phenomenology="eicu"``) — the generator-validation cohort on which
         the reference's measured iteration ladder is reproduced
-        (scripts/validate_generator.py, README "Generator validation")."""
-        return SyntheticSpec(phenomenology="eicu", seed=seed)
+        (scripts/validate_generator.py, README "Generator validation").
+        v2.3 (round 5): reference-matched per-lab count profile, brief-stay
+        low-degree subpopulation, per-lab value quantization (the MAPE
+        fingerprint), 3 twin pairs at share 0.95 + 5 spike labs + damped
+        minor shares — the calibration that holds the rare>common margin
+        (>= 0.02) on data seeds 0-2
+        (outputs/diagnostics/generator_validation_v23h_ds*.json)."""
+        return SyntheticSpec(
+            phenomenology="eicu",
+            seed=seed,
+            count_profile="ref",
+            degree_shape=12.0,
+            brief_frac=0.012,
+            brief_mean=4.0,
+            rank_noise_rare=2.0,
+            degree_cap_frac=0.88,
+            quant_step=0.25,
+            special_lab_frac=0.12,
+            special_share=0.95,
+            heavy_lab_frac=0.10,
+            sev_share_rare=0.29,
+            contamination_frac=0.024,
+            minor_share_lo=0.04,
+            minor_share_hi=0.18,
+        )
 
     @staticmethod
     def scale_100k() -> "SyntheticSpec":
@@ -252,19 +317,34 @@ def _sample_memberships(
     item_popularity: np.ndarray,
     affinity: np.ndarray | None = None,
     rate_tilt: np.ndarray | None = None,
+    rate: np.ndarray | None = None,
+    noise_scale: np.ndarray | None = None,
+    max_count: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample (patient, item) membership pairs with power-law item popularity
     and optional latent affinity tilt.  Returns (patient_idx, item_idx).
 
     ``rate_tilt`` multiplies each patient's count rate (mean-normalized so the
     cohort mean stays at ``mean_per_patient``) — the eicu phenomenology's
-    severity->degree coupling (sicker patients get more labs ordered)."""
+    severity->degree coupling (sicker patients get more labs ordered).
+    ``rate`` supplies the per-patient count rates directly (v2.3: degree
+    shape / brief-stay control lives at the caller), skipping the internal
+    gamma draw; the legacy draw is kept bit-identical for callers that omit
+    it (the flat generator's stream is pinned).
+    ``noise_scale`` (per item) scales the Gumbel rank perturbation: rank
+    ordering for items with scale >> 1 becomes patient-idiosyncratic rather
+    than popularity-driven.  Without it, a strict global ranking makes every
+    high-count patient sweep up EVERY item, flooring rare-item coverage at
+    P(count > rank) — the v2.3 "ref" count profile needs rare panels that
+    even 45-lab patients routinely miss (the reference's rarest lab covers
+    only ~19% of patients at mean degree 33.5)."""
     # per-patient counts: gamma-poisson for overdispersion, clipped to >= 1
-    rate = rng.gamma(shape=2.5, scale=mean_per_patient / 2.5, size=num_patients)
+    if rate is None:
+        rate = rng.gamma(shape=2.5, scale=mean_per_patient / 2.5, size=num_patients)
     if rate_tilt is not None:
         rate = rate * (rate_tilt / rate_tilt.mean())
     counts = np.maximum(rng.poisson(rate), 1)
-    counts = np.minimum(counts, num_items)
+    counts = np.minimum(counts, num_items if max_count is None else max_count)
 
     total = int(counts.sum())
     patient_idx = np.repeat(np.arange(num_patients, dtype=np.int64), counts)
@@ -279,7 +359,10 @@ def _sample_memberships(
     for start in range(0, num_patients, chunk):
         stop = min(start + chunk, num_patients)
         n = stop - start
-        scores = logp[None, :] + rng.gumbel(size=(n, num_items))
+        g = rng.gumbel(size=(n, num_items))
+        if noise_scale is not None:
+            g = g * noise_scale[None, :]
+        scores = logp[None, :] + g
         if affinity is not None:
             scores = scores + affinity[start:stop]
         order = np.argsort(-scores, axis=1)
@@ -292,6 +375,31 @@ def _sample_memberships(
         item_idx[offset : offset + m] = order[rows, cols]
         offset += m
     return patient_idx, item_idx
+
+
+# The reference's measured per-lab test-split sample counts (ref
+# outputs/per_lab_metrics.csv ``num_samples`` column, 50 labs, 15% edge
+# split of the real eICU demo cohort) — the calibration target for
+# ``count_profile="ref"``.  Spans 53 (triglycerides) to 278 (Hct):
+# the top panels are measured on ~97-99% of patients, the rare quartile on
+# ~19-32%.
+_REF_LAB_TEST_COUNTS = np.array([
+    197, 219, 207, 203, 182, 213, 227, 267, 94, 88, 58, 124, 108, 278, 251,
+    246, 260, 239, 178, 88, 173, 173, 112, 251, 231, 71, 255, 208, 202, 196,
+    157, 250, 240, 265, 265, 268, 88, 206, 139, 107, 109, 106, 255, 232, 267,
+    194, 212, 53, 100, 112,
+], dtype=np.float64)
+
+
+def _ref_count_shares(num_labs: int) -> np.ndarray:
+    """Per-lab count shares, descending, quantile-interpolated from the
+    reference histogram to ``num_labs`` rows."""
+    prof = np.sort(_REF_LAB_TEST_COUNTS)[::-1]
+    if num_labs != len(prof):
+        prof = np.interp(
+            np.linspace(0.0, 1.0, num_labs), np.linspace(0.0, 1.0, len(prof)), prof
+        )
+    return prof / prof.sum()
 
 
 @dataclass(frozen=True)
@@ -392,7 +500,7 @@ def _generate_eicu_tables(
     # rare pairs stay co-observed because the MNAR affinity tilt orders
     # rare panels together on sick patients
     pair_bases = (
-        np.linspace(0.08 * L, 0.8 * L, n_pairs).round().astype(int)
+        np.linspace(0.08 * L, 0.7 * L, n_pairs).round().astype(int)
         if n_pairs
         else np.empty(0, dtype=int)
     )
@@ -448,29 +556,98 @@ def _generate_eicu_tables(
 
     # ---- lab ordering: severity-coupled counts + rare-lab MNAR tilt -------
     lab_item_ids = 51000 + np.arange(L)
-    lab_popularity = (1.0 / (np.arange(L) + 1.0)) ** 1.0
-    lab_popularity /= lab_popularity.sum()
+    if spec.count_profile == "ref":
+        lab_popularity = _ref_count_shares(L)
+    else:
+        lab_popularity = (1.0 / (np.arange(L) + 1.0)) ** 1.0
+        lab_popularity /= lab_popularity.sum()
     affinity = np.outer(s, spec.rare_sev_affinity * r**1.5).astype(np.float32)
-    tilt = np.exp(spec.degree_sev_coupling * s)
+    # v2.3: the count tilt rides CLIPPED severity — the raw exp(c*s) tilt
+    # on the gamma severity's unbounded tail floods the count distribution's
+    # extremes (sickest patients clip at ALL labs, flooring every rare lab's
+    # count at the high-degree population; the healthy side inflates the
+    # 6-15 band ~3x over the reference's 1.06% edge share).  Ordering
+    # still tracks severity (corr(degree, severity) pin in
+    # tests/test_generator_validation.py); only the tails saturate, as the
+    # reference's own tiny low/medium strata imply.
+    tilt = np.exp(spec.degree_sev_coupling * np.clip(s, -0.6, 1.6))
     tilt_n = tilt / tilt.mean()
     # clipping Poisson counts at L truncates the sick tail and drags the
     # realized mean degree below target — solve a deterministic inflation
-    # factor on a throwaway stream so the cohort mean stays on spec
+    # factor on a throwaway stream so the cohort mean stays on spec.  Brief
+    # stays (v2.3) are excluded from the solve: their small fixed-mean rate
+    # never clips, and the main subpopulation's target mean is raised so
+    # the cohort mean stays at mean_labs_per_patient.
+    rank_noise = None
+    if spec.rank_noise_rare > 0:
+        # twin-paired labs are EXEMPT (scale 1): their ordering is
+        # clinically coupled (AST/ALT arrive on the same panel; FiO2 rides
+        # the vent settings) — idiosyncratic rank noise would decorrelate
+        # twin co-observation and kill the paired-lab mechanism that
+        # carries the reference's rare-stratum R^2 (measured v2.3a: rare
+        # 0.243 vs common 0.250 with noised twins; the conditioning twin
+        # must actually be OBSERVED)
+        rank_noise = 1.0 + spec.rank_noise_rare * r**1.5
+        rank_noise[special] = 1.0
+    shape = spec.degree_shape
+    bf = spec.brief_frac
+    main_mean = (spec.mean_labs_per_patient - bf * spec.brief_mean) / max(
+        1.0 - bf, 1e-9
+    )
+    cap = L if spec.degree_cap_frac >= 1.0 else max(int(round(spec.degree_cap_frac * L)), 1)
     probe = np.random.default_rng(spec.seed ^ 0xC0FFEE)
-    g_probe = probe.gamma(2.5, 1.0 / 2.5, size=n)
-    lo_c, hi_c = 1.0, 4.0
+    g_probe = probe.gamma(shape, 1.0 / shape, size=n)
+    lo_c, hi_c = 1.0, 6.0
     for _ in range(40):
         mid = 0.5 * (lo_c + hi_c)
-        realized = np.minimum(mid * spec.mean_labs_per_patient * g_probe * tilt_n, L).mean()
-        lo_c, hi_c = (mid, hi_c) if realized < spec.mean_labs_per_patient else (lo_c, mid)
+        realized = np.minimum(mid * main_mean * g_probe * tilt_n, cap).mean()
+        lo_c, hi_c = (mid, hi_c) if realized < main_mean else (lo_c, mid)
+    c_inflate = 0.5 * (lo_c + hi_c)
+    rate = rng.gamma(shape, 1.0 / shape, size=n) * c_inflate * main_mean * tilt_n
+    if bf > 0:
+        # brief stays are the HEALTHY quick discharges (the reference's
+        # low-degree stratum has tiny target variance: RMSE 0.437 at
+        # r2 -0.26 => stratum variance ~0.15, ref evaluation_results.json
+        # by_patient_degree) — draw them from the below-median-severity half
+        # so their few common-panel values stay near-normal via the
+        # severity-coupled noise scale
+        is_brief = (rng.random(n) < 2.0 * bf) & (s < np.median(s))
+        brief_rate = spec.brief_mean * rng.gamma(2.0, 0.5, size=n)
+        rate = np.where(is_brief, brief_rate, rate)
+    if spec.count_profile == "ref":
+        # fixed-point calibration of the popularity weights: Gumbel-top-k
+        # without replacement + the MNAR affinity tilt distort realized
+        # counts away from the raw weights (near-universal panels saturate,
+        # rare panels ride the severity tilt), so iterate
+        # log-weight += log(target share) - log(realized share) on a
+        # throwaway stream until the REALIZED profile matches the
+        # reference histogram
+        target = _ref_count_shares(L)
+        logp = np.log(target)
+        cal = np.random.default_rng(spec.seed ^ 0xFACADE)
+        for _ in range(12):
+            w = np.exp(logp)
+            _, li_c = _sample_memberships(
+                cal, n, L, main_mean, w / w.sum(), affinity=affinity,
+                rate=rate, noise_scale=rank_noise, max_count=cap,
+            )
+            realized = np.bincount(li_c, minlength=L) + 1.0
+            # over-relaxed multiplicative update (eta 1.5): the saturated
+            # near-universal panels move only ~(target/realized) per plain
+            # step and need the extra gain to converge in ~10 iterations
+            logp += 1.5 * (np.log(target) - np.log(realized / realized.sum()))
+        lab_popularity = np.exp(logp)
+        lab_popularity /= lab_popularity.sum()
     p_idx, l_idx = _sample_memberships(
         rng,
         n,
         L,
-        0.5 * (lo_c + hi_c) * spec.mean_labs_per_patient,
+        main_mean,
         lab_popularity,
         affinity=affinity,
-        rate_tilt=tilt_n,
+        rate=rate,
+        noise_scale=rank_noise,
+        max_count=cap,
     )
 
     # ---- values: severity signal + scale-mixture minor/noise --------------
@@ -519,6 +696,53 @@ def _generate_eicu_tables(
         core = np.where(
             bad, core + spec.contamination_scale * np.sign(wild) * (0.5 + np.abs(wild)), core
         )
+
+    if spec.quant_step > 0:
+        # v2.3 measurement quantization (SyntheticSpec.quant_step doc): snap
+        # each entry to a per-lab grid whose step is quant_step of the lab's
+        # own pre-standardization SD (log-jittered x/÷2 across labs), so the
+        # post-standardization grid step is ~quant_step regardless of the
+        # lab's scale.  This is what bounds near-zero z-scored targets and
+        # makes MAPE finite, as in the reference's real data.
+        cnt_q = np.maximum(np.bincount(l_idx, minlength=L), 1).astype(np.float64)
+        mean_q = np.bincount(l_idx, weights=core, minlength=L) / cnt_q
+        var_q = (
+            np.bincount(l_idx, weights=core**2, minlength=L) / cnt_q - mean_q**2
+        )
+        step = (
+            spec.quant_step
+            * np.sqrt(np.maximum(var_q, 1e-12))
+            * np.exp(rng.uniform(-0.5, 0.5, L))
+        )
+        # random per-lab grid PHASE: real grids anchor at zero in RAW units
+        # (mg/dL etc.), so relative to the distribution the grid sits at an
+        # arbitrary offset — without this, every near-symmetric lab puts a
+        # grid point essentially AT its mean and z-scored mass CONCENTRATES
+        # at ~0 (measured: P(|t|<0.05) rose 0.06 -> 0.10)
+        phase = rng.uniform(0.0, 1.0, L)
+        raw = core.copy()
+        for _ in range(4):
+            core = step[l_idx] * (
+                np.round(raw / step[l_idx] - phase[l_idx]) + phase[l_idx]
+            )
+            # near-zero-grid guard: a lab whose POST-standardization grid
+            # lands a point at ~0 carries z-scored mass exactly where
+            # 1/|t| explodes — one such lab moves overall MAPE by
+            # hundreds of points (measured: 982% on one seed vs 159-194%
+            # on its siblings; the reference's per-lab MAPE tops out at
+            # 396%, so real grids evidently avoid it too).  Bump the
+            # phase of offending labs and re-snap.
+            cq = np.maximum(np.bincount(l_idx, minlength=L), 1).astype(np.float64)
+            mq = np.bincount(l_idx, weights=core, minlength=L) / cq
+            vq = np.bincount(l_idx, weights=core**2, minlength=L) / cq - mq**2
+            sq = np.sqrt(np.maximum(vq, 1e-12))
+            zq = np.abs(core - mq[l_idx]) / sq[l_idx]
+            min_z = np.full(L, np.inf)
+            np.minimum.at(min_z, l_idx, zq)
+            bad = min_z < 0.04
+            if not bad.any():
+                break
+            phase = np.where(bad, (phase + 0.23) % 1.0, phase)
 
     # per-lab standardization over the OBSERVED entries — exactly what the
     # reference preprocess does (z-score fitted on aggregated observed pairs,

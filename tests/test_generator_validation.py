@@ -1,7 +1,11 @@
 """CI pins for the calibrated real-data phenomenology generator
 (data/synthetic.py ``phenomenology="eicu"``) — VERDICT round-2 item 1;
 v2.2 calibration (round 4): per-lab MAE spread archetypes (twin pairs,
-spike labs, Gaussian routine panels — SyntheticSpec archetype doc).
+spike labs, Gaussian routine panels — SyntheticSpec archetype doc);
+v2.3 calibration (round 5, VERDICT r4 weak #1/#2/#3/#7): reference-matched
+per-lab count profile, per-lab value quantization (the finite-MAPE
+mechanism), brief-stay low-degree stratum, rare>common margin held on data
+seeds 0-2 (outputs/diagnostics/generator_validation_v23h_ds*.json).
 
 Two layers of protection:
 
@@ -14,21 +18,20 @@ Two layers of protection:
   * the faithful-config ladder rung (one 100-epoch train on the eICU-sized
     cohort, the reference's own recipe): the trained model's guarded /
     raw / stratified numbers, measured on the pinned seeds
-    (data 0 / split 42, v2.2 calibration,
-    outputs/diagnostics/generator_validation_v22e.json): raw R^2 = 0.062,
-    guarded R^2 = 0.2434 with 1.94% capped, rare-lab R^2 0.300 > common
-    0.230 > very-common 0.226 (monotone), guarded MAE 0.6057, per-lab MAE
-    0.205-0.738 std 0.111 (the reference's real-data values: raw-rung
-    0.034, guarded 0.2419, 2.35% capped, rare 0.400 > common 0.219 >
-    very-common 0.218, MAE 0.6087, per-lab MAE 0.138-0.856 std 0.191).
-    Floor margins are set from MEASURED run-to-run dispersion (VERDICT r3
-    item 7): the same recipe lands 0.2434 (CPU rung) / 0.2232 (v2.1 CPU) /
-    0.2234 (v2.1 real-chip flagship) — cross-PLATFORM jitter is ~0.0005,
-    so floors sit 0.015 under the measured value and would catch a 0.02
-    R^2 regression.
+    (data 0 / split 42, v2.3 calibration,
+    outputs/diagnostics/generator_validation_v23h_ds0.json): raw
+    R^2 = 0.0556, guarded R^2 = 0.2766 with 1.91% capped, MAPE 124%,
+    rare-lab R^2 0.328 > common 0.281 (margin +0.047; +0.020/+0.027 on
+    data seeds 1/2), guarded MAE 0.5670, per-lab MAE 0.17-0.73 std 0.117
+    (the reference's real-data values: raw-rung 0.034, guarded 0.2419,
+    2.35% capped, MAPE 167.2%, rare 0.400 > common 0.219, MAE 0.6087,
+    per-lab MAE 0.138-0.856 std 0.191).  The guarded level swings
+    0.277-0.413 across data seeds (9k-edge test realization + spike-draw
+    luck), so floors sit under the weakest seed; cross-platform jitter is
+    ~0.0005 (v2.2 record).
 
 Cross-seed replication lives in outputs/diagnostics/
-generator_validation_v22_ds{1,2}.json (scripts/validate_generator.py).
+generator_validation_v23h_ds{0,1,2}.json (scripts/validate_generator.py).
 """
 
 import dataclasses
@@ -78,14 +81,32 @@ def test_data_fingerprint(eicu_real_tables):
 
     # degree-stratified variance: the low-degree stratum is healthy ->
     # near-normal values with small spread (the reference's low-MAE
-    # stratum).  Compared on +-3-clipped values: the ~200-entry low
-    # stratum's RAW variance is a spike-realization lottery under the v2.2
-    # spike labs (one 8-sigma draw moves it by ~0.3), while the clipped
-    # statistic is stable across seeds (0.46/0.48/0.50 vs high 0.71-0.78)
+    # stratum).  Compared on +-3-clipped values: the low stratum's RAW
+    # variance is a spike-realization lottery under the spike labs (one
+    # 8-sigma draw moves it by ~0.3), while the clipped statistic is
+    # stable (v2.3 seed 0: 0.476 vs high 0.744; the ~100-entry brief-stay
+    # stratum still swings 0.27-0.65 across seeds)
     deg_e = deg[p]
     vc = np.clip(v, -3, 3)
     low, high = vc[deg_e <= 5], vc[deg_e >= 16]
     assert low.var() < 0.55 < high.var()
+
+    # v2.3 count-profile pin: the sorted per-lab count shares match the
+    # reference's own measured histogram (ref outputs/per_lab_metrics.csv
+    # num_samples; VERDICT r4 item 2) — measured RMSE 4.4e-4 across seeds
+    from multi_modal_gnn_tpu.data.synthetic import _ref_count_shares
+
+    cnt = np.bincount(l, minlength=spec.num_labs)
+    share = np.sort(cnt)[::-1] / cnt.sum()
+    assert float(np.sqrt(((share - _ref_count_shares(spec.num_labs)) ** 2).mean())) < 2e-3
+
+    # v2.3 quantization pin: z-scored targets live on per-lab grids with no
+    # near-zero point (the finite-MAPE mechanism; measured E[1/|t|] 4.3-4.5
+    # vs the v2.2 continuum's 21-40, min grid |t| 0.040-0.044)
+    assert float(np.mean(1.0 / np.maximum(np.abs(v), 1e-9))) < 10.0
+    min_z = np.full(spec.num_labs, np.inf)
+    np.minimum.at(min_z, l, np.abs(v))
+    assert float(min_z.min()) >= 0.03
 
     # rarity-rising severity share: rare labs track severity more
     cnt = np.bincount(l, minlength=spec.num_labs)
@@ -112,10 +133,10 @@ def test_faithful_ladder_rung(eicu_real_tables):
     """The faithful architecture + the reference's own recipe (100 epochs,
     MAE loss, plateau scheduler, gate@6, inverse-variance lab weights)
     reproduces the reference's measured fingerprint on the calibrated
-    cohort.  Measured here (v2.2): raw 0.062 / guarded 0.2434 / capped
-    1.94% / rare 0.300 > common 0.230 / guarded MAE 0.6057 / per-lab MAE
-    std 0.111 (reference: 0.034 / 0.2419 / 2.35% / 0.400 > 0.219 /
-    0.6087 / 0.191)."""
+    cohort.  Measured here (v2.3, seed 0): raw 0.0556 / guarded 0.2766 /
+    capped 1.91% / rare 0.328 > common 0.281 / guarded MAE 0.5670 / MAPE
+    124% / per-lab MAE std 0.117 (reference: 0.034 / 0.2419 / 2.35% /
+    0.400 > 0.219 / 0.6087 / 167.2% / 0.191)."""
     spec, tables, _ = eicu_real_tables
     config = Config()
     bundle = build_heterogeneous_graph(
@@ -140,34 +161,45 @@ def test_faithful_ladder_rung(eicu_real_tables):
     wins = compute_regression_metrics(preds_w, te_v)
 
     # the guarded headline and the guard jump (raw-rung vs guarded rung);
-    # floors = measured (0.2434 / 0.6057 / jump 0.182) minus a 0.015-0.02
-    # margin — cross-platform jitter measured ~0.0005 (module docstring),
-    # so these catch a 0.02 regression with >10x margin over jitter
-    assert wins["r2"] >= 0.228, f"guarded R^2 regressed: {wins['r2']:.4f}"
-    assert wins["mae"] <= 0.625, f"guarded MAE regressed: {wins['mae']:.4f}"
+    # v2.3 seed-0 measured: guarded 0.2766 / MAE 0.5670 / raw 0.0556
+    # (3-seed guarded band 0.277-0.413 — the 9k-edge test realization swings
+    # with spike-draw luck, so the floor sits under the weakest seed);
+    # cross-platform jitter measured ~0.0005 (module docstring)
+    assert wins["r2"] >= 0.25, f"guarded R^2 regressed: {wins['r2']:.4f}"
+    assert wins["mae"] <= 0.60, f"guarded MAE regressed: {wins['mae']:.4f}"
     assert raw["r2"] <= wins["r2"] - 0.15, (
         f"winsorization jump collapsed: raw {raw['r2']:.4f} vs "
         f"guarded {wins['r2']:.4f}"
     )
-    # guard rate in the reference's regime (2.35% there; 1.94% measured)
+    # guard rate in the reference's regime (2.35% there; 1.91% measured)
     assert 0.005 <= capped / len(te_v) <= 0.05
 
-    # stratified fingerprint: rare labs beat common (reference: 0.400>0.219;
-    # measured 0.300 > 0.230)
+    # the MAPE fingerprint (VERDICT r4 weak #2): the reference measures
+    # 167.18% on real data; the v2.2 continuum generator landed 2693%
+    # because near-zero z-scored targets had full density — v2.3's per-lab
+    # quantization grids bound it (measured 121-124% across seeds)
+    assert 100.0 <= wins["mape"] <= 500.0, f"MAPE fingerprint: {wins['mape']:.0f}%"
+
+    # stratified fingerprint (VERDICT r4 weak #7): rare labs beat common
+    # WITH MARGIN (reference: 0.400 > 0.219; v2.3 margins +0.047/+0.020/
+    # +0.027 on data seeds 0-2, generator_validation_v23h_ds*.json)
     all_l = np.concatenate([masker.split_arrays(s)[1] for s in ("train", "val", "test")])
     lab_counts = np.bincount(all_l, minlength=bundle.graph.num_nodes(LAB))
     strat = stratify_by_lab_frequency(preds_w, te_v, te_l, lab_counts)
-    assert strat["rare (bottom 25%)"]["r2"] > strat["common (middle 50%)"]["r2"]
+    assert (
+        strat["rare (bottom 25%)"]["r2"]
+        >= strat["common (middle 50%)"]["r2"] + 0.02
+    ), (strat["rare (bottom 25%)"]["r2"], strat["common (middle 50%)"]["r2"])
 
-    # per-lab MAE spread (VERDICT r3 item 2, the v2.2 centerpiece):
-    # measured min 0.205 / max 0.738 / std 0.111 vs the v2.1 plateau of
-    # min 0.49 / std 0.068; floors leave realization margin
+    # per-lab MAE spread (VERDICT r3 item 2 / r4 weak #1): v2.3 measured
+    # min 0.17 / max 0.73 / std 0.117 on seed 0 (v2.2: 0.205/0.738/0.111;
+    # reference 0.138/0.856/0.191); floors leave realization margin
     from multi_modal_gnn_tpu.evaluation.metrics import compute_per_lab_metrics
 
     per_lab = compute_per_lab_metrics(preds_w, te_v, te_l)
     mae_arr = np.asarray(per_lab["mae"])
     assert float(mae_arr.std()) >= 0.09, f"per-lab MAE std collapsed: {mae_arr.std():.3f}"
-    assert float(mae_arr.min()) <= 0.28, f"low-MAE archetypes gone: min {mae_arr.min():.3f}"
+    assert float(mae_arr.min()) <= 0.25, f"low-MAE archetypes gone: min {mae_arr.min():.3f}"
     assert float(mae_arr.max()) >= 0.65, f"high-MAE routine panels gone: max {mae_arr.max():.3f}"
 
 

@@ -333,9 +333,13 @@ def test_pipeline_e2e_on_eicu_real_preset(tmp_path):
 
 
 def test_warm_start_composes_with_dp(cal_bundle, tmp_path):
-    """Round 4: train.extras.warm_start now routes through the dp trainers
-    (params replicated — the plant lands identically on every shard;
-    2d/gspmd still raise with placement guidance)."""
+    """Round 4: train.extras.warm_start routes through the dp trainers
+    (params replicated — the plant lands identically on every shard).
+    Round 5 (VERDICT r4 item 4): the table-sharding routes (2d/gspmd) no
+    longer raise — the plant is re-laid under the trainer's shardings
+    (training/warmstart.py warm_start_trainer sharding-preserving path,
+    pinned in tests/test_warmstart.py); here the config route must ACCEPT
+    gspmd and produce a finite loss."""
     from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer
     from multi_modal_gnn_tpu.training.trainer import train_pipeline
 
@@ -355,11 +359,12 @@ def test_warm_start_composes_with_dp(cal_bundle, tmp_path):
     cfg2 = cfg.replace(
         train=dataclasses.replace(
             cfg.train, epochs=1,
-            extras={"parallel": "gspmd", "warm_start": "als"},
+            extras={"parallel": "gspmd", "warm_start": "als",
+                    "warm_start_rank": 4},
         ),
     )
-    with pytest.raises(ValueError, match="warm_start supports"):
-        train_pipeline(cfg2, cal_bundle, tmp_path / "b")
+    _, results2 = train_pipeline(cfg2, cal_bundle, tmp_path / "b")
+    assert np.isfinite(results2["test_loss"])
 
 
 def test_evaluation_json_omits_conformal_when_disabled(cal_bundle, tmp_path):
