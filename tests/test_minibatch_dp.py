@@ -31,6 +31,20 @@ def mb_bundle():
     return make_synthetic_bundle(SyntheticSpec.tiny(seed=1), _cfg())
 
 
+@pytest.fixture(scope="module")
+def mb_bundle_4w():
+    """A 4-window cohort (520 patients): the partition tests need more
+    WINDOW-aligned patient ranges than clusters — on the 120-patient tiny
+    cohort a 3-cluster request is degenerate and now raises
+    (training/minibatch.py _cluster_bases, ADVICE r4 item 3)."""
+    import dataclasses
+
+    spec = dataclasses.replace(
+        SyntheticSpec.tiny(seed=1), num_patients=520, mean_labs_per_patient=6.0
+    )
+    return make_synthetic_bundle(spec, _cfg())
+
+
 def _masker(bundle):
     return EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
 
@@ -99,7 +113,7 @@ class TestParity:
 
 
 class TestEdgeBalancedPartition:
-    def test_balanced_beats_equal_patient_padding(self, mb_bundle):
+    def test_balanced_beats_equal_patient_padding(self, mb_bundle_4w):
         """Round-4 fix: under the degree-sorted layout, equal-PATIENT
         ranges concentrate edges in the last cluster and every cluster
         pays its padding (measured: HGT at the scale config OOM'd at 24
@@ -108,11 +122,11 @@ class TestEdgeBalancedPartition:
         from multi_modal_gnn_tpu.graph.schema import PATIENT_LAB
         from multi_modal_gnn_tpu.training.minibatch import build_patient_clusters
 
-        masker = _masker(mb_bundle)
+        masker = _masker(mb_bundle_4w)
         cfg = _cfg()
         loads = {}
         for bal in ("patients", "edges"):
-            cd = build_patient_clusters(mb_bundle, masker, cfg, 3, balance=bal)
+            cd = build_patient_clusters(mb_bundle_4w, masker, cfg, 3, balance=bal)
             loads[bal] = max(
                 int(np.asarray(sg.edges[PATIENT_LAB].mask).sum())
                 for sg in cd.subgraphs
@@ -125,11 +139,11 @@ class TestEdgeBalancedPartition:
                 assert n == masker.split_sizes()[split]
         assert loads["edges"] <= loads["patients"]
 
-    def test_cluster_of_matches_partition(self, mb_bundle):
+    def test_cluster_of_matches_partition(self, mb_bundle_4w):
         from multi_modal_gnn_tpu.training.minibatch import build_patient_clusters
 
-        cd = build_patient_clusters(mb_bundle, _masker(mb_bundle), _cfg(), 3)
-        num_p = mb_bundle.graph.num_nodes("patient")
+        cd = build_patient_clusters(mb_bundle_4w, _masker(mb_bundle_4w), _cfg(), 3)
+        num_p = mb_bundle_4w.graph.num_nodes("patient")
         p = np.arange(num_p)
         cid = cd.cluster_of(p)
         assert cid.min() >= 0 and cid.max() < 3
