@@ -152,3 +152,42 @@ def test_build_attn_plans_groups_match_graph(tmp_path):
         assert plan.rel_keys == tuple(ets)
         total = sum(bundle.graph.edges[et].num_valid for et in ets)
         assert plan.num_edges == total
+
+
+def test_high_ladder_rung_sparse_low_dst_group():
+    """The round-5 span-ladder extension (graph/attn_plan._SPAN_LADDER up to
+    16/32x base): a LOW-dst-count group whose edges spread across a large
+    gather table (the scale config's diagnosis group shape — 400k edges
+    into 4 dst windows over 100k patients) packs only at a tall span, and
+    the kernels must stay exact on that layout.  Shrunk here: 256 dst over
+    a 6k-row source at low per-window density forces span escalation."""
+    rng = np.random.default_rng(3)
+    num_dst, num_src, num_edges = 256, 6000, 20000
+    src = rng.integers(0, num_src, num_edges).astype(np.int32)
+    dst = rng.integers(0, num_dst, num_edges).astype(np.int32)
+    fwd = _build_side(src, dst, num_dst, num_src, 128, 512)
+    rev = _build_side(dst, src, num_src, num_dst, 128, 512)
+    assert fwd is not None and rev is not None
+    # the point of the test: the forward side escalated past the base span
+    assert fwd.use_span and fwd.span_rows >= 512, fwd.span_rows
+    plan = AttnGroupPlan(
+        fwd=fwd, rev=rev, rel_keys=(), src_offsets=(0,),
+        num_src_total=num_src, num_dst=num_dst, num_edges=num_edges,
+    )
+    q, k, v = _qkv(plan)
+    nh = 4
+    out = flash_attention_group(q, k, v, plan, nh, interpret=True)
+    ref = flash_attention_ref(q, k, v, plan, nh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    w = jnp.asarray(np.random.default_rng(4).normal(size=out.shape), jnp.float32)
+    g_k = jax.grad(
+        lambda q_, k_, v_: jnp.sum(flash_attention_group(q_, k_, v_, plan, nh, interpret=True) * w),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_r = jax.grad(
+        lambda q_, k_, v_: jnp.sum(flash_attention_ref(q_, k_, v_, plan, nh) * w),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5)
