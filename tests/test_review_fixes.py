@@ -286,7 +286,10 @@ def test_hgt_serving_state_refuses_cluster_subgraph():
 
     cfg = Config()
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, architecture="HGT", hidden_dim=16))
-    bundle = make_synthetic_bundle(SyntheticSpec.tiny(seed=0), cfg)
+    # 2 clusters need 2 WINDOW-aligned patient ranges (>=129 patients after
+    # the ADVICE-r4 cluster-count validation); tiny() has 120
+    spec = dataclasses.replace(SyntheticSpec.tiny(seed=0), num_patients=300)
+    bundle = make_synthetic_bundle(spec, cfg)
     masker = EdgeMasker(bundle.graph, seed=0, host_edges=bundle.patient_lab_host())
     cd = build_patient_clusters(bundle, masker, cfg, num_clusters=2)
     sub = cd.subgraphs[0]

@@ -575,12 +575,17 @@ class TestConfigRoutedWarmStart:
         with pytest.raises(ValueError, match="warm_start"):
             train_pipeline(cfg, bundle, tmp_path)
 
-    def test_warm_start_with_parallel_rejected(self, tmp_path):
+    def test_warm_start_with_parallel_composes(self, tmp_path):
+        """Round 4 lifted the round-2 rejection: warm_start composes with
+        the dp trainers (round 5: 2d/gspmd too — tests/test_warmstart.py,
+        tests/test_round4.py); the config route must accept and train."""
+        from multi_modal_gnn_tpu.parallel.dp import DataParallelTrainer
         from multi_modal_gnn_tpu.training.trainer import train_pipeline
 
         cfg, bundle = self._cfg_bundle("als", parallel="dp")
-        with pytest.raises(ValueError, match="warm_start"):
-            train_pipeline(cfg, bundle, tmp_path)
+        trainer, results = train_pipeline(cfg, bundle, tmp_path)
+        assert isinstance(trainer, DataParallelTrainer)
+        assert np.isfinite(results["test_loss"])
 
     def test_warm_start_with_minibatch_clusters(self, tmp_path):
         """warm_start composes with cluster training: the plant targets the
